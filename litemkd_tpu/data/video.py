@@ -1,0 +1,195 @@
+"""RGB frame store: directory/zip scanning, frame sampling, decode + augment.
+
+Host-side counterpart of ``video_reader.py:118-196`` (tree scan),
+``:345-386`` (frame-index math) and ``setup_transforms`` (``:92-116``).
+Augmentation policy matches the reference: shorter-side resize to 256 (bilinear),
+random horizontal flip + random 224-crop at train, center crop at test, pixel
+scale to [0, 1] (the reference applies no mean/std normalization — only
+``transforms.ToTensor``, video_reader.py:66).
+
+Output layout is NHWC float32, frames stacked per video — the TPU-native
+layout (XLA convs are NHWC; the reference's NCHW is a torch convention).
+"""
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .splits import SplitIndex, VideoRecord, load_split_lists
+
+try:  # PIL ships with the image; gate anyway so feature-only flows never need it
+    from PIL import Image
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def scan_frame_tree(root: str, split_lists: Dict[str, set],
+                    seq_len: int) -> Tuple[SplitIndex, SplitIndex]:
+    """Scan ``<root>/<class>/<video>/<frame.jpg>`` into train/test indices.
+
+    Videos with fewer than ``seq_len`` frames are skipped; assignment is by
+    lowercase video-folder membership in the split lists; class ids follow
+    sorted class-folder order — all matching the reference scan
+    (video_reader.py:174-196).
+    """
+    train, test = SplitIndex(), SplitIndex()
+    class_folders = sorted(os.listdir(root))
+    for class_id, class_folder in enumerate(class_folders):
+        cdir = os.path.join(root, class_folder)
+        if not os.path.isdir(cdir):
+            continue
+        for video_folder in sorted(os.listdir(cdir)):
+            key = video_folder.lower()
+            if key in split_lists["train"]:
+                dest = train
+            elif key in split_lists["test"]:
+                dest = test
+            else:
+                continue
+            vdir = os.path.join(cdir, video_folder)
+            frames = sorted(os.path.join(vdir, f) for f in os.listdir(vdir)
+                            if f.lower().endswith(_IMG_EXTS))
+            if len(frames) < seq_len:
+                continue
+            dest.add(VideoRecord(class_id, video_folder, frame_paths=frames))
+    return train, test
+
+
+class ZipFrameStore:
+    """In-RAM zip of frames (the reference's 'szip' path, video_reader.py:120-172)."""
+
+    def __init__(self, zip_path: str):
+        self._mem = open(zip_path, "rb").read()
+        self.zfile = zipfile.ZipFile(io.BytesIO(self._mem))
+
+    def scan(self, split_lists: Dict[str, set], seq_len: int) -> Tuple[SplitIndex, SplitIndex]:
+        train, test = SplitIndex(), SplitIndex()
+        by_video: Dict[Tuple[str, str], List[str]] = {}
+        for name in self.zfile.namelist():
+            if not name.lower().endswith(_IMG_EXTS):
+                continue
+            parts = name.split(os.sep)
+            if len(parts) < 3:
+                continue
+            class_folder, video_folder = parts[-3], parts[-2]
+            by_video.setdefault((class_folder, video_folder), []).append(name)
+        class_folders = sorted({c for c, _ in by_video})
+        class_idx = {c: i for i, c in enumerate(class_folders)}
+        for (class_folder, video_folder), frames in sorted(by_video.items()):
+            if len(frames) < seq_len:
+                continue
+            key = video_folder.lower()
+            dest = (train if key in split_lists["train"]
+                    else test if key in split_lists["test"] else None)
+            if dest is None:
+                continue
+            dest.add(VideoRecord(class_idx[class_folder], video_folder,
+                                 frame_paths=sorted(frames)))
+        return train, test
+
+    def read(self, path: str) -> "Image.Image":
+        with self.zfile.open(path) as f:
+            img = Image.open(f)
+            img.load()
+            return img
+
+
+def sample_frame_indices(n_frames: int, seq_len: int, train: bool,
+                         rng: np.random.Generator) -> np.ndarray:
+    """The reference's frame-index math (video_reader.py:345-376):
+
+    train: randomly trim up to min(5, excess/2) frames from each end, then
+    linspace ``seq_len`` indices; test: fixed trim of 1 frame each end.
+    """
+    if n_frames == seq_len:
+        return np.arange(seq_len)
+    if train:
+        excess = n_frames - seq_len
+        pad = int(min(5, excess / 2))
+        if pad < 1:
+            start, end = 0, n_frames - 1
+        else:
+            start = int(rng.integers(0, pad + 1))
+            end = int(rng.integers(n_frames - 1 - pad, n_frames))
+    else:
+        start, end = 1, n_frames - 2
+    if end - start < seq_len:
+        start, end = 0, n_frames - 1
+    idx = np.linspace(start, end, num=seq_len)
+    return idx.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Decode + augment (host side, uint8/float32 numpy)
+# ---------------------------------------------------------------------------
+
+def _resize_shorter(img: "Image.Image", size: int) -> "Image.Image":
+    w, h = img.size
+    if (w <= h and w == size) or (h <= w and h == size):
+        return img
+    if w < h:
+        ow, oh = size, int(size * h / w)
+    else:
+        oh, ow = size, int(size * w / h)
+    return img.resize((ow, oh), Image.BILINEAR)
+
+
+def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
+              rng: np.random.Generator, resize_to: int = 256,
+              zip_store: Optional[ZipFrameStore] = None) -> np.ndarray:
+    """Decode selected frames, apply clip-consistent augmentation, return
+    (T, H, W, 3) float32 in [0, 1]."""
+    imgs = []
+    for i in idxs:
+        p = paths[int(i)]
+        img = zip_store.read(p) if zip_store is not None else Image.open(p)
+        img = img.convert("RGB")
+        img = _resize_shorter(img, resize_to)
+        imgs.append(np.asarray(img, dtype=np.uint8))
+    clip = np.stack(imgs)  # (T, H, W, 3) uint8
+    t, h, w, _ = clip.shape
+    if train:
+        if rng.random() < 0.5:
+            clip = clip[:, :, ::-1, :]
+        y0 = int(rng.integers(0, h - img_size + 1))
+        x0 = int(rng.integers(0, w - img_size + 1))
+    else:
+        y0 = (h - img_size) // 2
+        x0 = (w - img_size) // 2
+    clip = clip[:, y0:y0 + img_size, x0:x0 + img_size, :]
+    return np.ascontiguousarray(clip, dtype=np.float32) / 255.0
+
+
+class VideoStore:
+    """Frame tree (dir or zip) + split lists → per-split indices + clip loads."""
+
+    def __init__(self, rgb_path: str, annotation_dir: str, split: int,
+                 seq_len: int, img_size: int):
+        self.seq_len = seq_len
+        self.img_size = img_size
+        self.zip_store: Optional[ZipFrameStore] = None
+        split_lists = load_split_lists(annotation_dir, split)
+        if rgb_path.endswith(".zip"):
+            self.zip_store = ZipFrameStore(rgb_path)
+            self.train_split, self.test_split = self.zip_store.scan(split_lists,
+                                                                    seq_len)
+        else:
+            self.train_split, self.test_split = scan_frame_tree(rgb_path,
+                                                                split_lists,
+                                                                seq_len)
+
+    def split(self, train: bool) -> SplitIndex:
+        return self.train_split if train else self.test_split
+
+    def load(self, rec: VideoRecord, train: bool,
+             rng: np.random.Generator) -> np.ndarray:
+        idxs = sample_frame_indices(rec.n_frames, self.seq_len, train, rng)
+        return load_clip(rec.frame_paths, idxs, img_size=self.img_size,
+                         train=train, rng=rng, zip_store=self.zip_store)

@@ -26,9 +26,11 @@ def support_dk_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     proto = s.mean(axis=1).astype(jnp.float32)          # (W, T, D)
     diff = proto[:, None] - proto[None, :]              # (W, W, T, D)
     dist = -jnp.sum(diff * diff, axis=(-2, -1)) / seq_len
-    # drop the diagonal, preserving ascending-j order per row
-    mask = ~jnp.eye(way, dtype=bool)
-    return dist[mask].reshape(way, way - 1)
+    # drop the diagonal, preserving ascending-j order per row (static gather —
+    # boolean masking is not vmappable)
+    import numpy as _np
+    off_diag = _np.stack([[j for j in range(way) if j != i] for i in range(way)])
+    return jnp.take_along_axis(dist, jnp.asarray(off_diag, jnp.int32), axis=1)
 
 
 def _cdist(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

@@ -61,9 +61,11 @@ class TemporalCrossTransformer(nn.Module):
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
 
+    return_prototypes: bool = False
+
     @nn.compact
     def __call__(self, support: jnp.ndarray, support_labels: jnp.ndarray,
-                 queries: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+                 queries: jnp.ndarray, *, train: bool):
         idx = tuple_indices(self.seq_len, self.set_size)
         n_tup = idx.shape[0]
         tuple_dim = self.set_size * self.in_dim
@@ -112,6 +114,8 @@ class TemporalCrossTransformer(nn.Module):
                            preferred_element_type=jnp.float32).astype(jnp.float32)
         diff = q_v[:, None, :, :] - proto                     # (Q, W, U, dk)
         dist = jnp.sum(diff * diff, axis=(-2, -1)) / n_tup    # (Q, W)
+        if self.return_prototypes:
+            return -dist, proto
         return -dist
 
 

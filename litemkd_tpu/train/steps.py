@@ -1,0 +1,187 @@
+"""Jitted train / eval steps for student distillation.
+
+This is the TPU-native core of the hot loop in ``trainwandb.py:111-287``: one
+jitted, buffer-donated step consumes a BATCH of episodes (the reference's
+sequential 16-episode gradient accumulation becomes a single fused forward +
+backward), applies the named distillation loss per episode, sums, and updates.
+
+Loss-scale semantics match the reference exactly at the canonical config: the
+reference sums 16 per-episode losses before stepping (each episode's CE term
+already divided by tasks_per_batch), so here ``total = Σ_e loss_e`` with the
+same divisor.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..distill import get_distiller, merge_logits
+from ..models import BatchedStudent, BatchedTeacher
+from ..utils.metrics import per_episode_accuracy
+from .schedule import make_optimizer
+
+
+class EpisodeBatch(NamedTuple):
+    """One batch of episodes (leading axis E on every field).
+
+    support_clips (E, S, T, H, W, 3)  float32 (normalized)
+    support_labels (E, S)             int32 in [0, way)
+    query_clips  (E, Q, T, H, W, 3)
+    query_labels (E, Q)
+    support_feats (E, S, T, D)        fused teacher features (optional: zeros)
+    query_feats  (E, Q, T, D)
+    """
+
+    support_clips: Any
+    support_labels: Any
+    query_clips: Any
+    query_labels: Any
+    support_feats: Any = None
+    query_feats: Any = None
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray                      # optimizer updates so far
+    episodes_seen: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def create_train_state(cfg: Config, rng, sample_batch: EpisodeBatch,
+                       episodes_per_step: Optional[int] = None) -> Tuple[TrainState, Any]:
+    """Initialize student params/optimizer and (separately) teacher variables."""
+    e = int(sample_batch.support_clips.shape[0])
+    eps = episodes_per_step or e
+    student = BatchedStudent(cfg)
+    teacher = BatchedTeacher(cfg)
+    k_s, k_t, k_run = jax.random.split(rng, 3)
+    s_vars = student.init(k_s, sample_batch.support_clips,
+                          sample_batch.support_labels,
+                          sample_batch.query_clips, train=False)
+    t_vars = None
+    if sample_batch.support_feats is not None:
+        t_vars = teacher.init(k_t, sample_batch.support_feats,
+                              sample_batch.support_labels,
+                              sample_batch.query_feats, train=False)
+    tx = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate,
+                        cfg.train.sch, cfg.train.sch_gamma, eps)
+    params = s_vars["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        episodes_seen=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=s_vars.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(params),
+        rng=k_run,
+        tx=tx,
+    )
+    return state, t_vars
+
+
+def make_train_step(cfg: Config) -> Callable:
+    """Build the jit-able distillation train step.
+
+    signature: step(state, teacher_vars, batch) → (state, metrics)
+    """
+    student = BatchedStudent(cfg)
+    teacher = BatchedTeacher(cfg)
+    distill = get_distiller(cfg.distill.name)
+    dcfg = cfg.distill
+    tpb = cfg.train.tasks_per_batch
+
+    def loss_fn(params, batch_stats, teacher_vars, batch: EpisodeBatch, rng):
+        rng_s, rng_t = jax.random.split(rng)
+        out, mutated = student.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.support_clips, batch.support_labels, batch.query_clips,
+            train=True, rngs={"dropout": rng_s}, mutable=["batch_stats"])
+        s_logits = out["logits"]
+
+        if teacher_vars is not None:
+            t_out = teacher.apply(teacher_vars, batch.support_feats,
+                                  batch.support_labels, batch.query_feats,
+                                  train=True, rngs={"dropout": rng_t})
+            t_logits = jax.lax.stop_gradient(t_out["logits"])
+            per_ep = jax.vmap(lambda s, t, l: distill(s, t, l, dcfg, tpb))(
+                s_logits, t_logits, batch.query_labels)
+        else:
+            # teacher-free losses (ce / strm) ignore the teacher argument
+            per_ep = jax.vmap(lambda s, l: distill(s, None, l, dcfg, tpb))(
+                s_logits, batch.query_labels)
+        total = jnp.sum(per_ep["loss"])
+        merged = merge_logits(cfg.distill.name, s_logits)
+        acc = per_episode_accuracy(merged, batch.query_labels)
+        metrics = {"task_loss": total,
+                   "accuracy": jnp.mean(acc)}
+        for k, v in per_ep.items():
+            if k != "loss":
+                metrics[k] = jnp.mean(v)
+        return total, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, teacher_vars, batch: EpisodeBatch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, teacher_vars, batch, step_rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        e = batch.support_labels.shape[0]
+        new_state = state.replace(
+            step=state.step + 1,
+            episodes_seen=state.episodes_seen + e,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    """Jit-able eval step: per-episode accuracy for a batch of episodes.
+
+    signature: eval_step(variables, batch) → (E,) accuracies
+    """
+    ecfg = cfg.replace(episode=cfg.episode)  # shapes baked by the batch itself
+    student = BatchedStudent(ecfg)
+
+    def eval_step(variables, batch: EpisodeBatch):
+        out = student.apply(variables, batch.support_clips,
+                            batch.support_labels, batch.query_clips,
+                            train=False)
+        merged = merge_logits(cfg.distill.name, out["logits"])
+        return per_episode_accuracy(merged, batch.query_labels)
+
+    return eval_step
+
+
+def make_teacher_eval_step(cfg: Config) -> Callable:
+    """Eval the (frozen) teacher itself on feature episodes — the reference's
+    ``test.py`` 'teacher' mode (test.py:107-110)."""
+    teacher = BatchedTeacher(cfg)
+
+    def eval_step(teacher_vars, batch: EpisodeBatch):
+        out = teacher.apply(teacher_vars, batch.support_feats,
+                            batch.support_labels, batch.query_feats,
+                            train=False)
+        logits = out["logits"]
+        if isinstance(logits, dict):
+            logits = logits["kl"] if "kl" in logits else next(iter(logits.values()))
+        return per_episode_accuracy(logits, batch.query_labels)
+
+    return eval_step

@@ -1,0 +1,55 @@
+"""Episodic metrics.
+
+Reference: ``utils.py:101-133`` (episodic loss, aggregate_accuracy) and the
+95%-CI protocol of ``test.py:271-285`` (mean·100 ± 196·std/√n).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def aggregate_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean argmax accuracy. Works on (Q, way) or batched (E, Q, way)."""
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def per_episode_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """(E, Q, way) × (E, Q) → (E,) per-episode accuracies."""
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32),
+                    axis=-1)
+
+
+def confidence_interval(accuracies: np.ndarray) -> Dict[str, float]:
+    """The reference's eval statistic: accuracy ×100 with 196·std/√n CI."""
+    acc = np.asarray(accuracies, dtype=np.float64)
+    n = len(acc)
+    mean = float(acc.mean() * 100.0)
+    ci = float(196.0 * acc.std() / np.sqrt(n)) if n > 0 else float("nan")
+    return {"accuracy": mean, "confidence": ci, "n_tasks": n}
+
+
+class TestAccuracies:
+    """Accumulates per-episode accuracies and renders the reference-style
+    summary line (``utils.py:9-29``)."""
+
+    def __init__(self) -> None:
+        self._acc: List[float] = []
+
+    def add(self, episode_accuracy: float) -> None:
+        self._acc.append(float(episode_accuracy))
+
+    def extend(self, accs) -> None:
+        self._acc.extend(float(a) for a in np.asarray(accs).ravel())
+
+    def summary(self) -> Dict[str, float]:
+        return confidence_interval(np.asarray(self._acc))
+
+    def __len__(self) -> int:
+        return len(self._acc)
+
+    def render(self, dataset: str = "") -> str:
+        s = self.summary()
+        return f"{dataset}: {s['accuracy']:.1f}+/-{s['confidence']:.1f}"

@@ -1,0 +1,100 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from litemkd_tpu import preset
+from litemkd_tpu.models import (Student, Teacher, adaptive_max_pool_2d,
+                                ResNetBackbone, make_classifier)
+
+
+def test_adaptive_max_pool_matches_torch():
+    rng = np.random.default_rng(0)
+    for (h, w) in [(7, 7), (8, 8), (5, 9)]:
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        got = np.asarray(adaptive_max_pool_2d(jnp.asarray(x), (4, 4)))
+        want = torch.nn.AdaptiveMaxPool2d((4, 4))(
+            torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resnet18_backbone_shapes():
+    m = ResNetBackbone(depth=18, num_fc=2, out_dim=256,
+                       compute_dtype=jnp.float32)
+    clips = jnp.zeros((2, 4, 64, 64, 3))
+    variables = m.init(jax.random.key(0), clips, train=False)
+    out = m.apply(variables, clips, train=False)
+    assert set(out) == {"f1", "f2"}
+    assert out["f1"].shape == (2, 4, 256)
+    # batch_stats collection exists (BN state)
+    assert "batch_stats" in variables
+
+
+def test_resnet_trunk_downsamples_32x():
+    m = ResNetBackbone(depth=18, num_fc=0, compute_dtype=jnp.float32)
+    clips = jnp.zeros((1, 2, 64, 64, 3))
+    variables = m.init(jax.random.key(0), clips, train=False)
+    out = m.apply(variables, clips, train=False)
+    assert out.shape == (1, 2, 512)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return preset("tiny")
+
+
+def _episode_inputs(cfg, rng):
+    ep = cfg.episode
+    ctx = rng.normal(size=(ep.n_support, ep.seq_len, ep.img_size, ep.img_size, 3)).astype(np.float32)
+    tgt = rng.normal(size=(ep.n_queries(True), ep.seq_len, ep.img_size, ep.img_size, 3)).astype(np.float32)
+    labels = rng.permutation(np.repeat(np.arange(ep.way), ep.shot)).astype(np.int32)
+    return jnp.asarray(ctx), jnp.asarray(labels), jnp.asarray(tgt)
+
+
+def test_student_forward_2fcsup(tiny_cfg):
+    cfg = tiny_cfg
+    rng = np.random.default_rng(0)
+    ctx, labels, tgt = _episode_inputs(cfg, rng)
+    model = Student(cfg)
+    variables = model.init(jax.random.key(0), ctx, labels, tgt, train=False)
+    out = model.apply(variables, ctx, labels, tgt, train=False)
+    logits = out["logits"]
+    assert set(logits) == {"kl", "ce", "sup"}
+    assert logits["kl"].shape == (cfg.episode.n_queries(True), cfg.episode.way)
+    assert logits["sup"].shape == (cfg.episode.way, cfg.episode.way - 1)
+    assert np.isfinite(np.asarray(logits["kl"])).all()
+
+
+def test_teacher_forward_fixed(tiny_cfg):
+    cfg = tiny_cfg
+    ep = cfg.episode
+    rng = np.random.default_rng(1)
+    d = cfg.model.trans_linear_in_dim
+    ctx = jnp.asarray(rng.normal(size=(ep.n_support, ep.seq_len, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(ep.n_queries(True), ep.seq_len, d)).astype(np.float32))
+    labels = jnp.asarray(rng.permutation(np.repeat(np.arange(ep.way), ep.shot)).astype(np.int32))
+    model = Teacher(cfg)
+    variables = model.init(jax.random.key(0), ctx, labels, tgt, train=False)
+    out = model.apply(variables, ctx, labels, tgt, train=False)
+    assert set(out["logits"]) == {"kl", "sup"}
+
+
+def test_student_train_mode_needs_dropout_rng(tiny_cfg):
+    cfg = tiny_cfg
+    rng = np.random.default_rng(2)
+    ctx, labels, tgt = _episode_inputs(cfg, rng)
+    model = Student(cfg)
+    variables = model.init(jax.random.key(0), ctx, labels, tgt, train=False)
+    out, mutated = model.apply(variables, ctx, labels, tgt, train=True,
+                               rngs={"dropout": jax.random.key(1)},
+                               mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    assert np.isfinite(np.asarray(out["logits"]["kl"])).all()
+
+
+def test_classifier_registry_builds(tiny_cfg):
+    cfg = tiny_cfg
+    for name in ["TRX", "TRX_sup", "TRX_2fcsup", "TRX_2fcsup_fixed",
+                 "e_dist", "cos", "e_dist_fc2_sup", "e_dist_1fc_sup"]:
+        make_classifier(name, cfg)

@@ -1,0 +1,88 @@
+"""End-to-end train-step tests on the tiny synthetic config."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from litemkd_tpu import preset
+from litemkd_tpu.data import SyntheticEpisodeSource
+from litemkd_tpu.train import (create_train_state, make_train_step,
+                               make_eval_step)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = preset("tiny")
+    source = SyntheticEpisodeSource(cfg, n_classes=8, seed=0, noise=0.2)
+    rng = np.random.default_rng(0)
+    batch = source.sample_batch(rng, cfg.train.tasks_per_batch)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(cfg))
+    return cfg, source, state, t_vars, step
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, source, state, t_vars, step = setup
+    rng = np.random.default_rng(1)
+    batch = source.sample_batch(rng, cfg.train.tasks_per_batch)
+    new_state, metrics = step(state, t_vars, batch)
+    assert int(new_state.step) == int(state.step) + 1
+    assert int(new_state.episodes_seen) == cfg.train.tasks_per_batch
+    assert np.isfinite(float(metrics["task_loss"]))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    # params actually changed
+    old = jax.tree_util.tree_leaves(state.params)[0]
+    new = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_loss_decreases_over_steps(setup):
+    cfg, source, state, t_vars, step = setup
+    rng = np.random.default_rng(2)
+    losses = []
+    for i in range(8):
+        batch = source.sample_batch(rng, cfg.train.tasks_per_batch)
+        state, metrics = step(state, t_vars, batch)
+        losses.append(float(metrics["task_loss"]))
+    assert np.isfinite(losses).all()
+    # distillation on separable synthetic data should make progress
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) + 1e-3
+
+
+def test_eval_step(setup):
+    cfg, source, state, t_vars, step = setup
+    eval_step = jax.jit(make_eval_step(cfg))
+    rng = np.random.default_rng(3)
+    batch = source.sample_batch(rng, 4, train=False)
+    accs = eval_step(state.variables, batch)
+    assert accs.shape == (4,)
+    assert ((np.asarray(accs) >= 0) & (np.asarray(accs) <= 1)).all()
+
+
+def test_ce_only_training_without_teacher():
+    base = preset("tiny")
+    cfg = base.replace(
+        distill=base.distill.__class__(name="ce"),
+        model=base.model.__class__(
+            backbone="resnet18_student", classifier="TRX",
+            trans_linear_in_dim=base.model.trans_linear_in_dim,
+            trans_linear_out_dim=base.model.trans_linear_out_dim,
+            trans_num=1),
+    )
+    source = SyntheticEpisodeSource(cfg, n_classes=8, seed=0,
+                                    with_teacher_feats=False)
+    rng = np.random.default_rng(0)
+    batch = source.sample_batch(rng, 2)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    assert t_vars is None
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, t_vars, batch)
+    assert np.isfinite(float(metrics["task_loss"]))
+
+
+def test_lr_schedule_decays():
+    from litemkd_tpu.train import multistep_lr
+    sched = multistep_lr(1e-4, (2000, 4000), 0.1, episodes_per_step=16)
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(2000 // 16 + 1)), 1e-5)
+    assert np.isclose(float(sched(4000 // 16 + 1)), 1e-6)
