@@ -1,0 +1,211 @@
+"""Shared CLI plumbing: flags in the spirit of the reference's ``options.py``
+(same names where sensible), mapped onto the typed Config, plus the dataset
+path table (``options.py:126-159``) and sampler construction.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+from ..config import (Config, DataConfig, DistillConfig, EpisodeConfig,
+                      MeshConfig, ModelConfig, TrainConfig, preset)
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default=None,
+                   help="named preset (student_fc2sup_dist, student_plain, "
+                        "mfm_teacher, student_mobilenet, tiny)")
+    # episode geometry (options.py:12-25)
+    p.add_argument("--way", type=int, default=None)
+    p.add_argument("--shot", type=int, default=None)
+    p.add_argument("--query_per_class", type=int, default=None)
+    p.add_argument("--query_per_class_test", type=int, default=None)
+    p.add_argument("--seq_len", type=int, default=None)
+    p.add_argument("--img_size", type=int, default=None)
+    # model selection (options.py:35-45)
+    p.add_argument("--model_backbone", default=None)
+    p.add_argument("--model_classifier", default=None)
+    p.add_argument("--model_teacher", default=None)
+    p.add_argument("--trans_linear_in_dim", type=int, default=None)
+    p.add_argument("--trans_linear_out_dim", type=int, default=None)
+    p.add_argument("--temp_set", nargs="+", type=int, default=None)
+    p.add_argument("--trans_dropout", type=float, default=None)
+    p.add_argument("--remat", action="store_true", default=None)
+    # distillation (options.py:40, 48-60)
+    p.add_argument("--distill_name", default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--soft_loss_weight", type=float, default=None)
+    p.add_argument("--hard_loss_weight", type=float, default=None)
+    # data (options.py:28, 37, 126-159)
+    p.add_argument("--dataset",
+                   choices=["ssv2", "kinetics", "hmdb", "ucf", "synthetic"],
+                   default=None)
+    p.add_argument("--split", type=int, default=None)
+    p.add_argument("--traintestlist", default=None)
+    p.add_argument("--rgb_path", "--RGB_path", dest="rgb_path", default=None)
+    p.add_argument("--teacher_path", default=None)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--fixed_episode_file", default=None)
+    # misc
+    p.add_argument("--mode", default=None, help="experiment description tag")
+    p.add_argument("--num_test_tasks", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=None)
+    p.add_argument("--mesh_model", type=int, default=None)
+    p.add_argument("--debug", action="store_true",
+                   help="no checkpoints, no log files")
+
+
+def add_train_args(p: argparse.ArgumentParser) -> None:
+    # options.py:64-76
+    p.add_argument("--checkpoint_dir", "-c", default=None)
+    p.add_argument("--training_iterations", "-i", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", "-r", action="store_true")
+    p.add_argument("--test_iters", nargs="+", type=int, default=None)
+    p.add_argument("--learning_rate", "-lr", type=float, default=None)
+    p.add_argument("--opt", choices=["adam", "sgd"], default=None)
+    p.add_argument("--tasks_per_batch", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--sch", nargs="+", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--teacher_checkpoint", default=None,
+                   help="teacher checkpoint (orbax dir or torch .pt)")
+
+
+def add_test_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--test_model_path", "-m", default=None)
+    p.add_argument("--test_model", choices=["teacher", "student"],
+                   default="student")
+
+
+def dataset_paths(dataset: str, root: str = "data") -> dict:
+    """The reference's per-dataset path table (options.py:126-159),
+    normalized to <root>/<dataset>/{splits,l8/rgb_l8,feature/multi_feature}."""
+    table = {
+        "kinetics": dict(
+            traintestlist=os.path.join(root, "kinetics/splits/kineticsTrainTestlist"),
+            rgb_path=os.path.join(root, "kinetics/l8/rgb_l8"),
+            teacher_path=os.path.join(root, "kinetics/feature/multi_feature")),
+        "ucf": dict(
+            traintestlist=os.path.join(root, "ucf101/splits/ucf_ARN"),
+            rgb_path=os.path.join(root, "ucf101/l8/rgb_l8"),
+            teacher_path=os.path.join(root, "ucf101/feature/multi_feature")),
+        "hmdb": dict(
+            traintestlist=os.path.join(root, "hmdb/splits/hmdb_ARN"),
+            rgb_path=os.path.join(root, "hmdb/l8/rgb_l8"),
+            teacher_path=os.path.join(root, "hmdb/feature/multi_feature")),
+        "ssv2": dict(
+            traintestlist=os.path.join(root, "ssv2/splits/somethingsomethingv2TrainTestlist"),
+            rgb_path=os.path.join(root, "ssv2/l8/rgb_l8"),
+            teacher_path=os.path.join(root, "ssv2/feature/multi_feature")),
+        "synthetic": dict(traintestlist=None, rgb_path=None, teacher_path=None),
+    }
+    return table[dataset]
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    cfg = preset(args.preset) if args.preset else Config()
+
+    def pick(current, val):
+        return current if val is None else val
+
+    ep = cfg.episode
+    cfg = cfg.replace(episode=EpisodeConfig(
+        way=pick(ep.way, args.way), shot=pick(ep.shot, args.shot),
+        query_per_class=pick(ep.query_per_class, args.query_per_class),
+        query_per_class_test=pick(ep.query_per_class_test, args.query_per_class_test),
+        seq_len=pick(ep.seq_len, args.seq_len),
+        img_size=pick(ep.img_size, args.img_size)))
+
+    m = cfg.model
+    cfg = cfg.replace(model=ModelConfig(
+        backbone=pick(m.backbone, args.model_backbone),
+        classifier=pick(m.classifier, args.model_classifier),
+        teacher=pick(m.teacher, args.model_teacher),
+        trans_linear_in_dim=pick(m.trans_linear_in_dim, args.trans_linear_in_dim),
+        trans_linear_out_dim=pick(m.trans_linear_out_dim, args.trans_linear_out_dim),
+        temp_set=tuple(args.temp_set) if args.temp_set else m.temp_set,
+        trans_dropout=pick(m.trans_dropout, args.trans_dropout),
+        trans_num=m.trans_num, shirt_num=m.shirt_num, modalities=m.modalities,
+        compute_dtype=m.compute_dtype, param_dtype=m.param_dtype,
+        remat=pick(m.remat, args.remat)))
+
+    d = cfg.distill
+    cfg = cfg.replace(distill=DistillConfig(
+        name=pick(d.name, args.distill_name),
+        soft_loss_weight_support=d.soft_loss_weight_support,
+        soft_loss_weight_query=d.soft_loss_weight_query,
+        hard_loss_weight=pick(d.hard_loss_weight, args.hard_loss_weight),
+        soft_loss_weight=pick(d.soft_loss_weight, args.soft_loss_weight),
+        feature_loss_weight=d.feature_loss_weight,
+        temperature=pick(d.temperature, args.temperature),
+        fcwsl_aerfa=d.fcwsl_aerfa, fcwsl_beta=d.fcwsl_beta,
+        sup_weight=d.sup_weight))
+
+    dc = cfg.data
+    dataset = pick(dc.dataset, args.dataset)
+    paths = dataset_paths(dataset)
+    cfg = cfg.replace(data=DataConfig(
+        dataset=dataset,
+        split=pick(dc.split, args.split),
+        traintestlist=args.traintestlist or dc.traintestlist or paths["traintestlist"],
+        rgb_path=args.rgb_path or dc.rgb_path or paths["rgb_path"],
+        teacher_path=args.teacher_path or dc.teacher_path or paths["teacher_path"],
+        num_workers=pick(dc.num_workers, args.num_workers),
+        prefetch=dc.prefetch,
+        fixed_episode_file=pick(dc.fixed_episode_file, args.fixed_episode_file)))
+
+    if args.mesh_data is not None or args.mesh_model is not None:
+        cfg = cfg.replace(mesh=MeshConfig(
+            data=args.mesh_data if args.mesh_data is not None else -1,
+            model=args.mesh_model if args.mesh_model is not None else 1))
+
+    if args.mode:
+        cfg = cfg.replace(mode=args.mode)
+
+    t = cfg.train
+    if hasattr(args, "learning_rate"):
+        cfg = cfg.replace(train=TrainConfig(
+            tasks_per_batch=pick(t.tasks_per_batch, args.tasks_per_batch),
+            training_iterations=pick(t.training_iterations, args.training_iterations),
+            learning_rate=pick(t.learning_rate, args.learning_rate),
+            optimizer=pick(t.optimizer, args.opt),
+            sch=tuple(args.sch) if args.sch else t.sch,
+            sch_gamma=t.sch_gamma,
+            save_freq=pick(t.save_freq, args.save_freq),
+            print_freq=pick(t.print_freq, args.print_freq),
+            test_iters=tuple(args.test_iters) if args.test_iters else t.test_iters,
+            num_test_tasks=pick(t.num_test_tasks, args.num_test_tasks),
+            seed=pick(t.seed, args.seed),
+            checkpoint_dir=None if args.debug else pick(t.checkpoint_dir,
+                                                        args.checkpoint_dir),
+            resume_from_checkpoint=bool(getattr(args, "resume_from_checkpoint",
+                                                False))))
+    elif args.num_test_tasks is not None:
+        cfg = cfg.replace(train=t.__class__(
+            **{**t.__dict__, "num_test_tasks": args.num_test_tasks}))
+
+    return cfg
+
+
+def build_sampler(cfg: Config, need_teacher: bool = True):
+    """Construct the episode sampler for the configured dataset."""
+    if cfg.data.dataset == "synthetic":
+        from ..data import SyntheticEpisodeSource
+        return SyntheticEpisodeSource(cfg, n_classes=16, seed=cfg.train.seed,
+                                      with_teacher_feats=need_teacher)
+    from ..data import VideoStore, FeatureStore, EpisodeSampler
+    video_store = None
+    feature_store = None
+    if cfg.data.rgb_path:
+        video_store = VideoStore(cfg.data.rgb_path, cfg.data.traintestlist,
+                                 cfg.data.split, cfg.episode.seq_len,
+                                 cfg.episode.img_size)
+    if need_teacher and cfg.data.teacher_path:
+        feature_store = FeatureStore(cfg.data.teacher_path,
+                                     cfg.data.traintestlist, cfg.data.split,
+                                     cfg.episode.seq_len,
+                                     cfg.model.trans_linear_in_dim)
+    return EpisodeSampler(cfg, video_store, feature_store,
+                          num_workers=cfg.data.num_workers)

@@ -1,0 +1,63 @@
+"""Episodic evaluation entry point (reference ``test.py`` via ``test.sh``).
+
+    python -m litemkd_tpu.cli.test --dataset ucf -m /path/ckpt            # student
+    python -m litemkd_tpu.cli.test --test_model teacher --dataset ucf ... # teacher
+
+Reports mean accuracy ×100 over num_test_tasks episodes with the 196·std/√n
+confidence interval (reference test.py:271-285).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from .common import add_common_args, add_test_args, build_config, build_sampler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    add_test_args(p)
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+
+    from ..data import load_fixed_episodes
+    from ..train import (create_train_state, make_eval_step,
+                         make_teacher_eval_step, run_eval, CheckpointManager)
+
+    need_teacher = args.test_model == "teacher"
+    sampler = build_sampler(cfg, need_teacher=need_teacher)
+
+    # template state to restore into
+    rng = np.random.default_rng(cfg.train.seed)
+    sample = sampler.sample_batch(rng, 1, train=False)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), sample)
+    if args.test_model_path:
+        ckpt = CheckpointManager(args.test_model_path)
+        state, t_vars = ckpt.restore(state, t_vars)
+        print(f"restored checkpoint @{int(state.episodes_seen)} episodes")
+
+    specs = None
+    if cfg.data.fixed_episode_file:
+        specs = load_fixed_episodes(cfg.data.fixed_episode_file)
+        print(f"replaying {len(specs)} fixed episodes")
+
+    if need_teacher:
+        eval_step = jax.jit(make_teacher_eval_step(cfg))
+        variables = t_vars
+    else:
+        eval_step = jax.jit(make_eval_step(cfg))
+        variables = state.variables
+
+    summary = run_eval(cfg, variables, sampler,
+                       n_tasks=len(specs) if specs else cfg.train.num_test_tasks,
+                       eval_step=eval_step, seed=cfg.train.seed, specs=specs)
+    print(f"{cfg.data.dataset}: {summary['accuracy']:.2f} ± "
+          f"{summary['confidence']:.2f} over {summary['n_tasks']} tasks")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ class ModelConfig:
     # compute policy
     compute_dtype: str = "bfloat16"     # matmul/conv dtype on TPU
     param_dtype: str = "float32"
+    remat: bool = False                 # rematerialize trunk blocks (saves HBM)
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,8 @@ class TrainConfig:
     """Optimization schedule (reference: options.py:18, 27-30, 64-76)."""
 
     tasks_per_batch: int = 16           # episodes per optimizer step (ref: grad accum)
+    micro_batch: int = 0                # >0: episodes per fused fwd/bwd chunk
+                                        # (lax.scan grad accumulation, bounds HBM)
     training_iterations: int = 100_010  # counted in *episodes*, like the reference
     learning_rate: float = 1e-4
     optimizer: str = "sgd"              # "sgd" | "adam"

@@ -1,3 +1,17 @@
 from .synthetic import SyntheticEpisodeSource
+from .splits import SplitIndex, VideoRecord, load_split_lists
+from .video import (VideoStore, ZipFrameStore, scan_frame_tree,
+                    sample_frame_indices, load_clip)
+from .features import FeatureStore, MultiModalFeatureStore, scan_feature_tree
+from .episodes import (EpisodeSampler, EpisodeSpec, draw_episode_spec,
+                       save_fixed_episodes, load_fixed_episodes)
+from .prefetch import Prefetcher, device_put_batch
 
-__all__ = ["SyntheticEpisodeSource"]
+__all__ = [
+    "SyntheticEpisodeSource", "SplitIndex", "VideoRecord", "load_split_lists",
+    "VideoStore", "ZipFrameStore", "scan_frame_tree", "sample_frame_indices",
+    "load_clip", "FeatureStore", "MultiModalFeatureStore", "scan_feature_tree",
+    "EpisodeSampler", "EpisodeSpec", "draw_episode_spec",
+    "save_fixed_episodes", "load_fixed_episodes", "Prefetcher",
+    "device_put_batch",
+]

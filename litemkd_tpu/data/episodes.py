@@ -1,0 +1,179 @@
+"""Episode sampling: the host-side assembly of N-way K-shot tasks.
+
+Replaces the reference's ``VideoDataset.__getitem__`` (``video_reader.py:398-485``):
+sample ``way`` classes, ``shot + queries`` videos per class, load clips and the
+matching fused teacher features, shuffle support and query independently, and
+stack. Unlike the reference (one episode per DataLoader item), the sampler
+emits whole EPISODE BATCHES shaped for the jitted train step, and supports
+fixed-episode replay for deterministic evaluation (the reference's
+``fixed_test.json`` mechanism, ``mutlimodality_video_reader.py:452``).
+"""
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..train.steps import EpisodeBatch
+from .features import FeatureStore
+from .splits import SplitIndex
+from .video import VideoStore
+
+
+class EpisodeSpec:
+    """A fully-determined episode: class ids + per-class video indices."""
+
+    __slots__ = ("classes", "support_idx", "query_idx")
+
+    def __init__(self, classes: Sequence[int], support_idx: Sequence[Sequence[int]],
+                 query_idx: Sequence[Sequence[int]]):
+        self.classes = list(classes)
+        self.support_idx = [list(s) for s in support_idx]
+        self.query_idx = [list(q) for q in query_idx]
+
+    def to_json(self) -> dict:
+        return {"classes": self.classes, "support": self.support_idx,
+                "query": self.query_idx}
+
+    @staticmethod
+    def from_json(d: dict) -> "EpisodeSpec":
+        return EpisodeSpec(d["classes"], d["support"], d["query"])
+
+
+def draw_episode_spec(index: SplitIndex, way: int, shot: int, queries: int,
+                      rng: np.random.Generator) -> EpisodeSpec:
+    classes = [int(c) for c in
+               rng.choice(np.asarray(index.classes()), size=way, replace=False)]
+    support_idx, query_idx = [], []
+    for c in classes:
+        n = index.n_videos(c)
+        picks = rng.choice(n, size=shot + queries, replace=False)
+        support_idx.append([int(i) for i in picks[:shot]])
+        query_idx.append([int(i) for i in picks[shot:]])
+    return EpisodeSpec(classes, support_idx, query_idx)
+
+
+def save_fixed_episodes(specs: List[EpisodeSpec], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump([s.to_json() for s in specs], f)
+
+
+def load_fixed_episodes(path: str) -> List[EpisodeSpec]:
+    with open(path) as f:
+        return [EpisodeSpec.from_json(d) for d in json.load(f)]
+
+
+class EpisodeSampler:
+    """Assembles EpisodeBatches from a VideoStore (+ optional FeatureStore).
+
+    Episodes inside one batch are loaded in parallel by a thread pool (PIL JPEG
+    decode releases the GIL); this is the analog of the reference's DataLoader
+    worker processes without the per-episode process hop.
+    """
+
+    def __init__(self, cfg: Config, video_store: Optional[VideoStore],
+                 feature_store: Optional[FeatureStore] = None,
+                 num_workers: int = 4):
+        assert video_store is not None or feature_store is not None
+        self.cfg = cfg
+        self.videos = video_store
+        self.features = feature_store
+        self.pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers else None
+        # (train, class_id, video_id) → feature record, for O(1) pairing of a
+        # video with its fused teacher feature
+        self._feat_lookup: Dict[tuple, object] = {}
+        if feature_store is not None and video_store is not None:
+            for train in (True, False):
+                idx = feature_store.split(train)
+                for cid in idx.classes():
+                    for cand in idx.videos_for_class(cid):
+                        self._feat_lookup[(train, cid, cand.video_id)] = cand
+
+    def _index(self, train: bool) -> SplitIndex:
+        store = self.videos if self.videos is not None else self.features
+        return store.split(train)
+
+    def _load_one(self, rec, train: bool, seed: int):
+        rng = np.random.default_rng(seed)
+        clip = feats = None
+        if self.videos is not None:
+            clip = self.videos.load(rec, train, rng)
+        if self.features is not None:
+            # feature tree is keyed identically (class, video); records from the
+            # video index carry the ids needed for the lookup
+            frec = self._feature_record(rec, train)
+            feats = self.features.load(frec) if frec is not None else \
+                np.zeros((self.cfg.episode.seq_len,
+                          self.cfg.model.trans_linear_in_dim), np.float32)
+        return clip, feats
+
+    def _feature_record(self, rec, train: bool):
+        if self.videos is None:
+            return rec
+        return self._feat_lookup.get((train, rec.class_id, rec.video_id))
+
+    def build_episode(self, spec: EpisodeSpec, train: bool,
+                      rng: np.random.Generator):
+        ep = self.cfg.episode
+        index = self._index(train)
+        jobs: List[Tuple] = []   # (record, is_support, label)
+        for label, (c, s_idx, q_idx) in enumerate(
+                zip(spec.classes, spec.support_idx, spec.query_idx)):
+            for i in s_idx:
+                jobs.append((index.get(c, i), True, label, c))
+            for i in q_idx:
+                jobs.append((index.get(c, i), False, label, c))
+        seeds = rng.integers(0, 2 ** 31, size=len(jobs))
+        if self.pool is not None:
+            loaded = list(self.pool.map(
+                lambda jz: self._load_one(jz[0][0], train, jz[1]),
+                zip(jobs, seeds)))
+        else:
+            loaded = [self._load_one(j[0], train, s) for j, s in zip(jobs, seeds)]
+
+        sup, qry = [], []
+        for (rec, is_sup, label, real_c), (clip, feats) in zip(jobs, loaded):
+            (sup if is_sup else qry).append((clip, feats, label, real_c))
+        rng.shuffle(sup)
+        rng.shuffle(qry)
+
+        def stack(items):
+            clips = np.stack([x[0] for x in items]) if items[0][0] is not None else None
+            feats = np.stack([x[1] for x in items]) if items[0][1] is not None else None
+            labels = np.asarray([x[2] for x in items], np.int32)
+            real = np.asarray([x[3] for x in items], np.int32)
+            return clips, feats, labels, real
+
+        s_clips, s_feats, s_labels, _ = stack(sup)
+        q_clips, q_feats, q_labels, q_real = stack(qry)
+        return (s_clips, s_feats, s_labels), (q_clips, q_feats, q_labels, q_real)
+
+    def sample_batch(self, rng: np.random.Generator, n_episodes: int,
+                     train: bool = True,
+                     specs: Optional[List[EpisodeSpec]] = None) -> EpisodeBatch:
+        ep = self.cfg.episode
+        queries = ep.query_per_class if train else ep.query_per_class_test
+        index = self._index(train)
+        if specs is None:
+            specs = [draw_episode_spec(index, ep.way, ep.shot, queries, rng)
+                     for _ in range(n_episodes)]
+        parts = [self.build_episode(s, train, rng) for s in specs]
+        s_clips = _maybe_stack([p[0][0] for p in parts])
+        s_feats = _maybe_stack([p[0][1] for p in parts])
+        q_clips = _maybe_stack([p[1][0] for p in parts])
+        q_feats = _maybe_stack([p[1][1] for p in parts])
+        return EpisodeBatch(
+            support_clips=s_clips if s_clips is not None else s_feats,
+            support_labels=np.stack([p[0][2] for p in parts]),
+            query_clips=q_clips if q_clips is not None else q_feats,
+            query_labels=np.stack([p[1][2] for p in parts]),
+            support_feats=s_feats,
+            query_feats=q_feats,
+        )
+
+
+def _maybe_stack(xs):
+    return None if xs[0] is None else np.stack(xs)

@@ -66,7 +66,9 @@ class SyntheticEpisodeSource:
 
     def _draw_frames(self, rng, class_ids):
         base = self.frame_protos[class_ids]
-        return (base + self.noise * rng.normal(size=base.shape)).astype(np.float32)
+        x = base + self.noise * rng.normal(size=base.shape)
+        # quantize to uint8 pixels like the real pipeline ships
+        return np.clip((x * 40 + 128), 0, 255).astype(np.uint8)
 
     def _draw_feats(self, rng, class_ids):
         base = self.feat_protos[class_ids]

@@ -145,7 +145,8 @@ def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
               rng: np.random.Generator, resize_to: int = 256,
               zip_store: Optional[ZipFrameStore] = None) -> np.ndarray:
     """Decode selected frames, apply clip-consistent augmentation, return
-    (T, H, W, 3) float32 in [0, 1]."""
+    (T, H, W, 3) uint8 — the [0,1] scaling happens on device (backbones divide
+    by 255), quartering host→HBM transfer volume."""
     imgs = []
     for i in idxs:
         p = paths[int(i)]
@@ -164,7 +165,7 @@ def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
         y0 = (h - img_size) // 2
         x0 = (w - img_size) // 2
     clip = clip[:, y0:y0 + img_size, x0:x0 + img_size, :]
-    return np.ascontiguousarray(clip, dtype=np.float32) / 255.0
+    return np.ascontiguousarray(clip)
 
 
 class VideoStore:

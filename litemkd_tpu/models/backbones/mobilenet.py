@@ -154,6 +154,8 @@ class MobileNetV3Backbone(nn.Module):
     def __call__(self, clips: jnp.ndarray, *, train: bool):
         b, t = clips.shape[0], clips.shape[1]
         x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
+        if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
+            x = x / 255.0
         x = MobileNetV3Trunk(self.variant, self.compute_dtype,
                              name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)

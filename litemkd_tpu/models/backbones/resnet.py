@@ -30,7 +30,7 @@ class BasicBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
@@ -54,7 +54,7 @@ class Bottleneck(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
@@ -83,14 +83,22 @@ _STAGES = {
 
 
 class ResNetTrunk(nn.Module):
-    """Conv trunk: (N, H, W, 3) → (N, H/32, W/32, C_out)."""
+    """Conv trunk: (N, H, W, 3) → (N, H/32, W/32, C_out).
+
+    ``remat=True`` rematerializes each residual block in the backward pass
+    (jax.checkpoint) — trades ~33% trunk FLOPs for the activation memory that
+    otherwise caps the episode batch size in HBM.
+    """
 
     depth: int = 18
     compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         block_cls, stages, _ = _STAGES[self.depth]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.compute_dtype,
                     kernel_init=torch_conv_kernel_init(), name="conv1")(x)
@@ -102,7 +110,7 @@ class ResNetTrunk(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block_cls(filters, stride, self.compute_dtype,
-                              name=f"layer{i + 1}_{b}")(x, train=train)
+                              name=f"layer{i + 1}_{b}")(x, train)
         return x
 
 
@@ -138,12 +146,16 @@ class ResNetBackbone(nn.Module):
     out_dim: int = 2048
     pool_hw: Tuple[int, int] = (4, 4)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Features:
         b, t = clips.shape[0], clips.shape[1]
         x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
-        x = ResNetTrunk(self.depth, self.compute_dtype, name="trunk")(x, train=train)
+        if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
+            x = x / 255.0
+        x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
+                        name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)
         x = x.reshape(b * t, -1, x.shape[-1]).mean(axis=1)  # mean over patches
         trunk_dim = x.shape[-1]

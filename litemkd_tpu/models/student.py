@@ -116,9 +116,12 @@ def make_vmapped_classifier(name: str, cfg: Config,
 def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.Module:
     if name == "feature":
         return FeatureBackbone(name=module_name)
-    return BACKBONES[name](out_dim=cfg.model.trans_linear_in_dim,
-                           compute_dtype=jnp.dtype(cfg.model.compute_dtype),
-                           name=module_name)
+    kw = dict(out_dim=cfg.model.trans_linear_in_dim,
+              compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+              name=module_name)
+    if name.startswith(("resnet", "meta_baseline")):
+        kw["remat"] = cfg.model.remat
+    return BACKBONES[name](**kw)
 
 
 # ---------------------------------------------------------------------------

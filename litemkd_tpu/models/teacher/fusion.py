@@ -1,0 +1,247 @@
+"""MFM hierarchical multi-modal fusion teacher.
+
+TPU-native rebuild of the reference's fusion-teacher stack
+(``teacher/code/model.py``):
+
+- ``EncoderLayer``/``Encoder``: torch ``nn.TransformerEncoderLayer`` semantics
+  (post-LN, ReLU FFN with a 2048-wide bottleneck — the torch default
+  ``dim_feedforward`` the reference silently inherits) over concatenated
+  modality channels.
+- ``TwoStreamFusion``  = ``TwoTransforFusion``   (model.py:1361-1393)
+- ``ThreeStreamFusion`` = ``ThreeTransforTemproal`` (model.py:1300-1331)
+- ``TrxBranch``        = TCT head stack            (model.py:1094-1128)
+- ``MFMTeacher``       = ``ThreeTRXShiftLoopTime`` (model.py:1588-1710):
+  fusion1 = 3-stream encoder over (m1, m2, m3);
+  fusion2 = 2-stream encoder over (m1, m2 rolled left by ``shirt_num``);
+  fusion3 = 2-stream encoder over (m1, m3') — NOTE: the released reference's
+  "shift" of m3 concatenates prefix+rest in original order, i.e. the identity
+  (model.py:1614-1620); we reproduce that faithfully and expose
+  ``third_shift='right'`` for the presumably-intended reverse roll.
+  fused = fusion1 + fusion2 + fusion3 → TrxBranch logits.
+- ``ScoreFusion``      = ``TSF`` (model.py:1154-..): weighted sum of
+  per-modality TrxBranch logits.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.positional import TrainablePE
+from ...ops.tct import MultiSetTCT
+from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
+
+
+def _dense(out, fan_in, name, dtype=jnp.float32):
+    return nn.Dense(out, dtype=dtype, name=name,
+                    kernel_init=torch_linear_kernel_init(),
+                    bias_init=torch_linear_bias_init(fan_in))
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch TransformerEncoderLayer
+    defaults: ReLU FFN, dim_feedforward=2048, dropout=0.1)."""
+
+    d_model: int
+    nhead: int
+    dim_ff: int = 2048
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        d, h = self.d_model, self.nhead
+        hd = d // h
+        cd = self.compute_dtype
+        n, t, _ = x.shape
+
+        q = _dense(d, d, "attn_q", cd)(x).reshape(n, t, h, hd)
+        k = _dense(d, d, "attn_k", cd)(x).reshape(n, t, h, hd)
+        v = _dense(d, d, "attn_v", cd)(x).reshape(n, t, h, hd)
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
+                         preferred_element_type=jnp.float32)
+        ctx = _dense(d, d, "attn_out", cd)(ctx.reshape(n, t, d))
+        drop = lambda z, name: nn.Dropout(self.dropout, deterministic=not train,
+                                          name=name)(z)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            x + drop(ctx, "drop_attn"))
+        y = _dense(self.dim_ff, d, "mlp_in", cd)(x)
+        y = drop(nn.relu(y), "drop_mlp1")
+        y = _dense(d, self.dim_ff, "mlp_out", cd)(y)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            x + drop(y, "drop_mlp2"))
+        return x
+
+
+class Encoder(nn.Module):
+    d_model: int
+    nhead: int
+    depth: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(self.depth):
+            x = EncoderLayer(self.d_model, self.nhead, dropout=self.dropout,
+                             compute_dtype=self.compute_dtype,
+                             name=f"layer{i}")(x, train)
+        return x
+
+
+class TwoStreamFusion(nn.Module):
+    """Concat two modalities channel-wise, encode, project back to d."""
+
+    seq_len: int
+    d: int = 2048
+    depth: int = 2
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m1, m2, train: bool):
+        pe1 = TrainablePE(self.seq_len, self.d, self.dropout, name="pe1")
+        pe2 = TrainablePE(self.seq_len, self.d, self.dropout, name="pe2")
+        x = jnp.concatenate([pe1(m1, train=train), pe2(m2, train=train)], -1)
+        x = Encoder(2 * self.d, 2, self.depth, self.dropout,
+                    self.compute_dtype, name="encoder")(x, train)
+        x = _dense(self.d, 2 * self.d, "fuse_proj")(x)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop_out")(x)
+
+
+class ThreeStreamFusion(nn.Module):
+    seq_len: int
+    d: int = 2048
+    depth: int = 2
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m1, m2, m3, train: bool):
+        pes = [TrainablePE(self.seq_len, self.d, self.dropout, name=f"pe{i+1}")
+               for i in range(3)]
+        x = jnp.concatenate([pe(m, train=train)
+                             for pe, m in zip(pes, (m1, m2, m3))], -1)
+        x = Encoder(3 * self.d, 3, self.depth, self.dropout,
+                    self.compute_dtype, name="encoder")(x, train)
+        x = _dense(self.d, 3 * self.d, "fuse_proj")(x)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop_out")(x)
+
+
+class TrxBranch(nn.Module):
+    """TCT stack over fused features → (Q, way) logits (model.py:1094-1128)."""
+
+    way: int
+    shot: int
+    seq_len: int
+    in_dim: int = 2048
+    out_dim: int = 1152
+    temp_set: Tuple[int, ...] = (2,)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, context, context_labels, target, train: bool):
+        return MultiSetTCT(way=self.way, shot=self.shot, seq_len=self.seq_len,
+                           in_dim=self.in_dim, out_dim=self.out_dim,
+                           temp_set=self.temp_set, dropout=self.dropout,
+                           name="transformers")(context, context_labels, target,
+                                                train=train)
+
+
+def _roll_left(x, s: int):
+    return jnp.concatenate([x[:, s:, :], x[:, :s, :]], axis=1)
+
+
+def _roll_right(x, s: int):
+    return jnp.concatenate([x[:, -s:, :], x[:, :-s, :]], axis=1)
+
+
+class MFMTeacher(nn.Module):
+    """Hierarchical multi-modal fusion (ThreeTRXShiftLoopTime).
+
+    ``__call__(context_feats, context_labels, target_feats, train)`` where the
+    feats are dicts keyed by modality name ({'rgb','depth','flow'} by default,
+    each (N, T, D)) → {'logits': (Q, way)}.
+    """
+
+    way: int
+    shot: int
+    seq_len: int
+    in_dim: int = 2048
+    out_dim: int = 1152
+    temp_set: Tuple[int, ...] = (2,)
+    depth: int = 2                    # trans_num
+    shirt_num: int = 1
+    modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
+    dropout: float = 0.1
+    third_shift: str = "reference"    # 'reference' (identity) | 'right'
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.three_fusion = ThreeStreamFusion(self.seq_len, self.in_dim,
+                                              self.depth, self.dropout,
+                                              self.compute_dtype)
+        self.fusion = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
+                                      self.dropout, self.compute_dtype)
+        self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
+                                self.out_dim, self.temp_set, self.dropout)
+
+    def _shift3(self, x):
+        if self.third_shift == "right":
+            return _roll_right(x, self.shirt_num)
+        return x  # faithful to the released reference (model.py:1614-1620)
+
+    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
+        m1, m2, m3 = (feats[m] for m in self.modalities)
+        f1 = self.three_fusion(m1, m2, m3, train)
+        f2 = self.fusion(m1, _roll_left(m2, self.shirt_num), train)
+        f3 = self.fusion(m1, self._shift3(m3), train)
+        return f1 + f2 + f3
+
+    def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        fused_ctx = self.fuse(context_feats, train)
+        fused_tgt = self.fuse(target_feats, train)
+        logits = self.branch(fused_ctx, context_labels, fused_tgt, train)
+        return {"logits": logits}
+
+    def extract(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Per-video fused features (model.py:1648-1663) — feeds the student's
+        teacher-feature tree."""
+        return self.fuse(feats, train=False)
+
+
+class ScoreFusion(nn.Module):
+    """TSF: weighted sum of per-modality TrxBranch logits (model.py:1154-...).
+
+    Weights (a, b, c) follow the reference's --a/--b/--c flags."""
+
+    way: int
+    shot: int
+    seq_len: int
+    in_dim: int = 2048
+    out_dim: int = 1152
+    temp_set: Tuple[int, ...] = (2,)
+    modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
+    weights: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        total = None
+        per_mod = {}
+        for m, w in zip(self.modalities, self.weights):
+            logits = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
+                               self.out_dim, self.temp_set, self.dropout,
+                               name=f"branch_{m}")(
+                context_feats[m], context_labels, target_feats[m], train)
+            per_mod[m] = logits
+            total = w * logits if total is None else total + w * logits
+        return {"logits": total, "per_modality": per_mod}

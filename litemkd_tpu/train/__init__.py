@@ -1,7 +1,10 @@
 from .steps import (EpisodeBatch, TrainState, create_train_state,
                     make_train_step, make_eval_step, make_teacher_eval_step)
 from .schedule import make_optimizer, multistep_lr
+from .loop import run_training, run_eval
+from .checkpoint import CheckpointManager, verify_checkpoint_dir
 
 __all__ = ["EpisodeBatch", "TrainState", "create_train_state",
            "make_train_step", "make_eval_step", "make_teacher_eval_step",
-           "make_optimizer", "multistep_lr"]
+           "make_optimizer", "multistep_lr", "run_training", "run_eval",
+           "CheckpointManager", "verify_checkpoint_dir"]

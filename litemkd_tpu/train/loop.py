@@ -1,0 +1,104 @@
+"""Training and evaluation drivers.
+
+The structural equivalent of ``trainwandb.py:111-188`` (train loop with
+periodic eval + checkpointing) and ``test.py:65-285`` (episodic eval with CI),
+re-shaped for episode batches: the loop consumes prefetched device-resident
+batches; iteration counts are in *episodes* so reference configs (test_iters,
+save_freq, sch) carry over unchanged.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+
+from ..config import Config
+from ..data.prefetch import Prefetcher, device_put_batch
+from ..utils.logging import MetricsLogger
+from ..utils.metrics import TestAccuracies
+from .checkpoint import CheckpointManager
+from .steps import (EpisodeBatch, create_train_state, make_eval_step,
+                    make_train_step)
+
+
+def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
+             batch_size: int = 8, seed: int = 0,
+             eval_step: Optional[Callable] = None,
+             specs=None) -> dict:
+    """Episodic evaluation: mean accuracy ×100 with the 196·std/√n CI."""
+    n_tasks = n_tasks or cfg.train.num_test_tasks
+    eval_step = eval_step or jax.jit(make_eval_step(cfg))
+    rng = np.random.default_rng(seed)
+    acc = TestAccuracies()
+    done = 0
+    while done < n_tasks:
+        e = min(batch_size, n_tasks - done)
+        batch_specs = None if specs is None else specs[done:done + e]
+        batch = sampler.sample_batch(rng, e, train=False, **(
+            {"specs": batch_specs} if batch_specs is not None else {}))
+        accs = eval_step(variables, device_put_batch(batch))
+        acc.extend(np.asarray(accs))
+        done += e
+    return acc.summary()
+
+
+def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
+                 teacher_vars_init: Optional[Any] = None,
+                 eval_sampler=None, prefetch_depth: int = 2):
+    """Full student training. ``sampler.sample_batch(rng, n, train)`` must
+    yield EpisodeBatches; returns (final_state, teacher_vars, eval_history)."""
+    logger = logger or MetricsLogger(print_freq=cfg.train.print_freq)
+    eval_sampler = eval_sampler or sampler
+    e_per_step = cfg.train.tasks_per_batch
+    n_steps = max(1, cfg.train.training_iterations // e_per_step)
+
+    rng = np.random.default_rng(cfg.train.seed)
+    first = sampler.sample_batch(rng, e_per_step, train=True)
+    state, t_vars = create_train_state(cfg, jax.random.key(cfg.train.seed),
+                                       device_put_batch(first))
+    if teacher_vars_init is not None:
+        t_vars = teacher_vars_init
+
+    ckpt = None
+    if cfg.train.checkpoint_dir:
+        ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+        if cfg.train.resume_from_checkpoint and ckpt.latest_step() is not None:
+            state, t_vars = ckpt.restore(state, t_vars)
+            logger.info(f"resumed at {int(state.episodes_seen)} episodes")
+
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    test_marks = sorted(m for m in cfg.train.test_iters
+                        if m > int(state.episodes_seen))
+    save_every = max(1, cfg.train.save_freq // e_per_step)
+    eval_history = []
+
+    start_step = int(state.step)
+    produce = lambda i: sampler.sample_batch(rng, e_per_step, train=True)
+    fetcher = Prefetcher(produce, n_batches=n_steps - start_step,
+                         depth=prefetch_depth)
+
+    for batch in fetcher:
+        state, metrics = step_fn(state, t_vars, batch)
+        step_i = int(state.step)
+        episodes = int(state.episodes_seen)
+        logger.log(step_i, {k: float(v) for k, v in metrics.items()}
+                   | {"episodes": episodes})
+
+        if ckpt and step_i % save_every == 0:
+            ckpt.save(state, t_vars)
+
+        while test_marks and episodes >= test_marks[0]:
+            mark = test_marks.pop(0)
+            summary = run_eval(cfg, state.variables, eval_sampler,
+                               eval_step=eval_step)
+            eval_history.append({"episodes": episodes, **summary})
+            logger.info(f"eval @{episodes} episodes: "
+                        f"{summary['accuracy']:.2f} ± {summary['confidence']:.2f} "
+                        f"({summary['n_tasks']} tasks)")
+
+    if ckpt:
+        ckpt.save(state, t_vars)
+    return state, t_vars, eval_history

@@ -69,14 +69,15 @@ def create_train_state(cfg: Config, rng, sample_batch: EpisodeBatch,
     student = BatchedStudent(cfg)
     teacher = BatchedTeacher(cfg)
     k_s, k_t, k_run = jax.random.split(rng, 3)
-    s_vars = student.init(k_s, sample_batch.support_clips,
-                          sample_batch.support_labels,
-                          sample_batch.query_clips, train=False)
+    # init on a single-episode slice: parameters are independent of the episode
+    # batch size and a full-batch init forward can exceed HBM
+    one = jax.tree_util.tree_map(lambda x: x[:1], sample_batch)
+    s_vars = student.init(k_s, one.support_clips, one.support_labels,
+                          one.query_clips, train=False)
     t_vars = None
     if sample_batch.support_feats is not None:
-        t_vars = teacher.init(k_t, sample_batch.support_feats,
-                              sample_batch.support_labels,
-                              sample_batch.query_feats, train=False)
+        t_vars = teacher.init(k_t, one.support_feats, one.support_labels,
+                              one.query_feats, train=False)
     tx = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate,
                         cfg.train.sch, cfg.train.sch_gamma, eps)
     params = s_vars["params"]
@@ -132,10 +133,51 @@ def make_train_step(cfg: Config) -> Callable:
                 metrics[k] = jnp.mean(v)
         return total, (mutated["batch_stats"], metrics)
 
+    micro = cfg.train.micro_batch
+
+    def _accumulated_grads(state, teacher_vars, batch, step_rng):
+        """Split the episode axis into chunks and lax.scan-accumulate grads —
+        the HBM-bounded generalization of the reference's 16-episode
+        accumulation loop (per-episode losses already sum, so summed chunk
+        grads are bit-identical in exact arithmetic)."""
+        e = batch.support_labels.shape[0]
+        if not micro or micro >= e:
+            return jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, teacher_vars, batch, step_rng)
+        assert e % micro == 0, (e, micro)
+        n_chunks = e // micro
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape(n_chunks, micro, *x.shape[1:])
+            if x is not None else None, batch)
+        rngs = jax.random.split(step_rng, n_chunks)
+
+        def body(carry, xs):
+            grads_acc, stats, metrics_acc = carry
+            chunk, rng_i = xs
+            g, (new_stats, m) = jax.grad(loss_fn, has_aux=True)(
+                state.params, stats, teacher_vars, chunk, rng_i)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+            metrics_acc = {k: metrics_acc[k] + m[k] for k in m}
+            return (grads_acc, new_stats, metrics_acc), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        first_chunk = jax.tree_util.tree_map(lambda x: x[0], chunked)
+        _, (_, m0) = jax.eval_shape(
+            lambda p, s, r: jax.grad(loss_fn, has_aux=True)(
+                p, s, teacher_vars, first_chunk, r),
+            state.params, state.batch_stats, rngs[0])
+        zero_m = {k: jnp.zeros((), jnp.float32) for k in m0}
+        (grads, new_stats, metrics), _ = jax.lax.scan(
+            body, (zero_g, state.batch_stats, zero_m), (chunked, rngs))
+        # loss is a sum over episodes; averaged metrics get normalized
+        metrics = {k: (v if k == "task_loss" else v / n_chunks)
+                   for k, v in metrics.items()}
+        return grads, (new_stats, metrics)
+
     def train_step(state: TrainState, teacher_vars, batch: EpisodeBatch):
         rng, step_rng = jax.random.split(state.rng)
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, teacher_vars, batch, step_rng)
+        grads, (new_stats, metrics) = _accumulated_grads(
+            state, teacher_vars, batch, step_rng)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         e = batch.support_labels.shape[0]

@@ -1,0 +1,69 @@
+"""Structured metrics bus with pluggable sinks.
+
+One logger replaces the reference's five overlapping systems (SURVEY.md §5.5:
+``log.py`` timestamped files, wandb calls, ``print_and_log``, loguru/visdom):
+scalars flow through ``MetricsLogger.log(step, dict)`` into any combination of
+stdout, JSONL file, and wandb (gated — the package is optional here).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, Iterable, Optional
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: Optional[str] = None, use_wandb: bool = False,
+                 run_name: str = "run", print_freq: int = 10):
+        self.print_freq = print_freq
+        self.run_name = run_name
+        self._jsonl = None
+        self._wandb = None
+        self._t0 = time.time()
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            stamp = time.strftime("%Y%m%d-%H%M%S")
+            self._jsonl = open(os.path.join(log_dir, f"{stamp}_{run_name}.jsonl"),
+                               "a", buffering=1)
+            self.text_path = os.path.join(log_dir, f"{stamp}_{run_name}.log")
+            logging.basicConfig(filename=self.text_path, level=logging.INFO,
+                                format="%(asctime)s %(message)s")
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+            except ImportError:
+                print("[metrics] wandb requested but not installed; skipping",
+                      file=sys.stderr)
+
+    def log_config(self, cfg) -> None:
+        blob = cfg.to_json() if hasattr(cfg, "to_json") else json.dumps(cfg)
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"config": json.loads(blob)}) + "\n")
+        if self._wandb and self._wandb.run:
+            self._wandb.config.update(json.loads(blob), allow_val_change=True)
+
+    def log(self, step: int, scalars: Dict[str, float],
+            force_print: bool = False) -> None:
+        rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        if self._jsonl:
+            self._jsonl.write(json.dumps(rec) + "\n")
+        if self._wandb and self._wandb.run:
+            self._wandb.log(scalars, step=int(step))
+        if force_print or (self.print_freq and step % self.print_freq == 0):
+            body = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
+            print(f"[{self.run_name} {step}] {body}", flush=True)
+
+    def info(self, msg: str) -> None:
+        print(msg, flush=True)
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"info": msg}) + "\n")
+        logging.info(msg)
+
+    def close(self) -> None:
+        if self._jsonl:
+            self._jsonl.close()

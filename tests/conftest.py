@@ -1,9 +1,19 @@
-"""Test configuration: force an 8-device CPU mesh so sharding tests run anywhere.
+"""Test configuration.
 
-Must set env vars before the first jax import anywhere in the test process.
+Multi-device (sharding) tests need the virtual 8-device CPU mesh. On the TPU
+image the PJRT backend is registered from sitecustomize at interpreter startup,
+*before* pytest imports this file — so env vars must be set before Python
+starts. Use ``./run_tests.sh`` (or prefix manually):
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 python -m pytest tests/
+
+Run bare (``python -m pytest tests/``) the suite still passes on the real TPU
+chip; tests requiring ≥8 devices skip themselves.
 """
 import os
 
+# effective only off-image / when jax is not yet initialized; harmless otherwise
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

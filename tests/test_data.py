@@ -1,0 +1,144 @@
+"""Data layer tests over a tiny on-disk fixture (frame tree + feature tree)."""
+import os
+import numpy as np
+import pytest
+from PIL import Image
+
+from litemkd_tpu import preset
+from litemkd_tpu.data import (VideoStore, FeatureStore, EpisodeSampler,
+                              load_split_lists, sample_frame_indices,
+                              draw_episode_spec, save_fixed_episodes,
+                              load_fixed_episodes)
+
+WAY, SHOT, QPC, T, D, IMG = 3, 2, 2, 4, 64, 32
+N_CLASSES, VIDS_PER_CLASS = 5, 10
+N_TRAIN = 7  # per class; rest are test
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tinyset")
+    rgb = root / "rgb_l8"
+    feats = root / "multi_feature"
+    ann = root / "splits"
+    ann.mkdir()
+    rng = np.random.default_rng(0)
+    train_lines, test_lines = [], []
+    for c in range(N_CLASSES):
+        cname = f"class{c:02d}"
+        for v in range(VIDS_PER_CLASS):
+            vname = f"vid_{c:02d}_{v:02d}"
+            vdir = rgb / cname / vname
+            vdir.mkdir(parents=True)
+            n_frames = T + (v % 3) * 2   # 4, 6 or 8 frames
+            for fidx in range(n_frames):
+                arr = rng.integers(0, 255, size=(40, 48, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(vdir / f"{fidx:05d}.jpg")
+            fdir = feats / cname / vname
+            fdir.mkdir(parents=True)
+            np.save(fdir / "feature.npy",
+                    rng.normal(size=(T, D)).astype(np.float32))
+            line = f"{cname}/{vname}"
+            (train_lines if v < N_TRAIN else test_lines).append(line)
+    (ann / "trainlist03.txt").write_text("\n".join(train_lines) + "\n")
+    (ann / "testlist03.txt").write_text("\n".join(test_lines) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = preset("tiny")
+    return base.replace(episode=base.episode.__class__(
+        way=WAY, shot=SHOT, query_per_class=QPC, query_per_class_test=1,
+        seq_len=T, img_size=IMG))
+
+
+def test_split_list_parsing(dataset_dir):
+    lists = load_split_lists(str(dataset_dir / "splits"), 3)
+    assert len(lists["train"]) == N_CLASSES * N_TRAIN
+    assert len(lists["test"]) == N_CLASSES * (VIDS_PER_CLASS - N_TRAIN)
+    assert "vid_00_00" in lists["train"]
+
+
+def test_video_store_scan(dataset_dir, cfg):
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    assert len(vs.train_split) == N_CLASSES * N_TRAIN
+    assert len(vs.test_split) == N_CLASSES * (VIDS_PER_CLASS - N_TRAIN)
+    rec = vs.train_split.get(0, 0)
+    rng = np.random.default_rng(0)
+    clip = vs.load(rec, train=True, rng=rng)
+    assert clip.shape == (T, IMG, IMG, 3)
+    assert clip.dtype == np.uint8
+
+
+def test_frame_sampling_math():
+    """Exact reproduction of the reference index selection (video_reader.py:345-376)."""
+    # n_frames == seq_len → identity
+    np.testing.assert_array_equal(
+        sample_frame_indices(8, 8, True, np.random.default_rng(0)), np.arange(8))
+    # test mode: start=1, end=n-2, linspace
+    idx = sample_frame_indices(20, 8, False, np.random.default_rng(0))
+    np.testing.assert_array_equal(idx, np.linspace(1, 18, 8).astype(int))
+    # test mode with tight range falls back to full span
+    idx = sample_frame_indices(9, 8, False, np.random.default_rng(0))
+    np.testing.assert_array_equal(idx, np.linspace(0, 8, 8).astype(int))
+    # train mode: indices sorted, within range, exactly seq_len of them
+    for seed in range(5):
+        idx = sample_frame_indices(30, 8, True, np.random.default_rng(seed))
+        assert len(idx) == 8 and (np.diff(idx) >= 0).all()
+        assert idx.min() >= 0 and idx.max() <= 29
+
+
+def test_feature_store(dataset_dir, cfg):
+    fs = FeatureStore(str(dataset_dir / "multi_feature"),
+                      str(dataset_dir / "splits"), 3, T, D)
+    assert len(fs.train_split) == N_CLASSES * N_TRAIN
+    rec = fs.train_split.get(1, 2)
+    feat = fs.load(rec)
+    assert feat.shape == (T, D)
+
+
+def test_episode_sampler_full(dataset_dir, cfg):
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    fs = FeatureStore(str(dataset_dir / "multi_feature"),
+                      str(dataset_dir / "splits"), 3, T, D)
+    sampler = EpisodeSampler(cfg, vs, fs, num_workers=2)
+    rng = np.random.default_rng(0)
+    batch = sampler.sample_batch(rng, 2, train=True)
+    S, Q = WAY * SHOT, WAY * QPC
+    assert batch.support_clips.shape == (2, S, T, IMG, IMG, 3)
+    assert batch.query_clips.shape == (2, Q, T, IMG, IMG, 3)
+    assert batch.support_feats.shape == (2, S, T, D)
+    assert batch.query_feats.shape == (2, Q, T, D)
+    # labels are a balanced permutation of way classes
+    for e in range(2):
+        counts = np.bincount(batch.support_labels[e], minlength=WAY)
+        np.testing.assert_array_equal(counts, [SHOT] * WAY)
+
+
+def test_feature_only_sampler(dataset_dir, cfg):
+    fs = FeatureStore(str(dataset_dir / "multi_feature"),
+                      str(dataset_dir / "splits"), 3, T, D)
+    sampler = EpisodeSampler(cfg, None, fs, num_workers=0)
+    batch = sampler.sample_batch(np.random.default_rng(1), 2, train=False)
+    # with no video store, clips fields carry the features
+    assert batch.support_clips.shape == (2, WAY * SHOT, T, D)
+    assert batch.query_clips.shape == (2, WAY * 1, T, D)
+
+
+def test_fixed_episode_replay(dataset_dir, cfg, tmp_path):
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    sampler = EpisodeSampler(cfg, vs, None, num_workers=0)
+    rng = np.random.default_rng(0)
+    specs = [draw_episode_spec(vs.test_split, WAY, SHOT, 1, rng) for _ in range(3)]
+    path = str(tmp_path / "fixed.json")
+    save_fixed_episodes(specs, path)
+    loaded = load_fixed_episodes(path)
+    assert [s.to_json() for s in loaded] == [s.to_json() for s in specs]
+    b1 = sampler.sample_batch(np.random.default_rng(7), 3, train=False, specs=loaded)
+    b2 = sampler.sample_batch(np.random.default_rng(7), 3, train=False, specs=loaded)
+    np.testing.assert_allclose(b1.support_clips, b2.support_clips)
+    np.testing.assert_array_equal(b1.support_labels, b2.support_labels)

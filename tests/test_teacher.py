@@ -1,0 +1,107 @@
+"""MFM fusion teacher tests, incl. encoder-layer parity with torch."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from litemkd_tpu.models.teacher import (EncoderLayer, MFMTeacher, ScoreFusion,
+                                        TwoStreamFusion)
+
+WAY, SHOT, QPC, T, D = 3, 2, 2, 4, 32
+
+
+def test_encoder_layer_matches_torch():
+    """Our post-LN encoder layer == torch nn.TransformerEncoderLayer with the
+    same weights (eval mode, no dropout)."""
+    d_model, nhead, dim_ff = 16, 2, 24
+    layer = EncoderLayer(d_model, nhead, dim_ff=dim_ff)
+    x = np.random.default_rng(0).normal(size=(2, 5, d_model)).astype(np.float32)
+    params = layer.init(jax.random.key(0), jnp.asarray(x), False)["params"]
+
+    tl = torch.nn.TransformerEncoderLayer(d_model, nhead, dim_ff,
+                                          batch_first=True)
+    tl.eval()
+    p = params
+    with torch.no_grad():
+        wq = np.asarray(p["attn_q"]["kernel"]).T
+        wk = np.asarray(p["attn_k"]["kernel"]).T
+        wv = np.asarray(p["attn_v"]["kernel"]).T
+        tl.self_attn.in_proj_weight.copy_(torch.tensor(np.concatenate([wq, wk, wv])))
+        tl.self_attn.in_proj_bias.copy_(torch.tensor(np.concatenate(
+            [np.asarray(p["attn_q"]["bias"]), np.asarray(p["attn_k"]["bias"]),
+             np.asarray(p["attn_v"]["bias"])])))
+        tl.self_attn.out_proj.weight.copy_(torch.tensor(np.asarray(p["attn_out"]["kernel"]).T))
+        tl.self_attn.out_proj.bias.copy_(torch.tensor(np.asarray(p["attn_out"]["bias"])))
+        tl.linear1.weight.copy_(torch.tensor(np.asarray(p["mlp_in"]["kernel"]).T))
+        tl.linear1.bias.copy_(torch.tensor(np.asarray(p["mlp_in"]["bias"])))
+        tl.linear2.weight.copy_(torch.tensor(np.asarray(p["mlp_out"]["kernel"]).T))
+        tl.linear2.bias.copy_(torch.tensor(np.asarray(p["mlp_out"]["bias"])))
+        tl.norm1.weight.copy_(torch.tensor(np.asarray(p["norm1"]["scale"])))
+        tl.norm1.bias.copy_(torch.tensor(np.asarray(p["norm1"]["bias"])))
+        tl.norm2.weight.copy_(torch.tensor(np.asarray(p["norm2"]["scale"])))
+        tl.norm2.bias.copy_(torch.tensor(np.asarray(p["norm2"]["bias"])))
+        want = tl(torch.tensor(x)).numpy()
+
+    got = np.asarray(layer.apply({"params": params}, jnp.asarray(x), False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _feats(rng, n):
+    return {m: jnp.asarray(rng.normal(size=(n, T, D)).astype(np.float32))
+            for m in ("rgb", "depth", "flow")}
+
+
+def test_mfm_teacher_forward():
+    rng = np.random.default_rng(0)
+    ctx = _feats(rng, WAY * SHOT)
+    tgt = _feats(rng, WAY * QPC)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = MFMTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24,
+                   depth=1)
+    variables = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(variables, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_mfm_extract_matches_forward_fusion():
+    """extract() must produce the same fused features the classifier consumes
+    (the reference's extraction self-consistency check, multi_fusion.py:576-590)."""
+    rng = np.random.default_rng(1)
+    feats = _feats(rng, 4)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = MFMTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24, depth=1)
+    ctx = _feats(rng, WAY * SHOT)
+    tgt = _feats(rng, WAY * QPC)
+    variables = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    fused = m.apply(variables, feats, method=m.extract)
+    assert fused.shape == (4, T, D)
+    fused2 = m.apply(variables, feats, method=m.extract)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(fused2))
+
+
+def test_mfm_shift_semantics():
+    """m2 rolls left by shirt_num; m3 is untouched in reference mode."""
+    from litemkd_tpu.models.teacher.fusion import _roll_left, _roll_right
+    x = jnp.arange(2 * 4 * 3).reshape(2, 4, 3).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_roll_left(x, 1))[0, :, 0],
+                                  np.asarray(x)[0, [1, 2, 3, 0], 0])
+    np.testing.assert_array_equal(np.asarray(_roll_right(x, 1))[0, :, 0],
+                                  np.asarray(x)[0, [3, 0, 1, 2], 0])
+
+
+def test_score_fusion():
+    rng = np.random.default_rng(2)
+    ctx = _feats(rng, WAY * SHOT)
+    tgt = _feats(rng, WAY * QPC)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = ScoreFusion(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24,
+                    weights=(1.0, 0.5, 0.25))
+    variables = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(variables, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+    manual = (out["per_modality"]["rgb"] + 0.5 * out["per_modality"]["depth"]
+              + 0.25 * out["per_modality"]["flow"])
+    np.testing.assert_allclose(np.asarray(out["logits"]), np.asarray(manual),
+                               rtol=1e-5)

@@ -1,0 +1,186 @@
+"""PyTorch-CPU baseline for the driver's north-star throughput comparison.
+
+Re-implements the flagship Lite-MKD training computation in plain torch
+(written from the math spec — resnet18 trunk + 2fc head + shared TRX
+cross-transformer + SupportDK + fc_2_sup_dist loss) and measures sequential
+per-episode forward+backward episodes/sec on CPU, mirroring the reference's
+one-episode-at-a-time loop with gradient accumulation
+(``trainwandb.py:111-287``).
+
+Usage: python tools/torch_cpu_baseline.py [n_episodes] → writes
+BASELINE_LOCAL.json at the repo root.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from itertools import combinations
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+WAY, SHOT, QPC, T, IMG, DIM, DK = 5, 5, 5, 8, 224, 2048, 1152
+
+
+class BasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.c1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.b1 = nn.BatchNorm2d(cout)
+        self.c2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.b2 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
+                                      nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.down is None else self.down(x)
+        y = F.relu(self.b1(self.c1(x)))
+        y = self.b2(self.c2(y))
+        return F.relu(y + idt)
+
+
+class ResNet18Trunk(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(), nn.MaxPool2d(3, 2, 1))
+        chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+        layers = []
+        for cin, cout, s in chans:
+            layers += [BasicBlock(cin, cout, s), BasicBlock(cout, cout, 1)]
+        self.layers = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.layers(self.stem(x))
+
+
+class StudentBackbone2FC(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.trunk = ResNet18Trunk()
+        self.pool = nn.AdaptiveMaxPool2d((4, 4))
+        self.fc1 = nn.Linear(512, DIM)
+        self.fc2 = nn.Linear(512, DIM)
+
+    def forward(self, x):  # (N*T, 3, H, W)
+        f = self.pool(self.trunk(x)).flatten(2).mean(-1)  # (N*T, 512)
+        return (self.fc1(f).view(-1, T, DIM), self.fc2(f).view(-1, T, DIM))
+
+
+class TCT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        pairs = list(combinations(range(T), 2))
+        self.register_buffer("idx", torch.tensor(pairs))
+        self.k = nn.Linear(2 * DIM, DK)
+        self.v = nn.Linear(2 * DIM, DK)
+        self.ln = nn.LayerNorm(DK)
+        pe = torch.zeros(T, DIM)
+        pos = torch.arange(T).unsqueeze(1).float()
+        div = torch.exp(torch.arange(0, DIM, 2).float() * -(math.log(1e4) / DIM))
+        pe[:, 0::2] = torch.sin(pos * div) * 0.1
+        pe[:, 1::2] = torch.cos(pos * div) * 0.1
+        self.register_buffer("pe", pe)
+
+    def tuples(self, x):  # (N, T, D) -> (N, U, 2D)
+        g = x[:, self.idx]  # (N, U, 2, D)
+        return g.reshape(x.shape[0], len(self.idx), -1)
+
+    def forward(self, support, labels, queries):
+        support = support + self.pe
+        queries = queries + self.pe
+        s_t, q_t = self.tuples(support), self.tuples(queries)
+        s_k, q_k = self.ln(self.k(s_t)), self.ln(self.k(q_t))
+        s_v, q_v = self.v(s_t), self.v(q_t)
+        U = s_t.shape[1]
+        order = torch.argsort(labels, stable=True)
+        ck = s_k[order].view(WAY, SHOT, U, DK)
+        cv = s_v[order].view(WAY, SHOT, U, DK)
+        scores = torch.einsum("qud,wsvd->qwusv", q_k, ck) / math.sqrt(DK)
+        attn = scores.reshape(*scores.shape[:3], -1).softmax(-1)
+        attn = attn.view_as(scores)
+        proto = torch.einsum("qwusv,wsvd->qwud", attn, cv)
+        diff = q_v.unsqueeze(1) - proto
+        return -(diff ** 2).sum((-2, -1)) / U
+
+
+def support_dk(support, labels):
+    order = torch.argsort(labels, stable=True)
+    proto = support[order].view(WAY, SHOT, T, DIM).mean(1)
+    d = -((proto.unsqueeze(1) - proto.unsqueeze(0)) ** 2).sum((-2, -1)) / T
+    keep = ~torch.eye(WAY, dtype=torch.bool)
+    return d[keep].view(WAY, WAY - 1)
+
+
+def kd_loss(s, t, temp=4.0):
+    lp = F.log_softmax(s / temp, 1)
+    p = F.softmax(t / temp, 1)
+    return F.kl_div(lp, p, reduction="none").sum(1).mean() * temp ** 2
+
+
+def dist_loss(s, t):
+    ys, yt = s.softmax(1), t.softmax(1)
+    xc, yc = ys - ys.mean(1, keepdim=True), yt - yt.mean(1, keepdim=True)
+    pear = (xc * yc).sum(1) / (xc.norm(dim=1) * yc.norm(dim=1) + 1e-8)
+    return 1 - pear.mean()
+
+
+def main(n_episodes: int = 8):
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
+    backbone = StudentBackbone2FC()
+    tct = TCT()
+    teacher_tct = TCT()
+    params = list(backbone.parameters()) + list(tct.parameters())
+    opt = torch.optim.SGD(params, lr=1e-4)
+
+    S, Q = WAY * SHOT, WAY * QPC
+    ctx = torch.randn(S * T, 3, IMG, IMG)
+    tgt = torch.randn(Q * T, 3, IMG, IMG)
+    labels = torch.arange(WAY).repeat_interleave(SHOT)
+    qlabels = torch.arange(WAY).repeat_interleave(QPC)
+    t_ctx = torch.randn(S, T, DIM)
+    t_tgt = torch.randn(Q, T, DIM)
+
+    def episode():
+        c1, c2 = backbone(ctx)
+        q1, q2 = backbone(tgt)
+        kl = tct(c1, labels, q1)
+        ce = tct(c2, labels, q2)
+        sup = support_dk(c2, labels)
+        with torch.no_grad():
+            t_kl = teacher_tct(t_ctx, labels, t_tgt)
+            t_sup = support_dk(t_ctx, labels)
+        loss = (kd_loss(kl, t_kl) + 0.5 * dist_loss(sup, t_sup)
+                + F.cross_entropy(ce, qlabels) / 16)
+        loss.backward()
+        return float(loss)
+
+    episode()  # warmup
+    opt.zero_grad()
+    t0 = time.time()
+    for i in range(n_episodes):
+        episode()
+        if (i + 1) % 16 == 0:
+            opt.step()
+            opt.zero_grad()
+    dt = time.time() - t0
+    eps = n_episodes / dt
+    out = {"torch_cpu_episodes_per_sec": eps, "n_episodes": n_episodes,
+           "threads": torch.get_num_threads(),
+           "config": "resnet18_2fc + TRX_2fcsup + fc_2_sup_dist, 5w5s q5, 224px"}
+    print(json.dumps(out))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BASELINE_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
