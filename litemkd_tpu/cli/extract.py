@@ -1,0 +1,104 @@
+"""Feature extraction entry point.
+
+Two modes, covering the reference's dump tools:
+
+- expert: per-modality per-video trunk features (reference
+  ``extract_feature.py``):
+    python -m litemkd_tpu.cli.extract --mode_extract expert \
+        --rgb_path data/hmdb/l8/rgb_l8 --traintestlist ... --out out_tree \
+        [-m ckpt_dir]
+- mfm: fused multi-modal features (reference ``extract_multi_feature.py``) —
+  writes the tree the student's ``teacher_path`` consumes:
+    python -m litemkd_tpu.cli.extract --mode_extract mfm \
+        --feature_root data/hmdb/feature --modalities rgb depth flow \
+        --traintestlist ... --out out_tree -m mfm_ckpt_dir
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import add_common_args, build_config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--mode_extract", choices=["expert", "mfm"], required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--feature_root", default=None)
+    p.add_argument("--modalities", nargs="+", default=None)
+    p.add_argument("--test_model_path", "-m", default=None,
+                   help="checkpoint dir to load weights from (optional for "
+                        "expert mode: random weights then)")
+    p.add_argument("--batch_size", type=int, default=16)
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+    if args.modalities:
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "modalities": tuple(args.modalities)}))
+
+    if args.mode_extract == "expert":
+        from ..data import VideoStore
+        from ..models.backbones.classifier_net import ActionRecognitionNet
+        from ..tools.extract import extract_expert_features
+        vs = VideoStore(cfg.data.rgb_path, cfg.data.traintestlist,
+                        cfg.data.split, cfg.episode.seq_len, cfg.episode.img_size)
+        net = ActionRecognitionNet(num_classes=2, depth=50,
+                                   compute_dtype=jnp.dtype(cfg.model.compute_dtype))
+        rng = np.random.default_rng(0)
+        sample = np.zeros((1, cfg.episode.seq_len, cfg.episode.img_size,
+                           cfg.episode.img_size, 3), np.uint8)
+        variables = net.init(jax.random.key(0), jnp.asarray(sample), train=False)
+        if args.test_model_path:
+            from ..train.checkpoint import CheckpointManager
+            import orbax.checkpoint as ocp
+            mngr = CheckpointManager(args.test_model_path)
+            restored = mngr.mngr.restore(mngr.latest_step(),
+                                         args=ocp.args.StandardRestore())
+            variables = {"params": restored["params"],
+                         "batch_stats": restored["batch_stats"]}
+        fn = jax.jit(lambda clips: net.apply(variables, clips, train=False,
+                                             method=net.features))
+        n = extract_expert_features(cfg, vs, fn, args.out, vs.class_names,
+                                    batch_size=args.batch_size)
+        print(f"extracted {n} videos → {args.out}")
+    else:
+        from ..data.features import MultiModalFeatureStore
+        from ..tools.extract import extract_mfm_features
+        from ..train.teacher_steps import make_mfm
+        paths = {m: os.path.join(args.feature_root, m)
+                 for m in cfg.model.modalities}
+        store = MultiModalFeatureStore(paths, cfg.data.traintestlist,
+                                       cfg.data.split, cfg.episode.seq_len,
+                                       cfg.model.trans_linear_in_dim)
+        model = make_mfm(cfg, batched=False)
+        feats = {m: jnp.zeros((1, cfg.episode.seq_len,
+                               cfg.model.trans_linear_in_dim))
+                 for m in cfg.model.modalities}
+        labels = jnp.zeros((cfg.episode.n_support,), jnp.int32)
+        ctx = {m: jnp.zeros((cfg.episode.n_support, cfg.episode.seq_len,
+                             cfg.model.trans_linear_in_dim))
+               for m in cfg.model.modalities}
+        tgt = {m: jnp.zeros((cfg.episode.n_queries(False), cfg.episode.seq_len,
+                             cfg.model.trans_linear_in_dim))
+               for m in cfg.model.modalities}
+        variables = model.init(jax.random.key(0), ctx, labels, tgt, False)
+        if args.test_model_path:
+            from ..train.checkpoint import CheckpointManager
+            import orbax.checkpoint as ocp
+            mngr = CheckpointManager(args.test_model_path)
+            restored = mngr.mngr.restore(mngr.latest_step(),
+                                         args=ocp.args.StandardRestore())
+            variables = {"params": restored["params"]}
+        n = extract_mfm_features(cfg, store, variables, args.out,
+                                 store.class_names, batch_size=args.batch_size)
+        print(f"extracted {n} fused videos → {args.out}")
+
+
+if __name__ == "__main__":
+    main()

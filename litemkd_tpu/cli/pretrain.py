@@ -1,0 +1,71 @@
+"""Supervised per-modality pretraining (reference ``pretrain/pretrain.py``):
+epoch-based CE training of a resnet50 classifier over all videos of a split.
+
+    python -m litemkd_tpu.cli.pretrain --rgb_path data/kinetics/l8/rgb_l8 \
+        --traintestlist data/kinetics/splits/... -c /path/ckpt --epochs 50
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import add_common_args, add_train_args, build_config
+from ..utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    add_train_args(p)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+
+    from ..data import VideoStore
+    from ..train.checkpoint import CheckpointManager
+    from ..train.teacher_steps import create_pretrain_state, make_pretrain_step
+
+    vs = VideoStore(cfg.data.rgb_path, cfg.data.traintestlist, cfg.data.split,
+                    cfg.episode.seq_len, cfg.episode.img_size)
+    index = vs.split(True)
+    records = [(r, r.class_id) for c in index.classes()
+               for r in index.videos_for_class(c)]
+    n_classes = len(index.classes())
+    logger = MetricsLogger(log_dir=None if args.debug else cfg.train.checkpoint_dir,
+                           run_name="pretrain", print_freq=cfg.train.print_freq)
+    logger.info(f"{len(records)} train videos over {n_classes} classes")
+
+    rng = np.random.default_rng(cfg.train.seed)
+    sample = np.stack([vs.load(records[0][0], True, rng)])
+    state, model = create_pretrain_state(cfg, jax.random.key(cfg.train.seed),
+                                         n_classes, jnp.asarray(sample))
+    step = jax.jit(make_pretrain_step(cfg, model), donate_argnums=0)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
+        if cfg.train.checkpoint_dir else None
+
+    bs = args.batch_size
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(records))
+        tot_loss = tot_acc = n_b = 0
+        for i in range(0, len(order) - bs + 1, bs):
+            chunk = [records[j] for j in order[i:i + bs]]
+            clips = np.stack([vs.load(r, True, rng) for r, _ in chunk])
+            labels = np.asarray([c for _, c in chunk], np.int32)
+            state, metrics = step(state, jnp.asarray(clips), jnp.asarray(labels))
+            tot_loss += float(metrics["loss"])
+            tot_acc += float(metrics["accuracy"])
+            n_b += 1
+        logger.log(epoch, {"epoch_loss": tot_loss / max(n_b, 1),
+                           "epoch_accuracy": tot_acc / max(n_b, 1)},
+                   force_print=True)
+        if ckpt:
+            ckpt.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""MFM fusion-teacher training (reference ``multi_fusion.py`` with
+``--model ThreeTRXShiftLoopTime``).
+
+    python -m litemkd_tpu.cli.train_teacher --feature_root data/hmdb/feature \
+        --modalities rgb depth flow --traintestlist data/hmdb/splits/hmdb_ARN \
+        -c /path/ckpt -lr 5e-5
+
+Synthetic smoke run:
+    python -m litemkd_tpu.cli.train_teacher --preset tiny --dataset synthetic \
+        -c /tmp/ck --training_iterations 8
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+
+from .common import add_common_args, add_train_args, build_config
+from ..utils.logging import MetricsLogger
+from ..utils.metrics import TestAccuracies
+
+
+class SyntheticMultiModalSource:
+    """In-memory multi-modal feature episodes for smoke runs/tests."""
+
+    def __init__(self, cfg, n_classes=12, seed=0, noise=0.3):
+        from ..data.synthetic import SyntheticEpisodeSource
+        self.cfg = cfg
+        self.sources = {m: SyntheticEpisodeSource(
+            cfg, n_classes=n_classes, seed=seed + i, noise=noise,
+            with_teacher_feats=True)
+            for i, m in enumerate(cfg.model.modalities)}
+
+    def sample_batch(self, rng, n_episodes, train=True, specs=None):
+        from ..train.steps import EpisodeBatch
+        # correlated class structure across modalities: reuse one sampler's
+        # episode geometry, draw features per modality from shared protos
+        seed = int(rng.integers(0, 2 ** 31))
+        batches = {m: s.sample_batch(np.random.default_rng(seed), n_episodes,
+                                     train=train)
+                   for m, s in self.sources.items()}
+        first = next(iter(batches.values()))
+        return EpisodeBatch(
+            support_clips={m: b.support_feats for m, b in batches.items()},
+            support_labels=first.support_labels,
+            query_clips={m: b.query_feats for m, b in batches.items()},
+            query_labels=first.query_labels,
+        )
+
+
+def build_mm_sampler(cfg, args):
+    if cfg.data.dataset == "synthetic":
+        return SyntheticMultiModalSource(cfg, seed=cfg.train.seed)
+    import os
+    from ..data.features import MultiModalFeatureStore
+    from ..data.multimodal import MultiModalEpisodeSampler
+    paths = {m: os.path.join(args.feature_root, m)
+             for m in cfg.model.modalities}
+    store = MultiModalFeatureStore(paths, cfg.data.traintestlist,
+                                   cfg.data.split, cfg.episode.seq_len,
+                                   cfg.model.trans_linear_in_dim)
+    return MultiModalEpisodeSampler(cfg, store)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    add_train_args(p)
+    p.add_argument("--feature_root", default=None,
+                   help="dir containing per-modality feature trees "
+                        "(<root>/<modality>/<class>/<video>/feature.npy)")
+    p.add_argument("--modalities", nargs="+", default=None,
+                   help="modality names, m1 first (default rgb depth flow)")
+    p.add_argument("--trans_num", type=int, default=None)
+    p.add_argument("--shirt_num", type=int, default=None)
+    p.add_argument("--fusion", choices=["mfm", "tsf"], default="mfm",
+                   help="mfm = hierarchical fusion (ThreeTRXShiftLoopTime); "
+                        "tsf = per-modality TRX score fusion")
+    p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,
+                   help="TSF per-modality logit weights (reference --a/--b/--c)")
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+    m = cfg.model
+    cfg = cfg.replace(model=m.__class__(**{
+        **m.__dict__,
+        "trans_num": args.trans_num if args.trans_num is not None else m.trans_num,
+        "shirt_num": args.shirt_num if args.shirt_num is not None else m.shirt_num,
+        "modalities": tuple(args.modalities) if args.modalities else m.modalities,
+    }))
+
+    from ..train.checkpoint import CheckpointManager, verify_checkpoint_dir
+    from ..train.teacher_steps import (create_mfm_train_state,
+                                       make_mfm_eval_step, make_mfm_train_step)
+
+    if cfg.train.checkpoint_dir:
+        verify_checkpoint_dir(cfg.train.checkpoint_dir,
+                              cfg.train.resume_from_checkpoint)
+    logger = MetricsLogger(log_dir=None if args.debug else
+                           (cfg.train.checkpoint_dir or "log"),
+                           run_name="mfm", print_freq=cfg.train.print_freq)
+    logger.info(f"config:\n{cfg.to_json()}")
+
+    sampler = build_mm_sampler(cfg, args)
+    rng = np.random.default_rng(cfg.train.seed)
+    e = cfg.train.tasks_per_batch
+    first = sampler.sample_batch(rng, e, train=True)
+    state = create_mfm_train_state(cfg, jax.random.key(cfg.train.seed), first,
+                                   kind=args.fusion,
+                                   score_weights=args.score_weights)
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
+        if cfg.train.checkpoint_dir else None
+    if ckpt and cfg.train.resume_from_checkpoint and ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(state)
+        logger.info(f"resumed at {int(state.episodes_seen)} episodes")
+
+    step = jax.jit(make_mfm_train_step(cfg, kind=args.fusion,
+                                       score_weights=args.score_weights),
+                   donate_argnums=0)
+    eval_step = jax.jit(make_mfm_eval_step(cfg, kind=args.fusion,
+                                           score_weights=args.score_weights))
+    n_steps = max(1, cfg.train.training_iterations // e)
+    test_marks = sorted(mk for mk in cfg.train.test_iters
+                        if mk > int(state.episodes_seen))
+    save_every = max(1, cfg.train.save_freq // e)
+
+    for i in range(int(state.step), n_steps):
+        batch = sampler.sample_batch(rng, e, train=True)
+        state, metrics = step(state, batch)
+        logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
+        if ckpt and int(state.step) % save_every == 0:
+            ckpt.save(state)
+        episodes = int(state.episodes_seen)
+        while test_marks and episodes >= test_marks[0]:
+            test_marks.pop(0)
+            acc = TestAccuracies()
+            ev_rng = np.random.default_rng(0)
+            done = 0
+            while done < cfg.train.num_test_tasks:
+                b = sampler.sample_batch(ev_rng, min(8, cfg.train.num_test_tasks - done),
+                                         train=False)
+                acc.extend(np.asarray(eval_step({"params": state.params}, b)))
+                done += b.support_labels.shape[0]
+            s = acc.summary()
+            logger.info(f"eval @{episodes}: {s['accuracy']:.2f} ± "
+                        f"{s['confidence']:.2f} ({s['n_tasks']} tasks)")
+    if ckpt:
+        ckpt.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

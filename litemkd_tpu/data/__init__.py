@@ -6,6 +6,7 @@ from .features import FeatureStore, MultiModalFeatureStore, scan_feature_tree
 from .episodes import (EpisodeSampler, EpisodeSpec, draw_episode_spec,
                        save_fixed_episodes, load_fixed_episodes)
 from .prefetch import Prefetcher, device_put_batch
+from .multimodal import MultiModalEpisodeSampler
 
 __all__ = [
     "SyntheticEpisodeSource", "SplitIndex", "VideoRecord", "load_split_lists",
@@ -13,5 +14,5 @@ __all__ = [
     "load_clip", "FeatureStore", "MultiModalFeatureStore", "scan_feature_tree",
     "EpisodeSampler", "EpisodeSpec", "draw_episode_spec",
     "save_fixed_episodes", "load_fixed_episodes", "Prefetcher",
-    "device_put_batch",
+    "device_put_batch", "MultiModalEpisodeSampler",
 ]

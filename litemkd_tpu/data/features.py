@@ -19,7 +19,7 @@ import numpy as np
 from .splits import SplitIndex, VideoRecord, load_split_lists
 
 
-def scan_feature_tree(root: str, split_lists: Dict[str, set]) -> Tuple[SplitIndex, SplitIndex]:
+def scan_feature_tree(root: str, split_lists: Dict[str, set]) -> Tuple[SplitIndex, SplitIndex, list]:
     train, test = SplitIndex(), SplitIndex()
     class_folders = sorted(os.listdir(root))
     for class_id, class_folder in enumerate(class_folders):
@@ -40,7 +40,7 @@ def scan_feature_tree(root: str, split_lists: Dict[str, set]) -> Tuple[SplitInde
                 continue
             dest.add(VideoRecord(class_id, video_folder,
                                  feature_path=os.path.join(vdir, files[0])))
-    return train, test
+    return train, test, class_folders
 
 
 class FeatureStore:
@@ -52,8 +52,8 @@ class FeatureStore:
         self.feat_dim = feat_dim
         self.strict = strict
         split_lists = load_split_lists(annotation_dir, split)
-        self.train_split, self.test_split = scan_feature_tree(feature_path,
-                                                              split_lists)
+        self.train_split, self.test_split, self.class_names = \
+            scan_feature_tree(feature_path, split_lists)
 
     def split(self, train: bool) -> SplitIndex:
         return self.train_split if train else self.test_split
@@ -86,6 +86,7 @@ class MultiModalFeatureStore:
         primary = self.stores[self.modalities[0]]
         self.train_split = primary.train_split
         self.test_split = primary.test_split
+        self.class_names = primary.class_names
         # (modality, train, class_id, video_id) → record
         self._lookup: Dict[tuple, VideoRecord] = {}
         for m, store in self.stores.items():

@@ -31,7 +31,7 @@ _IMG_EXTS = (".jpg", ".jpeg", ".png")
 
 
 def scan_frame_tree(root: str, split_lists: Dict[str, set],
-                    seq_len: int) -> Tuple[SplitIndex, SplitIndex]:
+                    seq_len: int) -> Tuple[SplitIndex, SplitIndex, List[str]]:
     """Scan ``<root>/<class>/<video>/<frame.jpg>`` into train/test indices.
 
     Videos with fewer than ``seq_len`` frames are skipped; assignment is by
@@ -59,7 +59,7 @@ def scan_frame_tree(root: str, split_lists: Dict[str, set],
             if len(frames) < seq_len:
                 continue
             dest.add(VideoRecord(class_id, video_folder, frame_paths=frames))
-    return train, test
+    return train, test, class_folders
 
 
 class ZipFrameStore:
@@ -69,7 +69,7 @@ class ZipFrameStore:
         self._mem = open(zip_path, "rb").read()
         self.zfile = zipfile.ZipFile(io.BytesIO(self._mem))
 
-    def scan(self, split_lists: Dict[str, set], seq_len: int) -> Tuple[SplitIndex, SplitIndex]:
+    def scan(self, split_lists: Dict[str, set], seq_len: int) -> Tuple[SplitIndex, SplitIndex, List[str]]:
         train, test = SplitIndex(), SplitIndex()
         by_video: Dict[Tuple[str, str], List[str]] = {}
         for name in self.zfile.namelist():
@@ -92,7 +92,7 @@ class ZipFrameStore:
                 continue
             dest.add(VideoRecord(class_idx[class_folder], video_folder,
                                  frame_paths=sorted(frames)))
-        return train, test
+        return train, test, class_folders
 
     def read(self, path: str) -> "Image.Image":
         with self.zfile.open(path) as f:
@@ -179,12 +179,11 @@ class VideoStore:
         split_lists = load_split_lists(annotation_dir, split)
         if rgb_path.endswith(".zip"):
             self.zip_store = ZipFrameStore(rgb_path)
-            self.train_split, self.test_split = self.zip_store.scan(split_lists,
-                                                                    seq_len)
+            self.train_split, self.test_split, self.class_names = \
+                self.zip_store.scan(split_lists, seq_len)
         else:
-            self.train_split, self.test_split = scan_frame_tree(rgb_path,
-                                                                split_lists,
-                                                                seq_len)
+            self.train_split, self.test_split, self.class_names = \
+                scan_frame_tree(rgb_path, split_lists, seq_len)
 
     def split(self, train: bool) -> SplitIndex:
         return self.train_split if train else self.test_split

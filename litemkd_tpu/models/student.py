@@ -25,10 +25,12 @@ import flax.linen as nn
 from ..config import Config
 from .backbones.resnet import ResNetBackbone, FeatureBackbone
 from .backbones.mobilenet import MobileNetV3Backbone
+from .backbones.strm import STRMBackbone
 from .classifiers.trx import (TRX, TRX_sup, TRX_2fc, TRX_2fcsup,
                               TRX_2fcsup_fixed, TRX_1fc_sup)
 from .classifiers.edist import (EDist, CosDistance, EDistFC2, EDistFC2Sup,
                                 EDist1FCSup)
+from .classifiers.strm import STRMClassifier, STRMClassifierSup, STRM1FCSup
 
 
 # ---------------------------------------------------------------------------
@@ -48,6 +50,9 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "mobilenetv3_large_2fc": partial(MobileNetV3Backbone, variant="large", num_fc=2),
     "mobilenetv3_small": partial(MobileNetV3Backbone, variant="small", num_fc=1),
     "mobilenetv3_small_2fc": partial(MobileNetV3Backbone, variant="small", num_fc=2),
+    "strm18_student": partial(STRMBackbone, depth=18, num_fc=2),
+    "strm18_1fc": partial(STRMBackbone, depth=18, num_fc=1),
+    "strmbackbone": partial(STRMBackbone, depth=18, num_fc=1),
     "feature": lambda **kw: FeatureBackbone(),
 }
 
@@ -66,6 +71,10 @@ CLASSIFIERS: Dict[str, Any] = {
     "e_dist_fc2_sup": EDistFC2Sup,
     "e_dist_fc2_sup_fixed": EDist1FCSup,
     "e_dist_1fc_sup": EDist1FCSup,
+    "strmclassifiers": STRMClassifier,
+    "strm_res18": STRMClassifier,
+    "strm_res18_sup": STRMClassifierSup,
+    "strm_1fc_sup": STRM1FCSup,
 }
 
 # teacher selection aliases (reference model_select.py:220-233)
@@ -89,7 +98,7 @@ TEACHER_ALIASES: Dict[str, str] = {
 def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
     kw = dict(way=cfg.episode.way, shot=cfg.episode.shot,
               seq_len=cfg.episode.seq_len)
-    if issubclass(CLASSIFIERS[name], TRX):
+    if issubclass(CLASSIFIERS[name], (TRX, STRMClassifier)):
         kw.update(in_dim=cfg.model.trans_linear_in_dim,
                   out_dim=cfg.model.trans_linear_out_dim,
                   set_size=cfg.model.temp_set[0],
@@ -119,7 +128,7 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
     kw = dict(out_dim=cfg.model.trans_linear_in_dim,
               compute_dtype=jnp.dtype(cfg.model.compute_dtype),
               name=module_name)
-    if name.startswith(("resnet", "meta_baseline")):
+    if name.startswith(("resnet", "meta_baseline", "strm")):
         kw["remat"] = cfg.model.remat
     return BACKBONES[name](**kw)
 

@@ -1,0 +1,7 @@
+from .torch_import import (load_state_dict, import_resnet_trunk, import_tct,
+                           load_teacher_checkpoint, import_backbone_2fc,
+                           load_student_checkpoint, normalize_resnet_keys)
+
+__all__ = ["load_state_dict", "import_resnet_trunk", "import_tct",
+           "load_teacher_checkpoint", "import_backbone_2fc",
+           "load_student_checkpoint", "normalize_resnet_keys"]

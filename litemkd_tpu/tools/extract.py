@@ -1,0 +1,109 @@
+"""Feature extraction: per-video expert features and fused MFM features.
+
+Rebuilds the reference's dump tools, writing the same on-disk layout so either
+framework can consume the other's feature trees:
+
+- ``extract_expert_features``: per-modality trunk features per video →
+  ``<out>/<class>/<video>/feature.npy`` (reference ``extract_feature.py:80-92``,
+  ``TRX.extract_feature`` model.py:679-705);
+- ``extract_mfm_features``: MFM-fused features over per-modality trees →
+  same layout (reference ``extract_multi_feature.py:113-121``) — this produces
+  exactly the ``teacher_path`` tree the student distillation consumes;
+- both verify a sample against recomputation, echoing the reference's
+  self-consistency check (``multi_fusion.py:576-590``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.features import MultiModalFeatureStore
+from ..data.splits import SplitIndex, VideoRecord
+from ..data.video import VideoStore
+
+
+def _save_feature(out_root: str, class_name: str, video_id: str,
+                  feature: np.ndarray) -> str:
+    d = os.path.join(out_root, class_name, video_id)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "feature.npy")
+    np.save(path, feature)
+    return path
+
+
+def _iter_records(index: SplitIndex):
+    for c in index.classes():
+        for rec in index.videos_for_class(c):
+            yield rec
+
+
+def extract_expert_features(cfg: Config, video_store: VideoStore,
+                            feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                            out_root: str, class_names: List[str],
+                            batch_size: int = 16, verify: bool = True) -> int:
+    """Run ``feature_fn`` ((B, T, H, W, 3) uint8 → (B, T, D)) over every video
+    in both splits and dump per-video feature.npy files. Returns video count."""
+    n = 0
+    rng = np.random.default_rng(0)
+    for train in (True, False):
+        index = video_store.split(train)
+        records = list(_iter_records(index))
+        for i in range(0, len(records), batch_size):
+            chunk = records[i:i + batch_size]
+            clips = np.stack([video_store.load(r, train=False, rng=rng)
+                              for r in chunk])
+            feats = np.asarray(feature_fn(jnp.asarray(clips)))
+            for rec, f in zip(chunk, feats):
+                _save_feature(out_root, class_names[rec.class_id],
+                              rec.video_id, f.astype(np.float32))
+                n += 1
+    if verify and n:
+        rec = next(_iter_records(video_store.split(True)))
+        clip = video_store.load(rec, train=False, rng=np.random.default_rng(0))
+        fresh = np.asarray(feature_fn(jnp.asarray(clip[None])))[0]
+        saved = np.load(os.path.join(out_root, class_names[rec.class_id],
+                                     rec.video_id, "feature.npy"))
+        if not np.allclose(fresh, saved, rtol=1e-4, atol=1e-4):
+            raise RuntimeError("extraction self-consistency check failed")
+    return n
+
+
+def extract_mfm_features(cfg: Config, store: MultiModalFeatureStore,
+                         mfm_variables, out_root: str,
+                         class_names: List[str], batch_size: int = 64,
+                         verify: bool = True) -> int:
+    """MFM-fuse per-modality features for every video; dump feature.npy tree."""
+    from ..train.teacher_steps import make_mfm
+
+    model = make_mfm(cfg, batched=False)
+    fuse = jax.jit(lambda v, feats: model.apply(v, feats, method=model.extract))
+
+    n = 0
+    for train in (True, False):
+        index = store.split(train)
+        records = list(_iter_records(index))
+        for i in range(0, len(records), batch_size):
+            chunk = records[i:i + batch_size]
+            feats = {m: jnp.asarray(np.stack(
+                [store.load(r, m, train) for r in chunk]))
+                for m in store.modalities}
+            fused = np.asarray(fuse(mfm_variables, feats))
+            for rec, f in zip(chunk, fused):
+                _save_feature(out_root, class_names[rec.class_id],
+                              rec.video_id, f.astype(np.float32))
+                n += 1
+    if verify and n:
+        rec = next(_iter_records(store.split(True)))
+        feats = {m: jnp.asarray(store.load(rec, m, True)[None])
+                 for m in store.modalities}
+        fresh = np.asarray(fuse(mfm_variables, feats))[0]
+        saved = np.load(os.path.join(out_root, class_names[rec.class_id],
+                                     rec.video_id, "feature.npy"))
+        if not np.allclose(fresh, saved, rtol=1e-4, atol=1e-4):
+            raise RuntimeError("extraction self-consistency check failed")
+    return n

@@ -1,0 +1,174 @@
+"""PyTorch checkpoint importer.
+
+Brings torch-side weights into litemkd_tpu pytrees:
+
+- torchvision-style resnet state dicts (both attribute naming ``layer1.0.conv1``
+  and the reference's Sequential naming ``resnet.4.0.conv1`` from
+  ``nn.Sequential(*children)``, resnet18_2fc.py:33) → ``ResNetTrunk`` params +
+  batch_stats;
+- reference TRX teacher checkpoints → ``Teacher`` variables, handling the
+  ``bracnch.transformers.0.*`` key prefix of the released teacher weights
+  (model_select.py:105-117) and plainer prefixes. Unlike the reference —
+  which silently skips loading for teacher names not in a two-element list
+  (model_select.py:238, SURVEY.md §3.6) — this importer loads for every
+  fixed-teacher variant;
+- full reference student checkpoints (backbone + classifier), with
+  DataParallel ``module.`` segments stripped (load_student,
+  model_select.py:143-150).
+
+Conventions: torch Linear (out,in) → flax kernel (in,out) [transposed];
+torch Conv OIHW → flax HWIO; BN weight/bias → scale/bias + running stats →
+batch_stats.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint file; unwraps {'model_state_dict': ...} and
+    strips DataParallel 'module.' segments."""
+    import torch
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "model_state_dict" in raw:
+        raw = raw["model_state_dict"]
+    out = {}
+    for k, v in raw.items():
+        k = ".".join(seg for seg in k.split(".") if seg != "module")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _lin(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T.copy(),
+            "bias": sd[f"{prefix}.bias"].copy()}
+
+
+def _conv(sd, key):
+    return {"kernel": np.transpose(sd[key], (2, 3, 1, 0)).copy()}
+
+
+def _bn(sd, prefix):
+    params = {"scale": sd[f"{prefix}.weight"].copy(),
+              "bias": sd[f"{prefix}.bias"].copy()}
+    stats = {"mean": sd[f"{prefix}.running_mean"].copy(),
+             "var": sd[f"{prefix}.running_var"].copy()}
+    return params, stats
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"].copy(),
+            "bias": sd[f"{prefix}.bias"].copy()}
+
+
+_SEQ_TO_ATTR = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                "6": "layer3", "7": "layer4"}
+
+
+def normalize_resnet_keys(sd: Dict[str, np.ndarray],
+                          prefix: str = "") -> Dict[str, np.ndarray]:
+    """Strip ``prefix`` and rewrite Sequential indices to attribute names."""
+    out = {}
+    for k, v in sd.items():
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        parts = k.split(".")
+        if parts and parts[0] in _SEQ_TO_ATTR:
+            parts[0] = _SEQ_TO_ATTR[parts[0]]
+        out[".".join(parts)] = v
+    return out
+
+
+_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+_BLOCK_BNS = {18: ("bn1", "bn2"), 34: ("bn1", "bn2"), 50: ("bn1", "bn2", "bn3")}
+_BLOCK_CONVS = {18: ("conv1", "conv2"), 34: ("conv1", "conv2"),
+                50: ("conv1", "conv2", "conv3")}
+
+
+def import_resnet_trunk(sd: Dict[str, np.ndarray], depth: int = 18,
+                        prefix: str = "") -> Tuple[dict, dict]:
+    """torchvision resnet{18,34,50} keys → (params, batch_stats) for
+    ``ResNetTrunk``."""
+    sd = normalize_resnet_keys(sd, prefix)
+    params: dict = {}
+    stats: dict = {}
+    params["conv1"] = _conv(sd, "conv1.weight")
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for i, n_blocks in enumerate(_STAGE_BLOCKS[depth]):
+        for b in range(n_blocks):
+            src = f"layer{i + 1}.{b}"
+            dst = f"layer{i + 1}_{b}"
+            bp: dict = {}
+            bs: dict = {}
+            for conv in _BLOCK_CONVS[depth]:
+                bp[conv] = _conv(sd, f"{src}.{conv}.weight")
+            for bn in _BLOCK_BNS[depth]:
+                bp[bn], bs[bn] = _bn(sd, f"{src}.{bn}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{src}.downsample.0.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{src}.downsample.1")
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats
+
+
+def import_tct(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """TRX TemporalCrossTransformer weights under ``prefix`` → TCT params.
+    (The value-side LayerNorm ``norm_v`` exists in torch checkpoints but is
+    unused by the forward pass — reference TRX_2fcsup.py:106 — and is skipped.)"""
+    return {
+        "k_linear": _lin(sd, f"{prefix}.k_linear"),
+        "v_linear": _lin(sd, f"{prefix}.v_linear"),
+        "norm_k": _ln(sd, f"{prefix}.norm_k"),
+    }
+
+
+def _find_tct_prefix(sd: Dict[str, np.ndarray]) -> Optional[str]:
+    """Locate the TCT weight prefix in a reference checkpoint."""
+    for k in sd:
+        if k.endswith("k_linear.weight"):
+            return k[: -len(".k_linear.weight")]
+    return None
+
+
+def load_teacher_checkpoint(path: str, cfg: Config) -> dict:
+    """Reference teacher checkpoint → Teacher/BatchedTeacher variables.
+
+    Works for any fixed-teacher head whose parameters are a single TCT
+    (TRX_fixed, TRX_sup_fixed, TRX_2fcsup_fixed — SupportDK has no params)."""
+    sd = load_state_dict(path)
+    prefix = _find_tct_prefix(sd)
+    if prefix is None:
+        raise KeyError(f"no TRX k_linear weights found in {path}")
+    tct = import_tct(sd, prefix)
+    return {"params": {"classifier": {"transformers": tct}}}
+
+
+def import_backbone_2fc(sd: Dict[str, np.ndarray], depth: int = 18) -> dict:
+    """Reference resnet*_2fc student backbone → ResNetBackbone variables."""
+    trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")
+    params = {"trunk": trunk_p, "fc1": _lin(sd, "fc1"), "fc2": _lin(sd, "fc2")}
+    return {"params": params, "batch_stats": {"trunk": trunk_s}}
+
+
+def load_student_checkpoint(path: str, cfg: Config) -> dict:
+    """Full reference student checkpoint (Student = backbone + classifier) →
+    BatchedStudent variables. Key prefixes per model_select.py:17-36:
+    ``backbone.*`` and ``classifier.*``."""
+    sd = load_state_dict(path)
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    depth = 50 if cfg.model.backbone.startswith(("resnet50", "meta_baseline")) else 18
+    bb = import_backbone_2fc(backbone_sd, depth)
+    prefix = _find_tct_prefix(sd)
+    params = {"backbone": bb["params"]}
+    if prefix is not None:
+        params["classifier"] = {"transformers": import_tct(sd, prefix)}
+    return {"params": params, "batch_stats": {"backbone": bb["batch_stats"]}}

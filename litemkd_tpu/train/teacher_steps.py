@@ -1,0 +1,166 @@
+"""Teacher-side training steps.
+
+- MFM fusion training (reference ``multi_fusion.py:381-494``): episodic
+  training of the hierarchical fusion teacher over precomputed per-modality
+  features. The reference's per-episode loss is the SUM of per-query CE
+  divided by tasks_per_batch (``teacher/code/utils.py:179-194``,
+  ``multi_fusion.py:485``) — kept exactly.
+- Supervised pretraining (reference ``pretrain/pretrain.py``): plain CE over
+  class labels for the per-modality resnet50 classifier.
+- Expert episodic training (reference ``run.py``) needs no new step: it is the
+  student pipeline with a resnet50 backbone, a TRX head and the 'ce' loss.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+import flax.linen as nn
+
+from ..config import Config
+from ..models.teacher import MFMTeacher, ScoreFusion
+from ..models.backbones.classifier_net import ActionRecognitionNet
+from ..utils.metrics import per_episode_accuracy
+from .schedule import make_optimizer
+from .steps import EpisodeBatch, TrainState
+
+
+def sum_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-query CE summed (not meaned) — the teacher-side episodic loss."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.take_along_axis(logp, labels[..., None], axis=-1))
+
+
+def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
+             score_weights=None) -> nn.Module:
+    """Build the fusion teacher: kind='mfm' (ThreeTRXShiftLoopTime) or
+    kind='tsf' (per-modality TRX score fusion, reference score_fusion_run.py)."""
+    kw = dict(way=cfg.episode.way, shot=cfg.episode.shot,
+              seq_len=cfg.episode.seq_len,
+              in_dim=cfg.model.trans_linear_in_dim,
+              out_dim=cfg.model.trans_linear_out_dim,
+              temp_set=cfg.model.temp_set, modalities=cfg.model.modalities,
+              dropout=cfg.model.trans_dropout)
+    if kind == "tsf":
+        cls = ScoreFusion
+        if score_weights is not None:
+            kw["weights"] = tuple(score_weights)
+    else:
+        cls = MFMTeacher
+        kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)
+    if not batched:
+        return cls(**kw)
+    vcls = nn.vmap(cls, in_axes=(0, 0, 0, None), out_axes=0,
+                   variable_axes={"params": None},
+                   split_rngs={"params": False, "dropout": True})
+    return vcls(**kw)
+
+
+def create_mfm_train_state(cfg: Config, rng, sample_batch: EpisodeBatch,
+                           kind: str = "mfm", score_weights=None) -> TrainState:
+    """sample_batch carries modality-dict feats in support/query_clips."""
+    model = make_mfm(cfg, kind=kind, score_weights=score_weights)
+    one = jax.tree_util.tree_map(lambda x: x[:1], sample_batch)
+    variables = model.init(rng, one.support_clips, one.support_labels,
+                           one.query_clips, False)
+    tx = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate,
+                        cfg.train.sch, cfg.train.sch_gamma,
+                        cfg.train.tasks_per_batch)
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      episodes_seen=jnp.zeros((), jnp.int32),
+                      params=params, batch_stats=FrozenDict(),
+                      opt_state=tx.init(params), rng=jax.random.split(rng)[0],
+                      tx=tx)
+
+
+def make_mfm_train_step(cfg: Config, kind: str = "mfm",
+                        score_weights=None) -> Callable:
+    model = make_mfm(cfg, kind=kind, score_weights=score_weights)
+    tpb = cfg.train.tasks_per_batch
+
+    def loss_fn(params, batch: EpisodeBatch, rng):
+        out = model.apply({"params": params}, batch.support_clips,
+                          batch.support_labels, batch.query_clips, True,
+                          rngs={"dropout": rng})
+        logits = out["logits"]
+        per_ep = jax.vmap(sum_ce)(logits, batch.query_labels) / tpb
+        total = jnp.sum(per_ep)
+        acc = per_episode_accuracy(logits, batch.query_labels)
+        return total, {"task_loss": total, "accuracy": jnp.mean(acc)}
+
+    def step(state: TrainState, batch: EpisodeBatch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        e = batch.support_labels.shape[0]
+        return state.replace(step=state.step + 1,
+                             episodes_seen=state.episodes_seen + e,
+                             params=new_params, opt_state=new_opt,
+                             rng=rng), metrics
+
+    return step
+
+
+def make_mfm_eval_step(cfg: Config, kind: str = "mfm",
+                       score_weights=None) -> Callable:
+    model = make_mfm(cfg, kind=kind, score_weights=score_weights)
+
+    def eval_step(variables, batch: EpisodeBatch):
+        out = model.apply(variables, batch.support_clips, batch.support_labels,
+                          batch.query_clips, False)
+        return per_episode_accuracy(out["logits"], batch.query_labels)
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Supervised pretraining (per-modality resnet classifier)
+# ---------------------------------------------------------------------------
+
+def make_pretrain_model(cfg: Config, num_classes: int) -> ActionRecognitionNet:
+    return ActionRecognitionNet(num_classes=num_classes, depth=50,
+                                compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+                                remat=cfg.model.remat)
+
+
+def create_pretrain_state(cfg: Config, rng, num_classes: int,
+                          sample_clips) -> Tuple[TrainState, ActionRecognitionNet]:
+    model = make_pretrain_model(cfg, num_classes)
+    variables = model.init(rng, sample_clips[:1], train=False)
+    tx = optax.sgd(cfg.train.learning_rate, momentum=0.9)
+    params = variables["params"]
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       episodes_seen=jnp.zeros((), jnp.int32),
+                       params=params,
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=tx.init(params),
+                       rng=jax.random.split(rng)[0], tx=tx)
+    return state, model
+
+
+def make_pretrain_step(cfg: Config, model: ActionRecognitionNet) -> Callable:
+    def loss_fn(params, batch_stats, clips, labels):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, clips, train=True,
+            mutable=["batch_stats"])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, (mutated["batch_stats"], {"loss": loss, "accuracy": acc})
+
+    def step(state: TrainState, clips, labels):
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, clips, labels)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        return state.replace(step=state.step + 1,
+                             params=optax.apply_updates(state.params, updates),
+                             batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return step

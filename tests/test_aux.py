@@ -1,0 +1,79 @@
+"""Aux subsystem tests: saliency, skeleton preprocessing, TSF training,
+dataset shrinker."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from litemkd_tpu import preset
+from litemkd_tpu.data.skeleton import (pad_null_frames, center_spine,
+                                       rotate_to_canonical, preprocess_skeleton)
+from litemkd_tpu.models.backbones.classifier_net import ActionRecognitionNet
+from litemkd_tpu.utils.saliency import backbone_grad_cam
+
+T, D = 4, 32
+
+
+def test_grad_cam_shapes_and_range():
+    net = ActionRecognitionNet(num_classes=3, depth=18,
+                               compute_dtype=jnp.float32)
+    clips = jnp.zeros((1, T, 32, 32, 3), jnp.uint8)
+    variables = net.init(jax.random.key(0), clips, train=False)
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=(2, 32, 32, 3), dtype=np.uint8))
+    cam = backbone_grad_cam(variables, images, class_idx=1, n_classes=3,
+                            depth=18)
+    assert cam.shape == (2, 1, 1)  # 32px → 1x1 trunk map
+    assert (cam >= 0).all() and (cam <= 1.0 + 1e-6).all()
+
+
+def test_skeleton_preprocess():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(2, 3, 10, 25, 2)).astype(np.float32)
+    data[:, :, 6:, :, :] = 0.0       # trailing null frames
+    data[1, :, :, :, 1] = 0.0        # one body missing entirely
+    padded = pad_null_frames(data)
+    assert np.abs(padded[0, :, 6:, :, 0]).sum() > 0   # replayed frames
+    assert np.abs(padded[1, :, :, :, 1]).sum() == 0   # empty body stays empty
+    centered = center_spine(padded)
+    np.testing.assert_allclose(centered[:, :, :6, 1, 0], 0.0, atol=1e-6)
+    rotated = rotate_to_canonical(centered)
+    # rotation preserves bone lengths
+    b0 = padded[0, :, 0, 2, 0] - padded[0, :, 0, 3, 0]
+    full = preprocess_skeleton(data)
+    assert full.shape == data.shape
+    assert np.isfinite(full).all()
+
+
+def test_tsf_training_step():
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(
+        trans_linear_in_dim=D, trans_linear_out_dim=24, trans_num=1,
+        modalities=("rgb", "depth", "flow")))
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.train.teacher_steps import (create_mfm_train_state,
+                                                 make_mfm_train_step)
+    src = SyntheticMultiModalSource(cfg, n_classes=8, seed=0)
+    rng = np.random.default_rng(0)
+    batch = src.sample_batch(rng, 2)
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch, kind="tsf",
+                                   score_weights=(1.0, 0.5, 0.5))
+    step = jax.jit(make_mfm_train_step(cfg, kind="tsf",
+                                       score_weights=(1.0, 0.5, 0.5)))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["task_loss"]))
+
+
+def test_shrink_dataset(tmp_path):
+    from litemkd_tpu.tools.shrink_dataset import shrink
+    src = tmp_path / "src"
+    for f in range(20):
+        d = src / "classA" / "vid1"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.full((8, 8, 3), f, np.uint8)).save(d / f"{f:05d}.jpg")
+    n = shrink(str(src), str(tmp_path / "dst"), n_frames=8)
+    assert n == 1
+    out = sorted(os.listdir(tmp_path / "dst" / "classA" / "vid1"))
+    assert len(out) == 8

@@ -1,0 +1,121 @@
+"""Teacher-side pipeline: MFM training → fused feature extraction → student
+feature store consumption, on a tiny on-disk fixture. Mirrors the reference
+chain multi_fusion.py → extract_multi_feature.py → video_reader.py."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from litemkd_tpu import preset
+from litemkd_tpu.data.features import MultiModalFeatureStore, FeatureStore
+from litemkd_tpu.data.multimodal import MultiModalEpisodeSampler
+from litemkd_tpu.train.teacher_steps import (create_mfm_train_state,
+                                             make_mfm_train_step,
+                                             make_mfm_eval_step,
+                                             create_pretrain_state,
+                                             make_pretrain_step)
+from litemkd_tpu.tools.extract import extract_mfm_features
+
+WAY, SHOT, QPC, T, D = 3, 2, 2, 4, 32
+N_CLASSES, VIDS = 5, 7
+MODS = ("rgb", "depth", "flow")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = preset("tiny")
+    return base.replace(
+        episode=base.episode.__class__(way=WAY, shot=SHOT, query_per_class=QPC,
+                                       query_per_class_test=1, seq_len=T,
+                                       img_size=16),
+        model=base.model.__class__(trans_linear_in_dim=D,
+                                   trans_linear_out_dim=24, trans_num=1,
+                                   modalities=MODS),
+        train=base.train.__class__(tasks_per_batch=2, training_iterations=4,
+                                   num_test_tasks=2, sch=(100,)),
+    )
+
+
+@pytest.fixture(scope="module")
+def feature_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mmfeat")
+    rng = np.random.default_rng(0)
+    protos = rng.normal(size=(N_CLASSES, T, D)).astype(np.float32)
+    train_lines, test_lines = [], []
+    for c in range(N_CLASSES):
+        cname = f"class{c:02d}"
+        for v in range(VIDS):
+            vname = f"vid_{c:02d}_{v:02d}"
+            for mi, m in enumerate(MODS):
+                if m == "depth" and v == 0:
+                    continue  # exercise missing-modality zero-fill
+                d = root / m / cname / vname
+                d.mkdir(parents=True, exist_ok=True)
+                feat = protos[c] + 0.1 * rng.normal(size=(T, D)) + mi
+                np.save(d / "feature.npy", feat.astype(np.float32))
+            (train_lines if v < 4 else test_lines).append(f"{cname}/{vname}")
+    ann = root / "splits"
+    ann.mkdir()
+    (ann / "trainlist03.txt").write_text("\n".join(train_lines) + "\n")
+    (ann / "testlist03.txt").write_text("\n".join(test_lines) + "\n")
+    return root
+
+
+def test_mfm_training_and_extraction(cfg, feature_root, tmp_path):
+    paths = {m: str(feature_root / m) for m in MODS}
+    store = MultiModalFeatureStore(paths, str(feature_root / "splits"), 3, T, D)
+    sampler = MultiModalEpisodeSampler(cfg, store)
+    rng = np.random.default_rng(0)
+    batch = sampler.sample_batch(rng, 2, train=True)
+    assert set(batch.support_clips) == set(MODS)
+    assert batch.support_clips["rgb"].shape == (2, WAY * SHOT, T, D)
+
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+    step = jax.jit(make_mfm_train_step(cfg))
+    losses = []
+    for _ in range(4):
+        b = sampler.sample_batch(rng, 2, train=True)
+        state, m = step(state, b)
+        losses.append(float(m["task_loss"]))
+    assert np.isfinite(losses).all()
+
+    ev = jax.jit(make_mfm_eval_step(cfg))
+    accs = ev({"params": state.params}, sampler.sample_batch(rng, 2, train=False))
+    assert accs.shape == (2,)
+
+    # extraction writes the student-consumable fused tree
+    out = str(tmp_path / "fused")
+    n = extract_mfm_features(cfg, store, {"params": state.params}, out,
+                             store.class_names, batch_size=8)
+    assert n == len(store.train_split) + len(store.test_split)
+
+    fused_store = FeatureStore(out, str(feature_root / "splits"), 3, T, D)
+    rec = fused_store.train_split.get(0, 0)
+    feat = fused_store.load(rec)
+    assert feat.shape == (T, D)
+    assert np.isfinite(feat).all()
+
+
+def test_missing_modality_zero_filled(cfg, feature_root):
+    paths = {m: str(feature_root / m) for m in MODS}
+    store = MultiModalFeatureStore(paths, str(feature_root / "splits"), 3, T, D)
+    # vid_*_00 has no depth tree entry
+    rec = next(r for r in store.train_split.videos_for_class(0)
+               if r.video_id.endswith("_00"))
+    depth = store.load(rec, "depth", True)
+    np.testing.assert_array_equal(depth, np.zeros((T, D), np.float32))
+    rgb = store.load(rec, "rgb", True)
+    assert np.abs(rgb).sum() > 0
+
+
+def test_pretrain_step(cfg):
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.integers(0, 255, size=(4, T, 16, 16, 3),
+                                     dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 5, size=4).astype(np.int32))
+    state, model = create_pretrain_state(cfg, jax.random.key(0), 5, clips)
+    step = jax.jit(make_pretrain_step(cfg, model))
+    state, metrics = step(state, clips, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0

@@ -1,0 +1,102 @@
+"""Torch-checkpoint importer tests: functional equivalence torch ↔ flax.
+
+Uses the from-scratch torch models in tools/torch_cpu_baseline.py as the
+weight source (renamed to torchvision conventions), so the test checks the
+whole chain: torch forward == flax forward with imported weights.
+"""
+import sys, os
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from torch_cpu_baseline import ResNet18Trunk, TCT as TorchTCT  # noqa: E402
+
+from litemkd_tpu.models import ResNetTrunk
+from litemkd_tpu.ops import TemporalCrossTransformer
+from litemkd_tpu.tools import import_resnet_trunk, import_tct
+from litemkd_tpu import preset
+
+
+def _baseline_to_torchvision_names(tm: ResNet18Trunk):
+    """Map the baseline trunk's state dict to torchvision resnet18 names."""
+    sd = {}
+    raw = tm.state_dict()
+    ren = {"stem.0": "conv1", "stem.1": "bn1"}
+    for i in range(8):
+        stage, blk = i // 2 + 1, i % 2
+        ren[f"layers.{i}.c1"] = f"layer{stage}.{blk}.conv1"
+        ren[f"layers.{i}.b1"] = f"layer{stage}.{blk}.bn1"
+        ren[f"layers.{i}.c2"] = f"layer{stage}.{blk}.conv2"
+        ren[f"layers.{i}.b2"] = f"layer{stage}.{blk}.bn2"
+        ren[f"layers.{i}.down.0"] = f"layer{stage}.{blk}.downsample.0"
+        ren[f"layers.{i}.down.1"] = f"layer{stage}.{blk}.downsample.1"
+    for k, v in raw.items():
+        for old, new in sorted(ren.items(), key=lambda kv: -len(kv[0])):
+            if k.startswith(old + "."):
+                k = new + k[len(old):]
+                break
+        sd[k] = v.numpy()
+    return sd
+
+
+def test_resnet_trunk_import_matches_torch_forward():
+    torch.manual_seed(0)
+    tm = ResNet18Trunk().eval()
+    sd = _baseline_to_torchvision_names(tm)
+    params, stats = import_resnet_trunk(sd, depth=18)
+
+    x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    trunk = ResNetTrunk(depth=18, compute_dtype=jnp.float32)
+    got = trunk.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_tct_import_matches_torch_forward():
+    torch.manual_seed(1)
+    tm = TorchTCT().eval()
+    ren = {"k": "k_linear", "v": "v_linear", "ln": "norm_k"}
+    sd = {f"transformers.{ren.get(k.split('.')[0], k.split('.')[0])}.{k.split('.', 1)[1]}": v.numpy()
+          for k, v in tm.state_dict().items() if "." in k}
+    tct_params = import_tct(sd, "transformers")
+
+    WAY, SHOT, T, D = 5, 5, 8, 2048
+    rng = np.random.default_rng(0)
+    support = rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+    labels = np.repeat(np.arange(WAY), SHOT).astype(np.int32)
+    queries = rng.normal(size=(4, T, D)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(support), torch.tensor(labels).long(),
+                  torch.tensor(queries)).numpy()
+
+    m = TemporalCrossTransformer(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                 out_dim=1152)
+    # torch LayerNorm eps=1e-5 vs flax default 1e-6 — tolerance absorbs it
+    got = m.apply({"params": tct_params}, jnp.asarray(support),
+                  jnp.asarray(labels), jnp.asarray(queries), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=2e-2)
+
+
+def test_teacher_checkpoint_roundtrip(tmp_path):
+    """Write a reference-style teacher .pt (bracnch.transformers.0.* keys) and
+    load it through load_teacher_checkpoint."""
+    torch.manual_seed(2)
+    tm = TorchTCT()
+    ren = {"k": "k_linear", "v": "v_linear", "ln": "norm_k"}
+    sd = {f"bracnch.transformers.0.{ren.get(k.split('.')[0], k.split('.')[0])}.{k.split('.', 1)[1]}": v
+          for k, v in tm.state_dict().items() if "." in k}
+    path = str(tmp_path / "teacher.pt")
+    torch.save({"iteration": 123, "model_state_dict": sd}, path)
+
+    from litemkd_tpu.tools import load_teacher_checkpoint
+    cfg = preset("student_fc2sup_dist")
+    tvars = load_teacher_checkpoint(path, cfg)
+    tct = tvars["params"]["classifier"]["transformers"]
+    assert tct["k_linear"]["kernel"].shape == (4096, 1152)
+    assert tct["norm_k"]["scale"].shape == (1152,)
