@@ -28,9 +28,12 @@ def main():
     episodes_per_step = int(os.environ.get("BENCH_EPISODES_PER_STEP", "16"))
     micro = int(os.environ.get("BENCH_MICRO_BATCH", "4"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
     cfg = preset("student_fc2sup_dist")
-    cfg = cfg.replace(model=cfg.model.__class__(remat=True),
+    cfg = cfg.replace(model=cfg.model.__class__(remat=remat,
+                                                use_pallas=use_pallas),
                       train=cfg.train.__class__(tasks_per_batch=episodes_per_step,
                                                 micro_batch=micro))
 

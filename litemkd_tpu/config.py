@@ -53,6 +53,7 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"     # matmul/conv dtype on TPU
     param_dtype: str = "float32"
     remat: bool = False                 # rematerialize trunk blocks (saves HBM)
+    use_pallas: bool = False            # fused Pallas TCT attention kernel
 
 
 @dataclass(frozen=True)

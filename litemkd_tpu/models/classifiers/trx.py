@@ -42,12 +42,14 @@ class TRX(nn.Module):
     set_size: int = 2
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def _tct(self, **kw):
         return TemporalCrossTransformer(
             way=self.way, shot=self.shot, seq_len=self.seq_len,
             in_dim=self.in_dim, out_dim=self.out_dim, set_size=self.set_size,
             dropout=self.dropout, compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
             name="transformers", **kw)
 
     @nn.compact

@@ -103,6 +103,8 @@ def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
                   out_dim=cfg.model.trans_linear_out_dim,
                   set_size=cfg.model.temp_set[0],
                   dropout=cfg.model.trans_dropout)
+    if issubclass(CLASSIFIERS[name], TRX):
+        kw.update(use_pallas=cfg.model.use_pallas)
     return kw
 
 

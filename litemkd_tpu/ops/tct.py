@@ -62,6 +62,7 @@ class TemporalCrossTransformer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     return_prototypes: bool = False
+    use_pallas: bool = False   # fused attention kernel (TPU; ops/pallas_tct.py)
 
     @nn.compact
     def __call__(self, support: jnp.ndarray, support_labels: jnp.ndarray,
@@ -97,26 +98,23 @@ class TemporalCrossTransformer(nn.Module):
         class_k = class_sort(s_k, support_labels, self.way, self.shot)
         class_v = class_sort(s_v, support_labels, self.way, self.shot)
 
-        # attention scores and per-(query, class, tuple) softmax over (shot, tuple)
-        scores = jnp.einsum("qud,wsvd->qwusv",
-                            q_k.astype(self.compute_dtype),
-                            class_k.astype(self.compute_dtype),
-                            preferred_element_type=jnp.float32)
-        scores = scores.astype(jnp.float32) / np.sqrt(dk)
-        q_n, w = scores.shape[0], scores.shape[1]
-        attn = jax.nn.softmax(scores.reshape(q_n, w, n_tup, self.shot * n_tup), axis=-1)
-        attn = attn.reshape(q_n, w, n_tup, self.shot, n_tup)
-
-        # query-specific class prototypes and negative squared Frobenius distance
-        proto = jnp.einsum("qwusv,wsvd->qwud",
-                           attn.astype(self.compute_dtype),
-                           class_v.astype(self.compute_dtype),
-                           preferred_element_type=jnp.float32).astype(jnp.float32)
-        diff = q_v[:, None, :, :] - proto                     # (Q, W, U, dk)
-        dist = jnp.sum(diff * diff, axis=(-2, -1)) / n_tup    # (Q, W)
         if self.return_prototypes:
+            # prototype-emitting path (TRX_sup) needs the materialized protos
+            scores = jnp.einsum("qud,wsvd->qwusv", q_k, class_k,
+                                preferred_element_type=jnp.float32) / np.sqrt(dk)
+            q_n, w = scores.shape[0], scores.shape[1]
+            attn = jax.nn.softmax(
+                scores.reshape(q_n, w, n_tup, self.shot * n_tup), axis=-1)
+            attn = attn.reshape(q_n, w, n_tup, self.shot, n_tup)
+            proto = jnp.einsum("qwusv,wsvd->qwud", attn, class_v,
+                               preferred_element_type=jnp.float32)
+            diff = q_v[:, None, :, :] - proto                 # (Q, W, U, dk)
+            dist = jnp.sum(diff * diff, axis=(-2, -1)) / n_tup
             return -dist, proto
-        return -dist
+
+        from .pallas_tct import tct_attention
+        return tct_attention(q_k, q_v, class_k, class_v,
+                             use_pallas=self.use_pallas)
 
 
 class MultiSetTCT(nn.Module):

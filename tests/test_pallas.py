@@ -1,0 +1,72 @@
+"""Pallas TCT attention kernel vs the XLA einsum path (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from litemkd_tpu.ops import pallas_tct as pt
+
+Q, U, DK, W, S = 6, 6, 128, 3, 2
+
+
+@pytest.fixture()
+def inputs():
+    rng = np.random.default_rng(0)
+    q_k = jnp.asarray(rng.normal(size=(Q, U, DK)).astype(np.float32))
+    q_v = jnp.asarray(rng.normal(size=(Q, U, DK)).astype(np.float32))
+    c_k = jnp.asarray(rng.normal(size=(W, S, U, DK)).astype(np.float32))
+    c_v = jnp.asarray(rng.normal(size=(W, S, U, DK)).astype(np.float32))
+    return q_k, q_v, c_k, c_v
+
+
+def test_pallas_matches_xla_forward(inputs, monkeypatch):
+    import functools
+    orig = pt.pl.pallas_call
+    monkeypatch.setattr(pt.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    want = pt.tct_attention_xla(*inputs)
+    got = pt.tct_attention_pallas(*inputs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gradients_match_xla(inputs, monkeypatch):
+    import functools
+    orig = pt.pl.pallas_call
+    monkeypatch.setattr(pt.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+    def loss_fused(qk, qv, ck, cv):
+        return jnp.sum(pt._tct_attention_fused(qk, qv, ck, cv) ** 2)
+
+    def loss_xla(qk, qv, ck, cv):
+        return jnp.sum(pt.tct_attention_xla(qk, qv, ck, cv) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*inputs)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(*inputs)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tct_module_pallas_flag_matches(monkeypatch, inputs):
+    """Whole-module parity: use_pallas=True (interpret) vs default path."""
+    import functools
+    orig = pt.pl.pallas_call
+    monkeypatch.setattr(pt.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    from litemkd_tpu.ops import TemporalCrossTransformer
+    rng = np.random.default_rng(1)
+    way, shot, t, d = 3, 2, 4, 64
+    support = jnp.asarray(rng.normal(size=(way * shot, t, d)).astype(np.float32))
+    labels = jnp.asarray(np.repeat(np.arange(way), shot).astype(np.int32))
+    queries = jnp.asarray(rng.normal(size=(4, t, d)).astype(np.float32))
+    m1 = TemporalCrossTransformer(way=way, shot=shot, seq_len=t, in_dim=d,
+                                  out_dim=128, use_pallas=False)
+    m2 = TemporalCrossTransformer(way=way, shot=shot, seq_len=t, in_dim=d,
+                                  out_dim=128, use_pallas=True)
+    v = m1.init(jax.random.key(0), support, labels, queries, train=False)
+    out1 = m1.apply(v, support, labels, queries, train=False)
+    out2 = m2.apply(v, support, labels, queries, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-4, atol=1e-4)
