@@ -1,0 +1,103 @@
+"""Interactive episode demo (the reference's pywebio demo,
+``multi_fusion.py:655-756``, without the external dependency): serves a small
+HTML page that samples an episode, runs the model, and shows per-query
+predictions vs ground truth. Works with the synthetic dataset out of the box.
+
+    python -m litemkd_tpu.cli.demo --preset tiny --dataset synthetic --port 8089
+    # then open http://localhost:8089
+"""
+from __future__ import annotations
+
+import argparse
+import html
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+import jax
+
+from .common import add_common_args, build_config, build_sampler
+
+
+def build_runner(cfg):
+    from ..data.prefetch import device_put_batch
+    from ..train import create_train_state, make_eval_step
+    from ..distill import merge_logits
+    from ..models import BatchedStudent
+
+    sampler = build_sampler(cfg, need_teacher=False)
+    rng = np.random.default_rng(cfg.train.seed)
+    sample = sampler.sample_batch(rng, 1, train=False)
+    state, _ = create_train_state(cfg, jax.random.key(0), sample)
+    student = BatchedStudent(cfg)
+
+    def run_episode(seed: int):
+        r = np.random.default_rng(seed)
+        batch = sampler.sample_batch(r, 1, train=False)
+        out = student.apply(state.variables, batch.support_clips,
+                            batch.support_labels, batch.query_clips,
+                            train=False)
+        logits = np.asarray(merge_logits(cfg.distill.name, out["logits"]))[0]
+        preds = logits.argmax(-1)
+        truth = np.asarray(batch.query_labels)[0]
+        return [{"query": int(i), "predicted": int(p), "true": int(t),
+                 "correct": bool(p == t),
+                 "logits": [round(float(x), 4) for x in logits[i]]}
+                for i, (p, t) in enumerate(zip(preds, truth))]
+
+    return run_episode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--port", type=int, default=8089)
+    p.add_argument("--once", action="store_true",
+                   help="print one episode's results as JSON and exit (no server)")
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+    run_episode = build_runner(cfg)
+
+    if args.once:
+        print(json.dumps(run_episode(0), indent=2))
+        return
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seed = 0
+            if "seed=" in self.path:
+                try:
+                    seed = int(self.path.split("seed=")[1].split("&")[0])
+                except ValueError:
+                    pass
+            rows = run_episode(seed)
+            acc = sum(r["correct"] for r in rows) / len(rows)
+            body = ["<html><head><title>litemkd_tpu demo</title></head><body>",
+                    f"<h2>{cfg.episode.way}-way {cfg.episode.shot}-shot episode "
+                    f"(seed {seed}) — accuracy {acc:.2f}</h2>",
+                    f'<p><a href="/?seed={seed + 1}">next episode</a></p>',
+                    "<table border=1 cellpadding=4><tr><th>query</th>"
+                    "<th>predicted</th><th>true</th><th>ok</th><th>logits</th></tr>"]
+            for r in rows:
+                body.append(
+                    f"<tr><td>{r['query']}</td><td>{r['predicted']}</td>"
+                    f"<td>{r['true']}</td><td>{'✓' if r['correct'] else '✗'}</td>"
+                    f"<td>{html.escape(str(r['logits']))}</td></tr>")
+            body.append("</table></body></html>")
+            data = "\n".join(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"demo serving on http://127.0.0.1:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

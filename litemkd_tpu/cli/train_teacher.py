@@ -74,7 +74,7 @@ def main(argv=None):
                    help="modality names, m1 first (default rgb depth flow)")
     p.add_argument("--trans_num", type=int, default=None)
     p.add_argument("--shirt_num", type=int, default=None)
-    p.add_argument("--fusion", choices=["mfm", "tsf"], default="mfm",
+    p.add_argument("--fusion", choices=["mfm", "tsf", "dga", "dga2"], default="mfm",
                    help="mfm = hierarchical fusion (ThreeTRXShiftLoopTime); "
                         "tsf = per-modality TRX score fusion")
     p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,

@@ -145,6 +145,7 @@ class ResNetBackbone(nn.Module):
     num_fc: int = 2
     out_dim: int = 2048
     pool_hw: Tuple[int, int] = (4, 4)
+    pool: str = "adaptive_max"     # "adaptive_max" (Lite-MKD head) | "gap" (TRM)
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
 
@@ -156,8 +157,11 @@ class ResNetBackbone(nn.Module):
             x = x / 255.0
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
                         name="trunk")(x, train=train)
-        x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)
-        x = x.reshape(b * t, -1, x.shape[-1]).mean(axis=1)  # mean over patches
+        if self.pool == "gap":
+            x = x.astype(jnp.float32).mean(axis=(1, 2))
+        else:
+            x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)
+            x = x.reshape(b * t, -1, x.shape[-1]).mean(axis=1)  # patch mean
         trunk_dim = x.shape[-1]
         if self.num_fc == 0:
             return x.reshape(b, t, trunk_dim)

@@ -26,11 +26,13 @@ from ..config import Config
 from .backbones.resnet import ResNetBackbone, FeatureBackbone
 from .backbones.mobilenet import MobileNetV3Backbone
 from .backbones.strm import STRMBackbone
+from .backbones.skeleton import SkeletonEncoder
 from .classifiers.trx import (TRX, TRX_sup, TRX_2fc, TRX_2fcsup,
                               TRX_2fcsup_fixed, TRX_1fc_sup)
 from .classifiers.edist import (EDist, CosDistance, EDistFC2, EDistFC2Sup,
                                 EDist1FCSup)
 from .classifiers.strm import STRMClassifier, STRMClassifierSup, STRM1FCSup
+from .classifiers.otam import OTAMClassifier, TRXMulti
 
 
 # ---------------------------------------------------------------------------
@@ -43,6 +45,8 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "resnet34_student": partial(ResNetBackbone, depth=34, num_fc=1),
     "resnet34_2fc": partial(ResNetBackbone, depth=34, num_fc=2),
     "resnet50_student": partial(ResNetBackbone, depth=50, num_fc=0),
+    "resnet50_gap": partial(ResNetBackbone, depth=50, num_fc=0, pool="gap"),
+    "resnet18_gap": partial(ResNetBackbone, depth=18, num_fc=0, pool="gap"),
     "resnet50_2fc": partial(ResNetBackbone, depth=50, num_fc=2),
     "meta_baseline": partial(ResNetBackbone, depth=50, num_fc=1),
     "meta_baseline_fc2": partial(ResNetBackbone, depth=50, num_fc=2),
@@ -53,6 +57,8 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "strm18_student": partial(STRMBackbone, depth=18, num_fc=2),
     "strm18_1fc": partial(STRMBackbone, depth=18, num_fc=1),
     "strmbackbone": partial(STRMBackbone, depth=18, num_fc=1),
+    "s3d": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
+    "skeleton": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
     "feature": lambda **kw: FeatureBackbone(),
 }
 
@@ -75,6 +81,10 @@ CLASSIFIERS: Dict[str, Any] = {
     "strm_res18": STRMClassifier,
     "strm_res18_sup": STRMClassifierSup,
     "strm_1fc_sup": STRM1FCSup,
+    "OTAM": OTAMClassifier,
+    "CNN_OTAM": OTAMClassifier,
+    "TRX_multi": TRXMulti,
+    "TRM": TRXMulti,
 }
 
 # teacher selection aliases (reference model_select.py:220-233)
@@ -98,10 +108,16 @@ TEACHER_ALIASES: Dict[str, str] = {
 def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
     kw = dict(way=cfg.episode.way, shot=cfg.episode.shot,
               seq_len=cfg.episode.seq_len)
-    if issubclass(CLASSIFIERS[name], (TRX, STRMClassifier)):
+    cls = CLASSIFIERS[name]
+    if issubclass(cls, (TRX, STRMClassifier)):
         kw.update(in_dim=cfg.model.trans_linear_in_dim,
                   out_dim=cfg.model.trans_linear_out_dim,
                   set_size=cfg.model.temp_set[0],
+                  dropout=cfg.model.trans_dropout)
+    if issubclass(cls, TRXMulti):
+        kw.update(in_dim=cfg.model.trans_linear_in_dim,
+                  out_dim=cfg.model.trans_linear_out_dim,
+                  temp_set=cfg.model.temp_set,
                   dropout=cfg.model.trans_dropout)
     if issubclass(CLASSIFIERS[name], TRX):
         kw.update(use_pallas=cfg.model.use_pallas)

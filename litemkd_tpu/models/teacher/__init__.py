@@ -1,5 +1,7 @@
 from .fusion import (EncoderLayer, Encoder, TwoStreamFusion, ThreeStreamFusion,
-                     TrxBranch, MFMTeacher, ScoreFusion)
+                     MultiStreamFusion, TrxBranch, MFMTeacher, ScoreFusion,
+                     DGAdaIN, DGAFusionTeacher)
 
 __all__ = ["EncoderLayer", "Encoder", "TwoStreamFusion", "ThreeStreamFusion",
-           "TrxBranch", "MFMTeacher", "ScoreFusion"]
+           "MultiStreamFusion", "TrxBranch", "MFMTeacher", "ScoreFusion",
+           "DGAdaIN", "DGAFusionTeacher"]

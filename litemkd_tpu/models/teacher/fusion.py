@@ -85,11 +85,13 @@ class Encoder(nn.Module):
     depth: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    dim_ff: int = 2048   # torch TransformerEncoderLayer default
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.depth):
-            x = EncoderLayer(self.d_model, self.nhead, dropout=self.dropout,
+            x = EncoderLayer(self.d_model, self.nhead, dim_ff=self.dim_ff,
+                             dropout=self.dropout,
                              compute_dtype=self.compute_dtype,
                              name=f"layer{i}")(x, train)
         return x
@@ -132,6 +134,33 @@ class ThreeStreamFusion(nn.Module):
         x = Encoder(3 * self.d, 3, self.depth, self.dropout,
                     self.compute_dtype, name="encoder")(x, train)
         x = _dense(self.d, 3 * self.d, "fuse_proj")(x)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop_out")(x)
+
+
+class MultiStreamFusion(nn.Module):
+    """N-modality concat-encode-project fusion — generalizes the reference's
+    ThreeTransforTemproal (nhead=3) and FourTransforTemproal (nhead=2,
+    model.py:1333-1360); Two/ThreeStreamFusion are the 2/3-stream cases."""
+
+    n_streams: int
+    seq_len: int
+    d: int = 2048
+    depth: int = 2
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, streams, train: bool):
+        assert len(streams) == self.n_streams
+        pes = [TrainablePE(self.seq_len, self.d, self.dropout, name=f"pe{i+1}")
+               for i in range(self.n_streams)]
+        x = jnp.concatenate([pe(m, train=train)
+                             for pe, m in zip(pes, streams)], -1)
+        nhead = 3 if self.n_streams == 3 else 2
+        x = Encoder(self.n_streams * self.d, nhead, self.depth, self.dropout,
+                    self.compute_dtype, name="encoder")(x, train)
+        x = _dense(self.d, self.n_streams * self.d, "fuse_proj")(x)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop_out")(x)
 
@@ -186,9 +215,16 @@ class MFMTeacher(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.three_fusion = ThreeStreamFusion(self.seq_len, self.in_dim,
-                                              self.depth, self.dropout,
-                                              self.compute_dtype)
+        n = len(self.modalities)
+        if n == 3:
+            self.three_fusion = ThreeStreamFusion(self.seq_len, self.in_dim,
+                                                  self.depth, self.dropout,
+                                                  self.compute_dtype)
+        else:
+            # Four/FiveShiftFusion generalization (model.py:1712-1894)
+            self.three_fusion = MultiStreamFusion(n, self.seq_len, self.in_dim,
+                                                  self.depth, self.dropout,
+                                                  self.compute_dtype)
         self.fusion = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
                                       self.dropout, self.compute_dtype)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
@@ -200,11 +236,18 @@ class MFMTeacher(nn.Module):
         return x  # faithful to the released reference (model.py:1614-1620)
 
     def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
-        m1, m2, m3 = (feats[m] for m in self.modalities)
-        f1 = self.three_fusion(m1, m2, m3, train)
-        f2 = self.fusion(m1, _roll_left(m2, self.shirt_num), train)
-        f3 = self.fusion(m1, self._shift3(m3), train)
-        return f1 + f2 + f3
+        streams = [feats[m] for m in self.modalities]
+        if len(streams) == 3:
+            fused = self.three_fusion(streams[0], streams[1], streams[2], train)
+        else:
+            fused = self.three_fusion(streams, train)
+        # pairwise branches: m2 rolled left by shirt_num; modalities ≥3 use the
+        # reference's no-op "shift" (identity; 'right' mode actually rolls)
+        fused = fused + self.fusion(
+            streams[0], _roll_left(streams[1], self.shirt_num), train)
+        for extra in streams[2:]:
+            fused = fused + self.fusion(streams[0], self._shift3(extra), train)
+        return fused
 
     def __call__(self, context_feats, context_labels, target_feats, train: bool):
         fused_ctx = self.fuse(context_feats, train)
@@ -216,6 +259,70 @@ class MFMTeacher(nn.Module):
         """Per-video fused features (model.py:1648-1663) — feeds the student's
         teacher-feature tree."""
         return self.fuse(feats, train=False)
+
+
+class DGAdaIN(nn.Module):
+    """Adaptive-instance-norm fusion (model.py:2454-2468): instance-normalize
+    the content stream over its token axis, then scale/shift with affine maps
+    of the style stream (scale = 1 + A_s(w), bias = A_b(w))."""
+
+    dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, w):
+        # InstanceNorm1d over the token axis per channel, no affine
+        mu = x.mean(axis=-2, keepdims=True)
+        var = x.var(axis=-2, keepdims=True)
+        x_n = (x - mu) / jnp.sqrt(var + 1e-5)
+        scale = 1.0 + _dense(self.dim, self.dim, "affine_scale")(w)
+        bias = _dense(self.dim, self.dim, "affine_bias")(w)
+        return x_n * scale + bias
+
+
+class DGAFusionTeacher(nn.Module):
+    """ThreeFusionDGA (model.py:2484-2516): two-stream transformer fusion of
+    (m2, m3), then AdaIN conditioning of that fusion on m1 (RGB), classified
+    by a TrxBranch. ``with_enrich=True`` adds the MLP-mix enrichment of
+    ThreeFusionDGA2 (model.py:2518-2554)."""
+
+    way: int
+    shot: int
+    seq_len: int
+    in_dim: int = 2048
+    out_dim: int = 1152
+    temp_set: Tuple[int, ...] = (2,)
+    depth: int = 2
+    modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
+    dropout: float = 0.1
+    with_enrich: bool = False
+
+    @nn.compact
+    def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        m1, m2, m3 = self.modalities
+        fusion = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
+                                 self.dropout, name="fusion1")
+        fused_ctx = fusion(context_feats[m2], context_feats[m3], train)
+        fused_tgt = fusion(target_feats[m2], target_feats[m3], train)
+        # AdaIN over the flattened (video·frame) token axis, as the reference
+        # reshapes to (1, N·T, D) before conditioning
+        adain = DGAdaIN(self.in_dim, name="fusion2")
+        n_ctx, n_tgt = fused_ctx.shape[0], fused_tgt.shape[0]
+        fused_ctx = adain(fused_ctx.reshape(1, -1, self.in_dim),
+                          context_feats[m1].reshape(1, -1, self.in_dim))
+        fused_tgt = adain(fused_tgt.reshape(1, -1, self.in_dim),
+                          target_feats[m1].reshape(1, -1, self.in_dim))
+        fused_ctx = fused_ctx.reshape(n_ctx, self.seq_len, self.in_dim)
+        fused_tgt = fused_tgt.reshape(n_tgt, self.seq_len, self.in_dim)
+        if self.with_enrich:
+            from ...ops.strm import MLPMixEnrich
+            enrich = MLPMixEnrich(self.in_dim, self.seq_len, name="mlp1")
+            fused_ctx = enrich(fused_ctx, train=train)
+            fused_tgt = enrich(fused_tgt, train=train)
+        logits = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
+                           self.out_dim, self.temp_set, self.dropout,
+                           name="branch")(fused_ctx, context_labels,
+                                          fused_tgt, train)
+        return {"logits": logits}
 
 
 class ScoreFusion(nn.Module):

@@ -1,0 +1,71 @@
+"""OTAM: ordered temporal alignment with soft-DTW cumulative distances.
+
+Rebuild of ``CNN_OTAM`` / ``OTAM_cum_dist`` (``teacher/code/model.py:
+3271-3344``): per-frame cosine distance matrices between query and support
+videos, a smoothed DTW band recursion in both directions, class-mean distances
+and softmax(-dist) logits.
+
+The recursion is sequential over the (static, 8-frame) time axis; it unrolls
+at trace time into a fixed dataflow graph — no dynamic control flow reaches
+XLA. Row 0 uses the plain running sum and column 0 stays zero, matching the
+reference's simplified (non-relaxed) first row.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tct import class_sort
+
+
+def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
+    """dists (Q, S, L, M) frame distances → (Q, S) cumulative distances.
+
+    Pads the last axis with one zero column each side, then runs the banded
+    soft-min recursion of the reference (model.py:3271-3300)."""
+    q, s, L, M = dists.shape
+    d = jnp.pad(dists, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    Mp = M + 2
+
+    def softmin(*xs):
+        return -lbda * jnp.log(sum(jnp.exp(-x / lbda) for x in xs))
+
+    # cum is built row by row; each row is a list of (Q, S) cells
+    zeros = jnp.zeros((q, s), dists.dtype)
+    prev_row = [zeros]
+    for m in range(1, Mp):
+        prev_row.append(d[:, :, 0, m] + prev_row[m - 1])
+
+    for l in range(1, L):
+        row = [zeros]  # column 0 is never assigned → stays 0
+        row.append(d[:, :, l, 1] + softmin(prev_row[0], prev_row[1], row[0]))
+        for m in range(2, Mp - 1):
+            row.append(d[:, :, l, m] + softmin(prev_row[m - 1], row[m - 1]))
+        row.append(d[:, :, l, Mp - 1] + softmin(prev_row[Mp - 2],
+                                                prev_row[Mp - 1], row[Mp - 2]))
+        prev_row = row
+
+    return prev_row[-1]
+
+
+def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
+                queries: jnp.ndarray, way: int, shot: int,
+                lbda: float = 0.1, eps: float = 1e-8) -> jnp.ndarray:
+    """(WS, T, D), (WS,), (Q, T, D) → (Q, way) softmaxed OTAM logits."""
+    q_n, t, dim = queries.shape
+    s_n = support.shape[0]
+    qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
+    sf = support.reshape(s_n * t, dim).astype(jnp.float32)
+    qn = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True) + eps)
+    sn = sf / (jnp.linalg.norm(sf, axis=-1, keepdims=True) + eps)
+    sim = qn @ sn.T                                      # (QT, ST)
+    dists = 1.0 - sim.reshape(q_n, t, s_n, t).transpose(0, 2, 1, 3)  # (Q,S,T,T)
+
+    cum = otam_cum_dist(dists, lbda) + \
+        otam_cum_dist(dists.transpose(0, 1, 3, 2), lbda)  # both directions
+
+    # class means via stable sort (same trick as the TCT head)
+    order = jnp.argsort(support_labels, stable=True)
+    cum_sorted = jnp.take(cum, order, axis=1).reshape(q_n, way, shot)
+    class_dists = cum_sorted.mean(axis=-1)               # (Q, way)
+    return jax.nn.softmax(-class_dists, axis=-1)

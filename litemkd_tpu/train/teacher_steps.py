@@ -22,7 +22,7 @@ from flax.core import FrozenDict
 import flax.linen as nn
 
 from ..config import Config
-from ..models.teacher import MFMTeacher, ScoreFusion
+from ..models.teacher import MFMTeacher, ScoreFusion, DGAFusionTeacher
 from ..models.backbones.classifier_net import ActionRecognitionNet
 from ..utils.metrics import per_episode_accuracy
 from .schedule import make_optimizer
@@ -49,6 +49,9 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
         cls = ScoreFusion
         if score_weights is not None:
             kw["weights"] = tuple(score_weights)
+    elif kind in ("dga", "dga2"):
+        cls = DGAFusionTeacher
+        kw.update(depth=cfg.model.trans_num, with_enrich=(kind == "dga2"))
     else:
         cls = MFMTeacher
         kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)

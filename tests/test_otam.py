@@ -1,0 +1,74 @@
+"""OTAM soft-DTW alignment tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from litemkd_tpu.ops.otam import otam_cum_dist, otam_logits
+
+WAY, SHOT, T, D = 3, 2, 4, 16
+
+
+def naive_cum_dist(dists, lbda=0.1):
+    """Direct scalar transcription of the recursion (independent of the
+    vectorized implementation): row 0 plain sum, col 0 fixed at zero, banded
+    soft-min elsewhere."""
+    q, s, L, M = dists.shape
+    d = np.pad(dists, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    Mp = M + 2
+    out = np.zeros((q, s))
+    for qi in range(q):
+        for si in range(s):
+            c = np.zeros((L, Mp))
+            for m in range(1, Mp):
+                c[0, m] = d[qi, si, 0, m] + c[0, m - 1]
+            for l in range(1, L):
+                def sm(*xs):
+                    return -lbda * np.log(sum(np.exp(-x / lbda) for x in xs))
+                c[l, 1] = d[qi, si, l, 1] + sm(c[l - 1, 0], c[l - 1, 1], c[l, 0])
+                for m in range(2, Mp - 1):
+                    c[l, m] = d[qi, si, l, m] + sm(c[l - 1, m - 1], c[l, m - 1])
+                c[l, Mp - 1] = d[qi, si, l, Mp - 1] + sm(
+                    c[l - 1, Mp - 2], c[l - 1, Mp - 1], c[l, Mp - 2])
+            out[qi, si] = c[-1, -1]
+    return out
+
+
+def test_cum_dist_matches_naive():
+    rng = np.random.default_rng(0)
+    dists = rng.uniform(0, 2, size=(3, 4, T, T)).astype(np.float32)
+    got = np.asarray(otam_cum_dist(jnp.asarray(dists)))
+    want = naive_cum_dist(dists)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_identical_video_wins():
+    rng = np.random.default_rng(1)
+    support = rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+    labels = np.repeat(np.arange(WAY), SHOT).astype(np.int32)
+    queries = support[2 * SHOT][None].copy()   # class-2 support video
+    logits = otam_logits(jnp.asarray(support), jnp.asarray(labels),
+                         jnp.asarray(queries), WAY, SHOT)
+    assert logits.shape == (1, WAY)
+    assert int(np.argmax(np.asarray(logits)[0])) == 2
+    # softmax output sums to 1
+    np.testing.assert_allclose(np.asarray(logits).sum(), 1.0, rtol=1e-5)
+
+
+def test_otam_classifier_registered():
+    from litemkd_tpu import preset
+    from litemkd_tpu.models import make_classifier
+    import jax
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(
+        backbone="resnet18_gap", classifier="OTAM",
+        trans_linear_in_dim=base.model.trans_linear_in_dim,
+        trans_linear_out_dim=base.model.trans_linear_out_dim))
+    head = make_classifier("OTAM", cfg)
+    rng = np.random.default_rng(0)
+    ep = cfg.episode
+    support = jnp.asarray(rng.normal(size=(ep.n_support, ep.seq_len, D)).astype(np.float32))
+    labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot).astype(np.int32))
+    queries = jnp.asarray(rng.normal(size=(2, ep.seq_len, D)).astype(np.float32))
+    v = head.init(jax.random.key(0), support, labels, queries, False)
+    out = head.apply(v, support, labels, queries, False)
+    assert out.shape == (2, ep.way)

@@ -105,3 +105,41 @@ def test_score_fusion():
               + 0.25 * out["per_modality"]["flow"])
     np.testing.assert_allclose(np.asarray(out["logits"]), np.asarray(manual),
                                rtol=1e-5)
+
+
+def test_four_modality_mfm():
+    """FourShiftFusion generalization: N-stream fusion + pairwise branches."""
+    rng = np.random.default_rng(3)
+    mods = ("rgb", "depth", "flow", "skeleton")
+    feats = lambda n: {m: jnp.asarray(rng.normal(size=(n, T, D)).astype(np.float32))
+                       for m in mods}
+    ctx, tgt = feats(WAY * SHOT), feats(WAY * QPC)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = MFMTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24,
+                   depth=1, modalities=mods)
+    v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(v, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+
+
+def test_dga_fusion_teacher():
+    from litemkd_tpu.models.teacher import DGAFusionTeacher
+    rng = np.random.default_rng(4)
+    ctx, tgt = _feats(rng, WAY * SHOT), _feats(rng, WAY * QPC)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = DGAFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24,
+                         depth=1, with_enrich=True)
+    v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(v, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_skeleton_encoder_expert():
+    from litemkd_tpu.models.backbones.skeleton import SkeletonEncoder
+    rng = np.random.default_rng(5)
+    sk = jnp.asarray(rng.normal(size=(4, T, 17, 3)).astype(np.float32))
+    enc = SkeletonEncoder(out_dim=D, num_layer=1)
+    v = enc.init(jax.random.key(0), sk, train=False)
+    out = enc.apply(v, sk, train=False)
+    assert out.shape == (4, T, D)
