@@ -69,11 +69,17 @@ def softmax_ce(logits: Array, labels: Array) -> Array:
     return jnp.mean(nll)
 
 
+def _safe_norm(x: Array, axis: int) -> Array:
+    """sqrt(sum(x^2)) with finite gradient at 0 (jnp.linalg.norm's gradient is
+    NaN at exactly zero — reachable here when softmax rows go uniform)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-16)
+
+
 def pearson_correlation(x: Array, y: Array, eps: float = 1e-8) -> Array:
     xc = x - x.mean(axis=1, keepdims=True)
     yc = y - y.mean(axis=1, keepdims=True)
     num = jnp.sum(xc * yc, axis=1)
-    den = jnp.linalg.norm(xc, axis=1) * jnp.linalg.norm(yc, axis=1) + eps
+    den = _safe_norm(xc, 1) * _safe_norm(yc, 1) + eps
     return num / den
 
 

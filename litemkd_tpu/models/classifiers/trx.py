@@ -71,7 +71,7 @@ class TRX_sup(TRX):
         # proto: (Q, W, U, dk) → flatten per class, cosine over class pairs
         q, w = proto.shape[0], proto.shape[1]
         flat = proto.reshape(q, w, -1).astype(jnp.float32)
-        norm = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
+        norm = flat / (jnp.sqrt(jnp.sum(flat * flat, -1, keepdims=True) + 1e-16) + 1e-8)
         sim = jnp.einsum("qid,qjd->qij", norm, norm)
         return {"support_set": sim, "query": logits}
 

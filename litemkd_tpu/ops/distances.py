@@ -63,6 +63,6 @@ def cosine_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     q = queries.mean(axis=-2).astype(jnp.float32)
     s = class_sort(support, support_labels, way, shot).mean(axis=(1, -2))
     s = s.astype(jnp.float32)                                      # (W, D)
-    qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
-    sn = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + eps)
+    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-16) + eps)
+    sn = s / (jnp.sqrt(jnp.sum(s * s, -1, keepdims=True) + 1e-16) + eps)
     return qn @ sn.T

@@ -56,8 +56,10 @@ def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     s_n = support.shape[0]
     qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
     sf = support.reshape(s_n * t, dim).astype(jnp.float32)
-    qn = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True) + eps)
-    sn = sf / (jnp.linalg.norm(sf, axis=-1, keepdims=True) + eps)
+    # safe norms: gradient of linalg.norm is NaN at 0, and zero-filled
+    # missing-modality features are exactly 0
+    qn = qf / (jnp.sqrt(jnp.sum(qf * qf, -1, keepdims=True) + 1e-16) + eps)
+    sn = sf / (jnp.sqrt(jnp.sum(sf * sf, -1, keepdims=True) + 1e-16) + eps)
     sim = qn @ sn.T                                      # (QT, ST)
     dists = 1.0 - sim.reshape(q_n, t, s_n, t).transpose(0, 2, 1, 3)  # (Q,S,T,T)
 
