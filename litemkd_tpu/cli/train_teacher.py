@@ -74,9 +74,11 @@ def main(argv=None):
                    help="modality names, m1 first (default rgb depth flow)")
     p.add_argument("--trans_num", type=int, default=None)
     p.add_argument("--shirt_num", type=int, default=None)
-    p.add_argument("--fusion", choices=["mfm", "tsf", "dga", "dga2"], default="mfm",
-                   help="mfm = hierarchical fusion (ThreeTRXShiftLoopTime); "
-                        "tsf = per-modality TRX score fusion")
+    p.add_argument("--fusion", default="mfm",
+                   help="mfm (ThreeTRXShiftLoopTime, bug-faithful) | tsf (score "
+                        "fusion) | dga/dga2 (AdaIN) | a composer preset name "
+                        "(TwoTRXShuffleTime, ThreeTRXLRShiftLoopTime, "
+                        "FourShiftFusion, ...) | otam:<preset> for an OTAM head")
     p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,
                    help="TSF per-modality logit weights (reference --a/--b/--c)")
     args = p.parse_args(argv)

@@ -158,8 +158,8 @@ class MobileNetV3Backbone(nn.Module):
             x = x / 255.0
         x = MobileNetV3Trunk(self.variant, self.compute_dtype,
                              name="trunk")(x, train=train)
-        x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)
-        x = x.reshape(b * t, -1, x.shape[-1]).mean(axis=1)
+        x = adaptive_max_pool_2d(x, self.pool_hw)
+        x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
         trunk_dim = x.shape[-1]
         dense = partial(nn.Dense, self.out_dim, dtype=jnp.float32,
                         kernel_init=torch_linear_kernel_init(),

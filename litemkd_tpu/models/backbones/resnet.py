@@ -13,7 +13,7 @@ images of an episode batch.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Sequence, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -160,8 +160,10 @@ class ResNetBackbone(nn.Module):
         if self.pool == "gap":
             x = x.astype(jnp.float32).mean(axis=(1, 2))
         else:
-            x = adaptive_max_pool_2d(x.astype(jnp.float32), self.pool_hw)
-            x = x.reshape(b * t, -1, x.shape[-1]).mean(axis=1)  # patch mean
+            # max-pool in the trunk dtype (max is precision-exact; the f32
+            # upcast before pooling doubled the backward's scatter-add traffic)
+            x = adaptive_max_pool_2d(x, self.pool_hw)
+            x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
         trunk_dim = x.shape[-1]
         if self.num_fc == 0:
             return x.reshape(b, t, trunk_dim)

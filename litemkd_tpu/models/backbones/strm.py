@@ -39,7 +39,7 @@ class STRMBackbone(nn.Module):
             x = x / 255.0
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
                         name="trunk")(x, train=train)
-        x = adaptive_max_pool_2d(x.astype(jnp.float32), (4, 4))
+        x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)
         trunk_dim = x.shape[-1]
         x = x.reshape(b * t, 16, trunk_dim)
         x = SelfAttnBot(trunk_dim, 16, name="attn_pat")(x, train=train)

@@ -23,7 +23,7 @@ TPU-native rebuild of the reference's fusion-teacher stack
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax

@@ -143,3 +143,24 @@ def test_skeleton_encoder_expert():
     v = enc.init(jax.random.key(0), sk, train=False)
     out = enc.apply(v, sk, train=False)
     assert out.shape == (4, T, D)
+
+
+def test_composed_fusion_presets():
+    """Composer presets (shuffle/LR-shift/OTAM-head permutations) all run."""
+    from litemkd_tpu.models.teacher import ComposedFusionTeacher, FUSION_PRESETS
+    rng = np.random.default_rng(6)
+    for name, mods in [("TwoTRXShuffleTime", ("rgb", "depth")),
+                       ("ThreeTRXLRShiftLoopTime", ("rgb", "depth", "flow"))]:
+        feats = lambda n: {m: jnp.asarray(
+            rng.normal(size=(n, T, D)).astype(np.float32)) for m in mods}
+        ctx, tgt = feats(WAY * SHOT), feats(WAY * QPC)
+        labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+        m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                  out_dim=24, depth=1, modalities=mods,
+                                  branches=FUSION_PRESETS[name])
+        v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+        out = m.apply(v, ctx, labels, tgt, False)
+        assert out["logits"].shape == (WAY * QPC, WAY), name
+        # extract() provides the fused features for the dump tools
+        fused = m.apply(v, feats(4), method=m.extract)
+        assert fused.shape == (4, T, D)
