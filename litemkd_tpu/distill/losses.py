@@ -329,6 +329,38 @@ def e_dist_1fc_sup(student, teacher, labels, cfg: DistillConfig, tpb: int) -> Lo
 
 
 # ---------------------------------------------------------------------------
+# Teacher-side episodic regularizers (reference teacher/code/utils.py:138-174):
+# ratio of summed inter-class prototype cosines to intra-class video cosines
+# (My_Loss) and the plain inter-class cosine sum (My_Loss2). Operate on
+# class-sorted support features (way, shot, T, D).
+# ---------------------------------------------------------------------------
+
+def _cos(a: Array, b: Array, eps: float = 1e-8) -> Array:
+    num = jnp.sum(a * b)
+    return num / (_safe_norm(a.ravel(), 0) * _safe_norm(b.ravel(), 0) + eps)
+
+
+def inter_class_cosine_ratio(class_sorted_support: Array) -> Array:
+    """My_Loss: Σ_{i<=j} cos(proto_i, proto_j) / Σ_class Σ_{i<=j} cos(v_i, v_j)."""
+    protos = class_sorted_support.mean(axis=1)           # (W, T, D)
+    w = protos.shape[0]
+    cij = sum(_cos(protos[i], protos[j])
+              for i in range(w) for j in range(i, w))
+    shot = class_sorted_support.shape[1]
+    vij = sum(_cos(class_sorted_support[c, i], class_sorted_support[c, j])
+              for c in range(w) for i in range(shot) for j in range(i, shot))
+    return cij / vij
+
+
+def inter_class_cosine(class_sorted_support: Array) -> Array:
+    """My_Loss2: the inter-class prototype cosine sum alone."""
+    protos = class_sorted_support.mean(axis=1)
+    w = protos.shape[0]
+    return sum(_cos(protos[i], protos[j])
+               for i in range(w) for j in range(i, w))
+
+
+# ---------------------------------------------------------------------------
 # Logit merge rules for accuracy computation (reference trainwandb.py:242-276)
 # ---------------------------------------------------------------------------
 

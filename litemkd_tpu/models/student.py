@@ -33,6 +33,7 @@ from .classifiers.edist import (EDist, CosDistance, EDistFC2, EDistFC2Sup,
                                 EDist1FCSup)
 from .classifiers.strm import STRMClassifier, STRMClassifierSup, STRM1FCSup
 from .classifiers.otam import OTAMClassifier, TRXMulti
+from .classifiers.ctx import CTXClassifier
 
 
 # ---------------------------------------------------------------------------
@@ -57,6 +58,8 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "strm18_student": partial(STRMBackbone, depth=18, num_fc=2),
     "strm18_1fc": partial(STRMBackbone, depth=18, num_fc=1),
     "strmbackbone": partial(STRMBackbone, depth=18, num_fc=1),
+    "strm50_student": partial(STRMBackbone, depth=50, num_fc=1),
+    "cnn_strm": partial(STRMBackbone, depth=50, num_fc=1),
     "s3d": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
     "skeleton": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
     "feature": lambda **kw: FeatureBackbone(),
@@ -85,6 +88,7 @@ CLASSIFIERS: Dict[str, Any] = {
     "CNN_OTAM": OTAMClassifier,
     "TRX_multi": TRXMulti,
     "TRM": TRXMulti,
+    "CTX": CTXClassifier,
 }
 
 # teacher selection aliases (reference model_select.py:220-233)
@@ -109,6 +113,10 @@ def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
     kw = dict(way=cfg.episode.way, shot=cfg.episode.shot,
               seq_len=cfg.episode.seq_len)
     cls = CLASSIFIERS[name]
+    if issubclass(cls, CTXClassifier):
+        kw.update(in_dim=cfg.model.trans_linear_in_dim,
+                  out_dim=cfg.model.trans_linear_out_dim,
+                  dropout=cfg.model.trans_dropout)
     if issubclass(cls, (TRX, STRMClassifier)):
         kw.update(in_dim=cfg.model.trans_linear_in_dim,
                   out_dim=cfg.model.trans_linear_out_dim,
