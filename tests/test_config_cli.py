@@ -1,0 +1,102 @@
+"""Config roundtrip, CLI flag mapping, and prefetcher tests."""
+import json
+import numpy as np
+import pytest
+
+from litemkd_tpu import Config, preset
+from litemkd_tpu.config import DistillConfig
+
+
+def test_config_json_roundtrip():
+    cfg = preset("student_fc2sup_dist")
+    blob = json.loads(cfg.to_json())
+    cfg2 = Config.from_dict(blob)
+    assert cfg2.episode == cfg.episode
+    assert cfg2.model == cfg.model
+    assert cfg2.train == cfg.train
+    assert cfg2.distill == cfg.distill
+
+
+def test_presets_exist():
+    for name in ["student_fc2sup_dist", "student_plain", "mfm_teacher",
+                 "student_mobilenet", "tiny"]:
+        preset(name)
+
+
+def test_cli_flag_mapping():
+    """Reference-style flags land in the right config fields."""
+    import argparse
+    from litemkd_tpu.cli.common import add_common_args, add_train_args, build_config
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_train_args(p)
+    args = p.parse_args([
+        "--way", "3", "--shot", "2", "--seq_len", "4",
+        "--model_backbone", "resnet18_2fc", "--model_classifier", "TRX_2fcsup",
+        "--distill_name", "fc_2_sup_dist", "--temperature", "2.5",
+        "--dataset", "hmdb", "--split", "3",
+        "-lr", "5e-5", "--tasks_per_batch", "4", "--sch", "100", "200",
+        "-c", "/tmp/x", "--temp_set", "2",
+    ])
+    cfg = build_config(args)
+    assert cfg.episode.way == 3 and cfg.episode.shot == 2
+    assert cfg.episode.seq_len == 4
+    assert cfg.model.backbone == "resnet18_2fc"
+    assert cfg.distill.name == "fc_2_sup_dist"
+    assert cfg.distill.temperature == 2.5
+    assert cfg.data.dataset == "hmdb"
+    assert cfg.data.traintestlist.endswith("hmdb_ARN")
+    assert cfg.train.learning_rate == 5e-5
+    assert cfg.train.tasks_per_batch == 4
+    assert cfg.train.sch == (100, 200)
+    assert cfg.train.checkpoint_dir == "/tmp/x"
+
+
+def test_cli_debug_disables_checkpointing():
+    import argparse
+    from litemkd_tpu.cli.common import add_common_args, add_train_args, build_config
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_train_args(p)
+    args = p.parse_args(["--debug", "-c", "/tmp/x", "--dataset", "synthetic"])
+    cfg = build_config(args)
+    assert cfg.train.checkpoint_dir is None
+
+
+def test_prefetcher_orders_and_completes():
+    from litemkd_tpu.data import Prefetcher, SyntheticEpisodeSource
+    cfg = preset("tiny")
+    src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0)
+    rng = np.random.default_rng(0)
+    seen = []
+    fetch = Prefetcher(lambda i: src.sample_batch(rng, 1), n_batches=5, depth=2)
+    for batch in fetch:
+        seen.append(batch.support_labels.shape)
+    assert len(seen) == 5
+
+
+def test_prefetcher_propagates_worker_errors():
+    from litemkd_tpu.data import Prefetcher
+
+    def boom(i):
+        if i == 2:
+            raise RuntimeError("decode failed")
+        from litemkd_tpu.data import SyntheticEpisodeSource
+        cfg = preset("tiny")
+        return SyntheticEpisodeSource(cfg, n_classes=6, seed=0).sample_batch(
+            np.random.default_rng(i), 1)
+
+    fetch = Prefetcher(boom, n_batches=5, depth=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in fetch:
+            pass
+
+
+def test_distill_config_defaults_match_reference():
+    """The cfg dict defaults of options.py:51-60."""
+    d = DistillConfig()
+    assert d.temperature == 4.0
+    assert d.soft_loss_weight == 2.0
+    assert d.hard_loss_weight == 1.0
+    assert d.soft_loss_weight_support == 1.0
+    assert d.fcwsl_aerfa == 0.5

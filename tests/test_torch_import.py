@@ -100,3 +100,75 @@ def test_teacher_checkpoint_roundtrip(tmp_path):
     tct = tvars["params"]["classifier"]["transformers"]
     assert tct["k_linear"]["kernel"].shape == (4096, 1152)
     assert tct["norm_k"]["scale"].shape == (1152,)
+
+
+def test_full_student_pipeline_matches_torch():
+    """Golden end-to-end parity: resnet18_2fc backbone + TRX_2fcsup head with
+    shared weights — torch forward vs flax forward on one episode (eval mode)."""
+    import torch.nn.functional as F
+    from torch_cpu_baseline import (StudentBackbone2FC, TCT as TorchTCT,
+                                    support_dk)
+    from litemkd_tpu import preset
+    from litemkd_tpu.models import Student
+    from litemkd_tpu.tools import import_backbone_2fc, import_tct
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    tb = StudentBackbone2FC().eval()
+    tt = TorchTCT().eval()
+
+    # export torch weights under reference-style names
+    sd = {}
+    for k, v in _baseline_to_torchvision_names(tb.trunk).items():
+        sd[f"resnet.{k}"] = v
+    for head in ("fc1", "fc2"):
+        for p in ("weight", "bias"):
+            sd[f"{head}.{p}"] = getattr(tb, head).state_dict()[p].numpy()
+    ren = {"k": "k_linear", "v": "v_linear", "ln": "norm_k"}
+    for k, v in tt.state_dict().items():
+        if "." not in k:
+            continue
+        root, rest = k.split(".", 1)
+        sd[f"transformers.{ren.get(root, root)}.{rest}"] = v.numpy()
+
+    cfg = preset("student_fc2sup_dist")
+    cfg = cfg.replace(episode=cfg.episode.__class__(
+        way=5, shot=5, query_per_class=1, seq_len=8, img_size=64),
+        model=cfg.model.__class__(compute_dtype="float32"))
+    bb = import_backbone_2fc(sd, depth=18)
+    variables = {
+        "params": {"backbone": bb["params"],
+                   "classifier": {"transformers": import_tct(sd, "transformers")}},
+        "batch_stats": {"backbone": bb["batch_stats"]},
+    }
+
+    rng = np.random.default_rng(0)
+    S, Q, T = 25, 5, 8
+    ctx = rng.random((S, T, 64, 64, 3)).astype(np.float32)
+    tgt = rng.random((Q, T, 64, 64, 3)).astype(np.float32)
+    labels = np.repeat(np.arange(5), 5).astype(np.int32)
+
+    # torch forward (NCHW, flattened frames)
+    with torch.no_grad():
+        tc = torch.tensor(ctx.reshape(S * T, 64, 64, 3)).permute(0, 3, 1, 2)
+        tq = torch.tensor(tgt.reshape(Q * T, 64, 64, 3)).permute(0, 3, 1, 2)
+        c1, c2 = tb(tc)
+        q1, q2 = tb(tq)
+        t_kl = tt(c1, torch.tensor(labels).long(), q1).numpy()
+        t_ce = tt(c2, torch.tensor(labels).long(), q2).numpy()
+        t_sup = support_dk(c2, torch.tensor(labels).long()).numpy()
+
+    model = Student(cfg)
+    out = model.apply(variables, jnp.asarray(ctx), jnp.asarray(labels),
+                      jnp.asarray(tgt), train=False)
+    logits = out["logits"]
+    np.testing.assert_allclose(np.asarray(logits["kl"]), t_kl, rtol=2e-2,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(logits["ce"]), t_ce, rtol=2e-2,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(logits["sup"]), t_sup, rtol=2e-2,
+                               atol=2e-2)
+    # and predictions agree exactly
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logits["kl"]) + np.asarray(logits["ce"]), -1),
+        np.argmax(t_kl + t_ce, -1))
