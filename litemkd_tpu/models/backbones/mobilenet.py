@@ -101,7 +101,7 @@ class InvertedResidual(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.99,
-                     epsilon=1e-3, dtype=jnp.float32)
+                     epsilon=1e-3, dtype=self.compute_dtype)
         in_ch = x.shape[-1]
         y = x
         if self.expand != in_ch:
@@ -130,7 +130,7 @@ class MobileNetV3Trunk(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.99,
-                     epsilon=1e-3, dtype=jnp.float32)
+                     epsilon=1e-3, dtype=self.compute_dtype)
         x = hard_swish(bn(name="stem_bn")(
             conv(16, (3, 3), (2, 2), padding=1, name="stem")(x)))
         for i, (k, e, o, se, hs, s) in enumerate(specs):

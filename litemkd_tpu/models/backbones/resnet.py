@@ -6,9 +6,9 @@ student backbone in the reference (``model/backbone/resnet18_2fc.py:17-77``,
 is adaptive-max-pooled to (4,4), the 16 patches are mean-pooled, and one or two
 linear heads lift the trunk width to ``out_dim`` (2048).
 
-TPU-first choices: NHWC layout (XLA's native conv layout), bf16 conv compute
-with fp32 BN statistics, one fused trunk application over all (batch × frame)
-images of an episode batch.
+TPU-first choices: NHWC layout (XLA's native conv layout), bf16 conv + BN
+application (flax still accumulates BN statistics in fp32 internally), one
+fused trunk application over all (batch × frame) images of an episode batch.
 """
 from __future__ import annotations
 
@@ -34,7 +34,7 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                     epsilon=1e-5, dtype=jnp.float32)
+                     epsilon=1e-5, dtype=self.compute_dtype)
         identity = x
         y = conv(self.filters, (3, 3), (self.stride, self.stride),
                  padding=1, name="conv1")(x)
@@ -58,7 +58,7 @@ class Bottleneck(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                     epsilon=1e-5, dtype=jnp.float32)
+                     epsilon=1e-5, dtype=self.compute_dtype)
         out_ch = self.filters * 4
         identity = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
@@ -103,7 +103,7 @@ class ResNetTrunk(nn.Module):
                     dtype=self.compute_dtype,
                     kernel_init=torch_conv_kernel_init(), name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.compute_dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, (n_blocks, filters) in enumerate(zip(stages, (64, 128, 256, 512))):
