@@ -54,6 +54,8 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False                 # rematerialize trunk blocks (saves HBM)
     use_pallas: bool = False            # fused Pallas TCT attention kernel
+    freeze_bn: bool = False             # BN uses running stats during training
+                                        # (finetune mode, ~15% faster steps)
 
 
 @dataclass(frozen=True)

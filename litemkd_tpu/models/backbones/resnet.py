@@ -28,9 +28,11 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.freeze_bn
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
@@ -52,9 +54,11 @@ class Bottleneck(nn.Module):
     filters: int          # base width; output is 4x
     stride: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.freeze_bn
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
@@ -93,16 +97,19 @@ class ResNetTrunk(nn.Module):
     depth: int = 18
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    freeze_bn: bool = False   # use running stats even in training (finetune
+                              # mode; ~15% faster — BN-stat reduces vanish)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         block_cls, stages, _ = _STAGES[self.depth]
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
+        bn_train = train and not self.freeze_bn
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.compute_dtype,
                     kernel_init=torch_conv_kernel_init(), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                          epsilon=1e-5, dtype=self.compute_dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -110,6 +117,7 @@ class ResNetTrunk(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block_cls(filters, stride, self.compute_dtype,
+                              self.freeze_bn,
                               name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -148,6 +156,7 @@ class ResNetBackbone(nn.Module):
     pool: str = "adaptive_max"     # "adaptive_max" (Lite-MKD head) | "gap" (TRM)
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Features:
@@ -156,7 +165,7 @@ class ResNetBackbone(nn.Module):
         if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
             x = x / 255.0
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
-                        name="trunk")(x, train=train)
+                        self.freeze_bn, name="trunk")(x, train=train)
         if self.pool == "gap":
             x = x.astype(jnp.float32).mean(axis=(1, 2))
         else:

@@ -156,6 +156,8 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
               name=module_name)
     if name.startswith(("resnet", "meta_baseline", "strm")):
         kw["remat"] = cfg.model.remat
+    if name.startswith(("resnet", "meta_baseline")):
+        kw["freeze_bn"] = cfg.model.freeze_bn
     return BACKBONES[name](**kw)
 
 
