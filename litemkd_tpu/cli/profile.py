@@ -1,0 +1,77 @@
+"""On-device profiler: capture an XProf trace of one training step and print
+an op-time summary (the runtime-tracing counterpart of cli.flops; SURVEY.md
+§5.1 — the reference has no tracer at all).
+
+    python -m litemkd_tpu.cli.profile --preset student_fc2sup_dist \
+        --out /tmp/jaxtrace [--steps 1]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+
+import numpy as np
+import jax
+
+from .common import add_common_args, build_config
+from ..utils.tracing import trace
+
+
+def summarize(trace_dir: str, top: int = 15) -> None:
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        print("no trace files found")
+        return
+    with gzip.open(files[-1]) as f:
+        data = json.load(f)
+    buckets: collections.Counter = collections.Counter()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        n = e.get("name", "?")
+        if n.startswith(("jit_", "while", "$", "np.asarray", "0")):
+            continue
+        buckets[re.sub(r"[.\d]+$", "", n)] += e["dur"]
+    total = sum(buckets.values())
+    print(f"device op time: {total / 1e3:.1f} ms")
+    for k, d in buckets.most_common(top):
+        print(f"{d / 1e3:9.1f} ms {100 * d / total:5.1f}%  {k}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--out", default="/tmp/jaxtrace")
+    p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--tasks_per_batch", type=int, default=16)
+    p.add_argument("--micro_batch", type=int, default=4)
+    args = p.parse_args(argv)
+    cfg = build_config(args)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "tasks_per_batch": args.tasks_per_batch,
+           "micro_batch": args.micro_batch}))
+
+    from ..data import SyntheticEpisodeSource, device_put_batch
+    from ..train import create_train_state, make_train_step
+
+    src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
+    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
+                                              cfg.train.tasks_per_batch))
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    state, m = step(state, t_vars, batch)
+    _ = float(m["task_loss"])  # compile + warmup
+
+    with trace(args.out):
+        for _ in range(args.steps):
+            state, m = step(state, t_vars, batch)
+            _ = float(m["task_loss"])
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,34 @@ def test_fixed_episode_replay(dataset_dir, cfg, tmp_path):
     b2 = sampler.sample_batch(np.random.default_rng(7), 3, train=False, specs=loaded)
     np.testing.assert_allclose(b1.support_clips, b2.support_clips)
     np.testing.assert_array_equal(b1.support_labels, b2.support_labels)
+
+
+def test_zip_frame_store(dataset_dir, cfg, tmp_path):
+    """The ssv2-style in-RAM zip path scans and decodes like the dir path."""
+    import zipfile
+    zip_path = str(tmp_path / "frames.zip")
+    rgb_root = str(dataset_dir / "rgb_l8")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(rgb_root):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, os.path.dirname(rgb_root)))
+    vs = VideoStore(zip_path, str(dataset_dir / "splits"), 3, T, IMG)
+    assert len(vs.train_split) == N_CLASSES * N_TRAIN
+    rec = vs.train_split.get(0, 0)
+    clip = vs.load(rec, train=False, rng=np.random.default_rng(0))
+    assert clip.shape == (T, IMG, IMG, 3) and clip.dtype == np.uint8
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    import json as _json
+    from litemkd_tpu.utils import MetricsLogger
+    log = MetricsLogger(log_dir=str(tmp_path), run_name="t", print_freq=0)
+    log.log(1, {"loss": 1.5, "accuracy": 0.5})
+    log.info("hello")
+    log.close()
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".jsonl")]
+    assert files
+    lines = [_json.loads(l) for l in open(tmp_path / files[0])]
+    assert any(l.get("loss") == 1.5 for l in lines)
+    assert any(l.get("info") == "hello" for l in lines)
