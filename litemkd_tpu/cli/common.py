@@ -65,6 +65,8 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--learning_rate", "-lr", type=float, default=None)
     p.add_argument("--opt", choices=["adam", "sgd"], default=None)
     p.add_argument("--tasks_per_batch", type=int, default=None)
+    p.add_argument("--micro_batch", type=int, default=None,
+                   help="episodes per fused fwd/bwd chunk (grad accumulation)")
     p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--print_freq", type=int, default=None)
     p.add_argument("--sch", nargs="+", type=int, default=None)
@@ -129,7 +131,8 @@ def build_config(args: argparse.Namespace) -> Config:
         trans_dropout=pick(m.trans_dropout, args.trans_dropout),
         trans_num=m.trans_num, shirt_num=m.shirt_num, modalities=m.modalities,
         compute_dtype=m.compute_dtype, param_dtype=m.param_dtype,
-        remat=pick(m.remat, args.remat)))
+        remat=pick(m.remat, args.remat),
+        use_pallas=m.use_pallas, freeze_bn=m.freeze_bn))
 
     d = cfg.distill
     cfg = cfg.replace(distill=DistillConfig(
@@ -168,6 +171,7 @@ def build_config(args: argparse.Namespace) -> Config:
     if hasattr(args, "learning_rate"):
         cfg = cfg.replace(train=TrainConfig(
             tasks_per_batch=pick(t.tasks_per_batch, args.tasks_per_batch),
+            micro_batch=pick(t.micro_batch, args.micro_batch),
             training_iterations=pick(t.training_iterations, args.training_iterations),
             learning_rate=pick(t.learning_rate, args.learning_rate),
             optimizer=pick(t.optimizer, args.opt),
