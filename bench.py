@@ -21,6 +21,8 @@ import numpy as np
 
 def main():
     import jax
+    from litemkd_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     from litemkd_tpu import preset
     from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
     from litemkd_tpu.train import create_train_state, make_train_step

@@ -12,6 +12,20 @@ from ..config import (Config, DataConfig, DistillConfig, EpisodeConfig,
                       MeshConfig, ModelConfig, TrainConfig, preset)
 
 
+def enable_compilation_cache(path: str = "/tmp/litemkd_jax_cache") -> None:
+    """Persistent XLA compilation cache — first compiles of the flagship step
+    take minutes on remote-compile TPU setups; cached reruns are instant.
+    Honors JAX_COMPILATION_CACHE_DIR if the user already set one."""
+    import os as _os
+    import jax
+    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default=None,
                    help="named preset (student_fc2sup_dist, student_plain, "

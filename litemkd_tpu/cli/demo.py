@@ -16,7 +16,7 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 import numpy as np
 import jax
 
-from .common import add_common_args, build_config, build_sampler
+from .common import enable_compilation_cache, add_common_args, build_config, build_sampler
 
 
 def build_runner(cfg):
@@ -55,6 +55,7 @@ def main(argv=None):
     p.add_argument("--once", action="store_true",
                    help="print one episode's results as JSON and exit (no server)")
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
     run_episode = build_runner(cfg)
 

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, build_config
+from .common import enable_compilation_cache, add_common_args, build_config
 
 
 def main(argv=None):
@@ -37,6 +37,7 @@ def main(argv=None):
                         "expert mode: random weights then)")
     p.add_argument("--batch_size", type=int, default=16)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
     if args.modalities:
         cfg = cfg.replace(model=cfg.model.__class__(

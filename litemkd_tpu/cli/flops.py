@@ -10,7 +10,7 @@ import argparse
 import jax
 import numpy as np
 
-from .common import add_common_args, build_config
+from .common import enable_compilation_cache, add_common_args, build_config
 
 
 def count_params(tree) -> int:
@@ -22,6 +22,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
 
     import jax.numpy as jnp

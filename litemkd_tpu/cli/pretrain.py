@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, add_train_args, build_config
+from .common import enable_compilation_cache, add_common_args, add_train_args, build_config
 from ..utils.logging import MetricsLogger
 
 
@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
 
     from ..data import VideoStore

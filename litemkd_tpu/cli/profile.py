@@ -17,7 +17,7 @@ import re
 import numpy as np
 import jax
 
-from .common import add_common_args, build_config
+from .common import enable_compilation_cache, add_common_args, build_config
 from ..utils.tracing import trace
 
 
@@ -50,6 +50,7 @@ def main(argv=None):
     p.add_argument("--tasks_per_batch", type=int, default=16)
     p.add_argument("--micro_batch", type=int, default=4)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "tasks_per_batch": args.tasks_per_batch,

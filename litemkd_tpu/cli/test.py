@@ -13,7 +13,7 @@ import argparse
 import jax
 import numpy as np
 
-from .common import add_common_args, add_test_args, build_config, build_sampler
+from .common import enable_compilation_cache, add_common_args, add_test_args, build_config, build_sampler
 
 
 def main(argv=None):
@@ -21,6 +21,7 @@ def main(argv=None):
     add_common_args(p)
     add_test_args(p)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
 
     from ..data import load_fixed_episodes

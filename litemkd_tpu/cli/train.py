@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 
-from .common import add_common_args, add_train_args, build_config, build_sampler
+from .common import enable_compilation_cache, add_common_args, add_train_args, build_config, build_sampler
 from ..utils.logging import MetricsLogger
 
 
@@ -23,6 +23,7 @@ def main(argv=None):
     add_common_args(p)
     add_train_args(p)
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
 
     from ..train import run_training, verify_checkpoint_dir

@@ -16,7 +16,7 @@ import argparse
 import numpy as np
 import jax
 
-from .common import add_common_args, add_train_args, build_config
+from .common import enable_compilation_cache, add_common_args, add_train_args, build_config
 from ..utils.logging import MetricsLogger
 from ..utils.metrics import TestAccuracies
 
@@ -82,6 +82,7 @@ def main(argv=None):
     p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,
                    help="TSF per-modality logit weights (reference --a/--b/--c)")
     args = p.parse_args(argv)
+    enable_compilation_cache()
     cfg = build_config(args)
     m = cfg.model
     cfg = cfg.replace(model=m.__class__(**{
