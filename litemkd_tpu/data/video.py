@@ -141,6 +141,41 @@ def _resize_shorter(img: "Image.Image", size: int) -> "Image.Image":
     return img.resize((ow, oh), Image.BILINEAR)
 
 
+def _resized_dims(w: int, h: int, size: int) -> Tuple[int, int]:
+    if (w <= h and w == size) or (h <= w and h == size):
+        return w, h
+    if w < h:
+        return size, int(size * h / w)
+    return int(size * w / h), size
+
+
+def load_clip_native(paths: List[str], idxs: np.ndarray, *, img_size: int,
+                     train: bool, rng: np.random.Generator,
+                     resize_to: int = 256) -> Optional[np.ndarray]:
+    """GIL-free C++ decode path (litemkd_tpu.native); None → caller falls back.
+
+    Crop/flip draws consume the rng identically to the PIL path, so episode
+    content is reproducible across backends up to resize interpolation."""
+    from .. import native
+    if not native.available():
+        return None
+    sel = [paths[int(i)] for i in idxs]
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in sel):
+        return None
+    with Image.open(sel[0]) as probe:   # header-only: dims before decode
+        w, h = probe.size
+    rw, rh = _resized_dims(w, h, resize_to)
+    if train:
+        flip = rng.random() < 0.5
+        y0 = int(rng.integers(0, rh - img_size + 1))
+        x0 = int(rng.integers(0, rw - img_size + 1))
+    else:
+        flip = False
+        y0 = (rh - img_size) // 2
+        x0 = (rw - img_size) // 2
+    return native.decode_clip(sel, resize_to, y0, x0, img_size, flip)
+
+
 def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
               rng: np.random.Generator, resize_to: int = 256,
               zip_store: Optional[ZipFrameStore] = None) -> np.ndarray:
@@ -169,12 +204,16 @@ def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
 
 
 class VideoStore:
-    """Frame tree (dir or zip) + split lists → per-split indices + clip loads."""
+    """Frame tree (dir or zip) + split lists → per-split indices + clip loads.
+
+    ``use_native=True`` (default) routes directory-backed JPEG clips through
+    the C++ decoder when it is available, falling back to PIL otherwise."""
 
     def __init__(self, rgb_path: str, annotation_dir: str, split: int,
-                 seq_len: int, img_size: int):
+                 seq_len: int, img_size: int, use_native: bool = True):
         self.seq_len = seq_len
         self.img_size = img_size
+        self.use_native = use_native
         self.zip_store: Optional[ZipFrameStore] = None
         split_lists = load_split_lists(annotation_dir, split)
         if rgb_path.endswith(".zip"):
@@ -191,5 +230,11 @@ class VideoStore:
     def load(self, rec: VideoRecord, train: bool,
              rng: np.random.Generator) -> np.ndarray:
         idxs = sample_frame_indices(rec.n_frames, self.seq_len, train, rng)
+        if self.use_native and self.zip_store is None:
+            clip = load_clip_native(rec.frame_paths, idxs,
+                                    img_size=self.img_size, train=train,
+                                    rng=rng)
+            if clip is not None:
+                return clip
         return load_clip(rec.frame_paths, idxs, img_size=self.img_size,
                          train=train, rng=rng, zip_store=self.zip_store)

@@ -173,3 +173,51 @@ def test_metrics_logger_jsonl(tmp_path):
     lines = [_json.loads(l) for l in open(tmp_path / files[0])]
     assert any(l.get("loss") == 1.5 for l in lines)
     assert any(l.get("info") == "hello" for l in lines)
+
+
+def test_native_decoder_matches_pil(dataset_dir, cfg):
+    """C++ decode path == PIL path for identity-resize JPEGs (crop/flip only;
+    JPEG decode itself is bit-exact across libjpeg users)."""
+    from litemkd_tpu import native
+    if not native.available():
+        pytest.skip("native decoder unavailable (no g++/libjpeg)")
+    vs_pil = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                        3, T, IMG, use_native=False)
+    vs_nat = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                        3, T, IMG, use_native=True)
+    rec = vs_pil.train_split.get(0, 0)
+    # frames are 40x48 > IMG=32: shorter side 40 != 256 → resize differs between
+    # backends, so compare on the center-crop test path with resize bypassed by
+    # checking shapes + on a no-resize fixture below
+    for train in (False, True):
+        c_nat = vs_nat.load(rec, train=train, rng=np.random.default_rng(5))
+        assert c_nat.shape == (T, IMG, IMG, 3) and c_nat.dtype == np.uint8
+
+
+def test_native_decoder_exact_on_identity_resize(tmp_path):
+    """With shorter side == resize_to the resize is the identity in both
+    backends → outputs must be byte-identical."""
+    from litemkd_tpu import native
+    from litemkd_tpu.data.video import load_clip, load_clip_native
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 255, size=(256, 300, 3), dtype=np.uint8)
+        p = str(tmp_path / f"f{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    idxs = np.arange(3)
+    a = load_clip(paths, idxs, img_size=224, train=False,
+                  rng=np.random.default_rng(1))
+    b = load_clip_native(paths, idxs, img_size=224, train=False,
+                         rng=np.random.default_rng(1))
+    assert b is not None
+    np.testing.assert_array_equal(a, b)
+    # train path: same rng stream → same crop/flip decisions → identical bytes
+    a = load_clip(paths, idxs, img_size=224, train=True,
+                  rng=np.random.default_rng(7))
+    b = load_clip_native(paths, idxs, img_size=224, train=True,
+                         rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)
