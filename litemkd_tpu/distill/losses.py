@@ -143,9 +143,10 @@ def dist_kd(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
 
 @register("support_sim")
 def support_sim(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
-    q, s = student["query"].shape[0], student["support_set"].shape[-1]
-    sim_s = student["support_set"].reshape(q, s)
-    sim_t = teacher["support_set"].reshape(q, s)
+    # support-similarity matrices flatten to (Q, way*way) rows (ref: 20x25)
+    q = student["query"].shape[0]
+    sim_s = student["support_set"].reshape(q, -1)
+    sim_t = teacher["support_set"].reshape(q, -1)
     sup_kl = cfg.soft_loss_weight_support * kd_loss(sim_s, sim_t, cfg.temperature)
     q_kl = cfg.soft_loss_weight_query * kd_loss(student["query"], teacher["query"],
                                                 cfg.temperature)

@@ -108,3 +108,43 @@ def test_merge_logits_rules():
     strm_d = {"pat": jnp.asarray(S), "fr": jnp.asarray(T)}
     np.testing.assert_allclose(np.asarray(merge_logits("strm", strm_d)),
                                0.1 * S + T, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", available())
+def test_every_distiller_jits_and_vmaps(name):
+    """Each registered loss works under jit + vmap over an episode batch."""
+    import jax
+    E, Q, W = 3, 20, 5
+    r = np.random.default_rng(1)
+    arr = lambda *s: jnp.asarray(r.normal(size=s).astype(np.float32))
+    labels = jnp.asarray(np.tile(rng.integers(0, W, size=Q), (E, 1)).astype(np.int32))
+    plain_s, plain_t = arr(E, Q, W), arr(E, Q, W)
+    dict_s = {"kl": arr(E, Q, W), "ce": arr(E, Q, W), "sup": arr(E, W, W - 1),
+              "sup_kl": arr(E, W, W - 1), "sup_ce": arr(E, W, W - 1),
+              "fc_1": arr(E, Q, W), "fc_2": arr(E, Q, W),
+              "pat": arr(E, Q, W), "fr": arr(E, Q, W),
+              "fr1": arr(E, Q, W), "fr2": arr(E, Q, W),
+              "logits": arr(E, Q, W), "feature": arr(E, Q, 8),
+              "query": arr(E, Q, W), "support_set": arr(E, Q, W, W)}
+    dict_t = {"kl": arr(E, Q, W), "sup": arr(E, W, W - 1),
+              "logits": arr(E, Q, W), "feature": arr(E, Q, 8),
+              "query": arr(E, Q, W), "support_set": arr(E, Q, W, W)}
+    fn = get_distiller(name)
+    dict_teacher_names = {
+        "support_sim", "KL_feature", "fc_2_sup", "fc_2_sup_dist", "fc_2_sup_kl",
+        "fc_2_sup_dist_cece", "fc_2_sup_klklcece", "fc_2_sup_distdistcece",
+        "fc_2_sup_2", "fc_2_sup_disver", "fc_2_sup_dist_wsl",
+        "strm_fc_2_sup_dist", "strm_1fc_sup", "fc_1_sup", "fc_sup",
+        "e_dist_1fc_sup"}
+    dict_student_names = dict_teacher_names | {"fc_2", "fc_2_wsl", "strm",
+                                               "strm_KD"}
+    s_in = dict_s if name in dict_student_names else plain_s
+    t_in = dict_t if name in dict_teacher_names else plain_t
+
+    @jax.jit
+    def batch_loss(s, t, l):
+        per = jax.vmap(lambda a, b, c: fn(a, b, c, CFG, 16))(s, t, l)
+        return per["loss"].sum()
+
+    out = float(batch_loss(s_in, t_in, labels))
+    assert np.isfinite(out), (name, out)
