@@ -36,6 +36,9 @@ def main(argv=None):
                    help="checkpoint dir to load weights from (optional for "
                         "expert mode: random weights then)")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--fusion", default="mfm",
+                   help="fusion teacher kind for mfm mode: mfm | dga | dga2 | "
+                        "a composer preset | otam:<preset>")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -77,7 +80,7 @@ def main(argv=None):
         store = MultiModalFeatureStore(paths, cfg.data.traintestlist,
                                        cfg.data.split, cfg.episode.seq_len,
                                        cfg.model.trans_linear_in_dim)
-        model = make_mfm(cfg, batched=False)
+        model = make_mfm(cfg, batched=False, kind=args.fusion)
         feats = {m: jnp.zeros((1, cfg.episode.seq_len,
                                cfg.model.trans_linear_in_dim))
                  for m in cfg.model.modalities}
@@ -97,7 +100,8 @@ def main(argv=None):
                                          args=ocp.args.StandardRestore())
             variables = {"params": restored["params"]}
         n = extract_mfm_features(cfg, store, variables, args.out,
-                                 store.class_names, batch_size=args.batch_size)
+                                 store.class_names, batch_size=args.batch_size,
+                                 fusion_kind=args.fusion)
         print(f"extracted {n} fused videos → {args.out}")
 
 

@@ -76,11 +76,11 @@ def extract_expert_features(cfg: Config, video_store: VideoStore,
 def extract_mfm_features(cfg: Config, store: MultiModalFeatureStore,
                          mfm_variables, out_root: str,
                          class_names: List[str], batch_size: int = 64,
-                         verify: bool = True) -> int:
+                         verify: bool = True, fusion_kind: str = "mfm") -> int:
     """MFM-fuse per-modality features for every video; dump feature.npy tree."""
     from ..train.teacher_steps import make_mfm
 
-    model = make_mfm(cfg, batched=False)
+    model = make_mfm(cfg, batched=False, kind=fusion_kind)
     fuse = jax.jit(lambda v, feats: model.apply(v, feats, method=model.extract))
 
     n = 0
