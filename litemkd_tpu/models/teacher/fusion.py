@@ -296,33 +296,38 @@ class DGAFusionTeacher(nn.Module):
     dropout: float = 0.1
     with_enrich: bool = False
 
-    @nn.compact
-    def __call__(self, context_feats, context_labels, target_feats, train: bool):
-        m1, m2, m3 = self.modalities
-        fusion = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
-                                 self.dropout, name="fusion1")
-        fused_ctx = fusion(context_feats[m2], context_feats[m3], train)
-        fused_tgt = fusion(target_feats[m2], target_feats[m3], train)
-        # AdaIN over the flattened (video·frame) token axis, as the reference
-        # reshapes to (1, N·T, D) before conditioning
-        adain = DGAdaIN(self.in_dim, name="fusion2")
-        n_ctx, n_tgt = fused_ctx.shape[0], fused_tgt.shape[0]
-        fused_ctx = adain(fused_ctx.reshape(1, -1, self.in_dim),
-                          context_feats[m1].reshape(1, -1, self.in_dim))
-        fused_tgt = adain(fused_tgt.reshape(1, -1, self.in_dim),
-                          target_feats[m1].reshape(1, -1, self.in_dim))
-        fused_ctx = fused_ctx.reshape(n_ctx, self.seq_len, self.in_dim)
-        fused_tgt = fused_tgt.reshape(n_tgt, self.seq_len, self.in_dim)
+    def setup(self):
+        self.fusion1 = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
+                                       self.dropout)
+        self.fusion2 = DGAdaIN(self.in_dim)
         if self.with_enrich:
             from ...ops.strm import MLPMixEnrich
-            enrich = MLPMixEnrich(self.in_dim, self.seq_len, name="mlp1")
-            fused_ctx = enrich(fused_ctx, train=train)
-            fused_tgt = enrich(fused_tgt, train=train)
-        logits = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
-                           self.out_dim, self.temp_set, self.dropout,
-                           name="branch")(fused_ctx, context_labels,
-                                          fused_tgt, train)
+            self.mlp1 = MLPMixEnrich(self.in_dim, self.seq_len)
+        self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
+                                self.out_dim, self.temp_set, self.dropout)
+
+    def fuse(self, feats, train: bool):
+        m1, m2, m3 = self.modalities
+        fused = self.fusion1(feats[m2], feats[m3], train)
+        n = fused.shape[0]
+        # AdaIN over the flattened (video·frame) token axis, as the reference
+        # reshapes to (1, N·T, D) before conditioning
+        fused = self.fusion2(fused.reshape(1, -1, self.in_dim),
+                             feats[m1].reshape(1, -1, self.in_dim))
+        fused = fused.reshape(n, self.seq_len, self.in_dim)
+        if self.with_enrich:
+            fused = self.mlp1(fused, train=train)
+        return fused
+
+    def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        fused_ctx = self.fuse(context_feats, train)
+        fused_tgt = self.fuse(target_feats, train)
+        logits = self.branch(fused_ctx, context_labels, fused_tgt, train)
         return {"logits": logits}
+
+    def extract(self, feats):
+        """Per-video fused features for the dump tools."""
+        return self.fuse(feats, train=False)
 
 
 class ScoreFusion(nn.Module):
