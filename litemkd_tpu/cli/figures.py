@@ -1,0 +1,64 @@
+"""Figure generator: modality grids and 3D skeleton plots.
+
+Covers the reference's ``teacher/code/huatu.py`` (modality first-frame grid)
+and ``teacher/code/scripts/3d_visualization.py`` (H36M skeleton render).
+
+    # (videos × modalities) grid; each --row is dataset:class:video
+    python -m litemkd_tpu.cli.figures grid --data_root <root> \
+        --row ucf:GolfSwing:v_GolfSwing_g01_c03 --row hmdb:run:vid001 \
+        --modalities rgb depth flow --out multi_modality.pdf
+
+    # one skeleton .npy → 3D bone plot (first frame, or --frame / --clip)
+    python -m litemkd_tpu.cli.figures skeleton --npy <S3D.npy> --out pose.jpg
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..tools.figures import draw_skeleton_3d, modality_grid, skeleton_clip_grid
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grid", help="modality first-frame grid (huatu.py)")
+    g.add_argument("--data_root", required=True)
+    g.add_argument("--row", action="append", required=True,
+                   help="dataset:class:video (repeatable)")
+    g.add_argument("--modalities", nargs="+", default=["rgb", "depth", "flow"])
+    g.add_argument("--out", default="multi_modality.pdf")
+    g.add_argument("--img_size", type=int, default=224)
+
+    s = sub.add_parser("skeleton", help="3D skeleton plot (3d_visualization.py)")
+    s.add_argument("--npy", required=True, help="(V,3) or (T,V,3) skeleton .npy")
+    s.add_argument("--out", default="skeleton.jpg")
+    s.add_argument("--frame", type=int, default=0)
+    s.add_argument("--clip", action="store_true",
+                   help="render every frame of a (T,V,3) clip as a strip")
+
+    args = p.parse_args(argv)
+    if args.cmd == "grid":
+        rows = []
+        for r in args.row:
+            parts = r.split(":")
+            if len(parts) != 3:
+                p.error(f"--row must be dataset:class:video, got {r!r}")
+            rows.append(tuple(parts))
+        out = modality_grid(args.data_root, rows, args.modalities,
+                            args.out, args.img_size)
+    else:
+        pose = np.load(args.npy)
+        if args.clip:
+            out = skeleton_clip_grid(pose, args.out)
+        else:
+            if pose.ndim == 3:
+                pose = pose[args.frame]
+            out = draw_skeleton_3d(pose, args.out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,4 +4,4 @@
 # python starts on the TPU image.
 exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    python -m pytest "${@:-tests/ -x -q}"
+    python -m pytest "${@:-tests/}" $([ $# -eq 0 ] && echo "-x -q")

@@ -77,3 +77,32 @@ def test_shrink_dataset(tmp_path):
     assert n == 1
     out = sorted(os.listdir(tmp_path / "dst" / "classA" / "vid1"))
     assert len(out) == 8
+
+
+def test_figures(tmp_path):
+    from litemkd_tpu.tools.figures import (draw_skeleton_3d, modality_grid,
+                                           skeleton_clip_grid)
+    # modality grid over a tiny frame tree (huatu.py layout)
+    rng = np.random.default_rng(0)
+    for modality in ("rgb", "depth"):
+        d = tmp_path / "tiny" / f"{modality}_l8" / "classA" / "vid1"
+        d.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (16, 20, 3), dtype=np.uint8)
+                        ).save(d / "00000.jpg")
+    out = modality_grid(str(tmp_path), [("tiny", "classA", "vid1")],
+                        modalities=("rgb", "depth"),
+                        out_path=str(tmp_path / "grid.pdf"), img_size=32)
+    assert os.path.getsize(out) > 0
+    # H36M skeleton plots (3d_visualization.py)
+    pose = rng.normal(size=(17, 3))
+    out = draw_skeleton_3d(pose, str(tmp_path / "pose.jpg"))
+    assert os.path.getsize(out) > 0
+    clip = rng.normal(size=(3, 17, 3))
+    out = skeleton_clip_grid(clip, str(tmp_path / "clip.jpg"))
+    assert os.path.getsize(out) > 0
+    # CLI round-trip for the skeleton subcommand
+    from litemkd_tpu.cli.figures import main as figures_main
+    np.save(tmp_path / "sk.npy", clip)
+    figures_main(["skeleton", "--npy", str(tmp_path / "sk.npy"),
+                  "--out", str(tmp_path / "cli_pose.jpg"), "--frame", "1"])
+    assert os.path.getsize(tmp_path / "cli_pose.jpg") > 0
