@@ -10,18 +10,26 @@ branch spec:
 
     branch := ("multi", modality_indices, 0)        # N-stream concat encoder
             | ("pair", (i, j), shift)               # 2-stream encoder; stream j
-                                                    # rolled left by `shift`
-                                                    # (negative = roll right)
+                                                    # time-shifted by `shift`
 
-Shifts are applied identically to support and query streams. (The released
-reference's shuffle variants contain cat-order quirks that degenerate some
-shifts to the identity — see fusion.py's MFMTeacher notes; this composer
-implements the stated intent. The bug-faithful 3-modality MFM remains
-available as ``MFMTeacher``.)
+``shift`` is either an int — circular roll applied identically to support and
+query (positive = roll left, negative = roll right) — or a per-side pair
+``((mode, s), (mode, s))`` with mode ``"roll"`` (circular) or ``"pad"``
+(zero-filled shift), support spec first.
+
+Two preset families:
+
+- the intent presets (bare class names) implement what each reference class
+  *states* it does;
+- the ``*_faithful`` presets reproduce the released code's cat-order quirks
+  bit-for-bit: several "shuffles" concatenate the split halves back in
+  original order and degenerate to the identity, and some shift only the
+  support side (see per-preset notes below; the bug-faithful 3-modality MFM
+  with its identity third shift is ``MFMTeacher``, fusion.py).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Tuple, Union
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -30,39 +38,82 @@ from .fusion import (MultiStreamFusion, ThreeStreamFusion, TwoStreamFusion,
                      TrxBranch, _roll_left, _roll_right)
 from ...ops.otam import otam_logits
 
-BranchSpec = Tuple[str, Tuple[int, ...], int]
+SideShift = Tuple[str, int]                     # ("roll"|"pad", frames)
+ShiftSpec = Union[int, Tuple[SideShift, SideShift]]
+BranchSpec = Tuple[str, Tuple[int, ...], ShiftSpec]
 
 # named presets reproducing the reference fusion classes (modality indices
-# refer to positions in cfg.model.modalities, m1 first)
+# refer to positions in cfg.model.modalities, m1 first; shift amounts bake the
+# canonical shirt_num=1 of every released script)
 PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     # model.py:1394 TwoTRX — single pair fusion
     "TwoTRX": (("pair", (0, 1), 0),),
     # model.py:1499 TwoTRXShuffleTime — plain + shifted pair
     "TwoTRXShuffleTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1)),
+    # as released (model.py:1516-1523): support rolled left by shirt_num, but
+    # the query side re-concatenates (prefix, rest) == identity
+    "TwoTRXShuffleTime_faithful": (
+        ("pair", (0, 1), 0),
+        ("pair", (0, 1), (("roll", 1), ("roll", 0)))),
     # model.py:1539 ThreeTRXShuffleTime — plain + shifted pairs per modality
     "ThreeTRXShuffleTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1),
                             ("pair", (0, 2), 0), ("pair", (0, 2), 1)),
-    # model.py:1588 ThreeTRXShiftLoopTime (MFM intent: m2 left, m3 right)
+    # as released (model.py:1556-1566): exactly 3 branches; the shifts are
+    # ZERO-PADDED (F.pad) with the amount hardcoded to 1 frame, m2 left and
+    # m3 right, both sides; there is no unshifted third-modality branch
+    "ThreeTRXShuffleTime_faithful": (
+        ("pair", (0, 1), 0),
+        ("pair", (0, 1), (("pad", 1), ("pad", 1))),
+        ("pair", (0, 2), (("pad", -1), ("pad", -1)))),
+    # model.py:1588 ThreeTRXShiftLoopTime (MFM intent: m2 left, m3 right);
+    # the released quirk version (identity third shift) is MFMTeacher
     "ThreeTRXShiftLoopTime": (("multi", (0, 1, 2), 0), ("pair", (0, 1), 1),
                               ("pair", (0, 2), -1)),
     # model.py:2209 ThreeTRXLRShiftLoopTime — left and right shifts
     "ThreeTRXLRShiftLoopTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1),
                                 ("pair", (0, 2), -1)),
+    # as released (model.py:2225-2240): m2 support rolled left / query
+    # identity; m3 cat((suffix, rest)) == identity on BOTH sides
+    "ThreeTRXLRShiftLoopTime_faithful": (
+        ("pair", (0, 1), 0),
+        ("pair", (0, 1), (("roll", 1), ("roll", 0))),
+        ("pair", (0, 2), 0)),
     # model.py:1712 / 1797 Four/FiveShiftFusion
     "FourShiftFusion": (("multi", (0, 1, 2, 3), 0), ("pair", (0, 1), 1),
                         ("pair", (0, 2), -1), ("pair", (0, 3), 1)),
+    # as released (model.py:1731-1754): only m2 is genuinely rolled; the m3/m4
+    # cat((suffix, rest)) degenerates to identity on both sides
+    "FourShiftFusion_faithful": (
+        ("multi", (0, 1, 2, 3), 0), ("pair", (0, 1), 1),
+        ("pair", (0, 2), 0), ("pair", (0, 3), 0)),
     "FiveShiftFusion": (("multi", (0, 1, 2, 3, 4), 0), ("pair", (0, 1), 1),
                         ("pair", (0, 2), -1), ("pair", (0, 3), 1),
                         ("pair", (0, 4), -1)),
+    # as released (model.py:1818-1849): m2 and m5 rolled left, m3/m4 identity
+    "FiveShiftFusion_faithful": (
+        ("multi", (0, 1, 2, 3, 4), 0), ("pair", (0, 1), 1),
+        ("pair", (0, 2), 0), ("pair", (0, 3), 0), ("pair", (0, 4), 1)),
 }
 
 
-def _shift(x, s: int):
-    if s > 0:
-        return _roll_left(x, s)
-    if s < 0:
-        return _roll_right(x, -s)
-    return x
+def _apply_side_shift(x: jnp.ndarray, spec: SideShift) -> jnp.ndarray:
+    """Shift (N, T, D) along T: roll = circular, pad = zero-filled."""
+    mode, s = spec
+    if s == 0:
+        return x
+    if mode == "roll":
+        return _roll_left(x, s) if s > 0 else _roll_right(x, -s)
+    if s > 0:   # drop the first s frames, zero-pad the tail (F.pad (0,0,0,s))
+        return jnp.concatenate([x[:, s:], jnp.zeros_like(x[:, :s])], axis=1)
+    s = -s      # drop the last s frames, zero-pad the head (F.pad (0,0,s,0))
+    return jnp.concatenate([jnp.zeros_like(x[:, :s]), x[:, :x.shape[1] - s]],
+                           axis=1)
+
+
+def _normalize_shift(shift: ShiftSpec) -> Tuple[SideShift, SideShift]:
+    if isinstance(shift, int):
+        return (("roll", shift), ("roll", shift))
+    return shift
 
 
 class ComposedFusionTeacher(nn.Module):
@@ -104,7 +155,9 @@ class ComposedFusionTeacher(nn.Module):
                                         self.in_dim, self.out_dim,
                                         self.temp_set, self.dropout)
 
-    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
+    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool,
+             side: int = 0) -> jnp.ndarray:
+        """``side``: 0 = support/context shift spec, 1 = query/target."""
         streams = [feats[m] for m in self.modalities]
         fused = None
         for module, (kind, idxs, shift) in zip(self.branch_modules,
@@ -115,13 +168,15 @@ class ComposedFusionTeacher(nn.Module):
                        else module(picked, train))
             else:
                 i, j = idxs
-                out = module(streams[i], _shift(streams[j], shift), train)
+                spec = _normalize_shift(shift)[side]
+                out = module(streams[i], _apply_side_shift(streams[j], spec),
+                             train)
             fused = out if fused is None else fused + out
         return fused
 
     def __call__(self, context_feats, context_labels, target_feats, train: bool):
-        fused_ctx = self.fuse(context_feats, train)
-        fused_tgt = self.fuse(target_feats, train)
+        fused_ctx = self.fuse(context_feats, train, side=0)
+        fused_tgt = self.fuse(target_feats, train, side=1)
         if self.head == "otam":
             logits = otam_logits(fused_ctx, context_labels, fused_tgt,
                                  self.way, self.shot)
@@ -131,4 +186,4 @@ class ComposedFusionTeacher(nn.Module):
         return {"logits": logits}
 
     def extract(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        return self.fuse(feats, train=False)
+        return self.fuse(feats, train=False, side=0)

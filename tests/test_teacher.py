@@ -164,3 +164,62 @@ def test_composed_fusion_presets():
         # extract() provides the fused features for the dump tools
         fused = m.apply(v, feats(4), method=m.extract)
         assert fused.shape == (4, T, D)
+
+
+def test_faithful_composer_presets():
+    """The *_faithful presets reproduce the released cat-order quirks: the
+    TwoTRXShuffleTime query side and the LR/Four/Five third-modality shifts
+    degenerate to the identity (model.py:1516-1523, 2225-2240, 1731-1754)."""
+    from litemkd_tpu.models.teacher import ComposedFusionTeacher, FUSION_PRESETS
+    from litemkd_tpu.models.teacher.composer import _apply_side_shift
+    rng = np.random.default_rng(7)
+
+    # pad-mode shifts match the torch F.pad transcription
+    x = jnp.asarray(rng.normal(size=(2, T, D)).astype(np.float32))
+    left = np.concatenate([np.asarray(x)[:, 1:], np.zeros((2, 1, D), np.float32)], 1)
+    right = np.concatenate([np.zeros((2, 1, D), np.float32), np.asarray(x)[:, :-1]], 1)
+    np.testing.assert_array_equal(np.asarray(_apply_side_shift(x, ("pad", 1))), left)
+    np.testing.assert_array_equal(np.asarray(_apply_side_shift(x, ("pad", -1))), right)
+
+    # faithful TwoTRXShuffleTime: query-side branch shift is the identity —
+    # its fused target equals a composer whose second branch has no shift;
+    # the support side matches the symmetric-intent preset (roll both sides)
+    mods = ("rgb", "depth")
+    feats = {m: jnp.asarray(rng.normal(size=(4, T, D)).astype(np.float32))
+             for m in mods}
+    kw = dict(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24, depth=1,
+              modalities=mods)
+    m_faith = ComposedFusionTeacher(
+        branches=FUSION_PRESETS["TwoTRXShuffleTime_faithful"], **kw)
+    m_intent = ComposedFusionTeacher(
+        branches=FUSION_PRESETS["TwoTRXShuffleTime"], **kw)
+    m_plain = ComposedFusionTeacher(
+        branches=(("pair", (0, 1), 0), ("pair", (0, 1), 0)), **kw)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    ctx = {m: jnp.asarray(rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32))
+           for m in mods}
+    v = m_faith.init(jax.random.key(0), ctx, labels, feats, False)
+    tgt_faith = m_faith.apply(v, feats, False, 1, method=m_faith.fuse)
+    tgt_plain = m_plain.apply(v, feats, False, 1, method=m_plain.fuse)
+    np.testing.assert_allclose(np.asarray(tgt_faith), np.asarray(tgt_plain),
+                               rtol=1e-6)
+    sup_faith = m_faith.apply(v, feats, False, 0, method=m_faith.fuse)
+    sup_intent = m_intent.apply(v, feats, False, 0, method=m_intent.fuse)
+    np.testing.assert_allclose(np.asarray(sup_faith), np.asarray(sup_intent),
+                               rtol=1e-6)
+
+    # every faithful preset trains/evals end-to-end
+    for name, n_mod in [("ThreeTRXShuffleTime_faithful", 3),
+                        ("ThreeTRXLRShiftLoopTime_faithful", 3),
+                        ("FourShiftFusion_faithful", 4),
+                        ("FiveShiftFusion_faithful", 5)]:
+        mods_n = tuple(f"m{i}" for i in range(n_mod))
+        mk = lambda n: {m: jnp.asarray(
+            rng.normal(size=(n, T, D)).astype(np.float32)) for m in mods_n}
+        m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                  out_dim=24, depth=1, modalities=mods_n,
+                                  branches=FUSION_PRESETS[name])
+        ctx_n, tgt_n = mk(WAY * SHOT), mk(WAY * QPC)
+        v = m.init(jax.random.key(1), ctx_n, labels, tgt_n, False)
+        out = m.apply(v, ctx_n, labels, tgt_n, False)
+        assert out["logits"].shape == (WAY * QPC, WAY), name
