@@ -199,8 +199,7 @@ def make_eval_step(cfg: Config) -> Callable:
 
     signature: eval_step(variables, batch) → (E,) accuracies
     """
-    ecfg = cfg.replace(episode=cfg.episode)  # shapes baked by the batch itself
-    student = BatchedStudent(ecfg)
+    student = BatchedStudent(cfg)
 
     def eval_step(variables, batch: EpisodeBatch):
         out = student.apply(variables, batch.support_clips,
