@@ -38,7 +38,7 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--fusion", default="mfm",
                    help="fusion teacher kind for mfm mode: mfm | dga | dga2 | "
-                        "a composer preset | otam:<preset>")
+                        "two_road | a composer preset | otam:<preset>")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)

@@ -76,9 +76,11 @@ def main(argv=None):
     p.add_argument("--shirt_num", type=int, default=None)
     p.add_argument("--fusion", default="mfm",
                    help="mfm (ThreeTRXShiftLoopTime, bug-faithful) | tsf (score "
-                        "fusion) | dga/dga2 (AdaIN) | a composer preset name "
-                        "(TwoTRXShuffleTime, ThreeTRXLRShiftLoopTime, "
-                        "FourShiftFusion, ...) | otam:<preset> for an OTAM head")
+                        "fusion) | dga/dga2 (AdaIN) | two_road (ThreeFusionTwoRoad) "
+                        "| a composer preset name (TwoTRXShuffleTime, TwoCross, "
+                        "ThreeCross, TwoCombinationTRX, ThreeFusion3, "
+                        "FourShiftFusion, ..., or any *_faithful variant) | "
+                        "otam:<preset> for an OTAM head")
     p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,
                    help="TSF per-modality logit weights (reference --a/--b/--c)")
     args = p.parse_args(argv)

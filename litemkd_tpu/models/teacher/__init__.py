@@ -1,9 +1,13 @@
 from .fusion import (EncoderLayer, Encoder, TwoStreamFusion, ThreeStreamFusion,
                      MultiStreamFusion, TrxBranch, MFMTeacher, ScoreFusion,
-                     DGAdaIN, DGAFusionTeacher)
-from .composer import ComposedFusionTeacher, PRESETS as FUSION_PRESETS
+                     DGAdaIN, DGAFusionTeacher, CrossAttentionFusion,
+                     SelfEncoderBranch, BatchStatFusion, TwoRoadFusionTeacher)
+from .composer import (Branch, ComposedFusionTeacher, PRESETS as FUSION_PRESETS,
+                       PRESET_OPTIONS as FUSION_PRESET_OPTIONS)
 
 __all__ = ["EncoderLayer", "Encoder", "TwoStreamFusion", "ThreeStreamFusion",
            "MultiStreamFusion", "TrxBranch", "MFMTeacher", "ScoreFusion",
-           "DGAdaIN", "DGAFusionTeacher", "ComposedFusionTeacher",
-           "FUSION_PRESETS"]
+           "DGAdaIN", "DGAFusionTeacher", "CrossAttentionFusion",
+           "SelfEncoderBranch", "BatchStatFusion", "TwoRoadFusionTeacher",
+           "Branch", "ComposedFusionTeacher", "FUSION_PRESETS",
+           "FUSION_PRESET_OPTIONS"]

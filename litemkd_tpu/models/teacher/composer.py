@@ -2,97 +2,181 @@
 
 The reference grows one bespoke ~100-line class per fusion permutation
 (TwoTRXShuffleTime, ThreeTRXShuffleTime, ThreeTRXLRShiftLoopTime,
-FourShiftFusion, FiveShiftFusion, OTAMThreeTRXShiftLoopTime, ...;
-``teacher/code/model.py:1394-2262``). All of them are sums of two kinds of
-branch applied to time-shifted modality streams, classified by a TRX (or OTAM)
-head — so here the permutation space is one composable module driven by a
-branch spec:
+Four/FiveShiftFusion, TwoCross, ThreeCross, TwoCombination*,
+ThreeCombinationTRX, ThreeFusion3, TwoFusionBatchFusion, ...;
+``teacher/code/model.py:1394-2719``). All of them combine a handful of branch
+types applied to (optionally time-shifted) modality streams, classified by a
+TRX (or OTAM) head — so here the permutation space is one composable module
+driven by branch specs:
 
-    branch := ("multi", modality_indices, 0)        # N-stream concat encoder
-            | ("pair", (i, j), shift)               # 2-stream encoder; stream j
-                                                    # time-shifted by `shift`
+    Branch(kind, idxs, shift=0, share=None, sides=(1, 1), depth=None)
 
-``shift`` is either an int — circular roll applied identically to support and
-query (positive = roll left, negative = roll right) — or a per-side pair
-``((mode, s), (mode, s))`` with mode ``"roll"`` (circular) or ``"pad"``
-(zero-filled shift), support spec first.
+    kind  := "pair"   2-stream concat encoder (TwoTransforFusion)
+           | "multi"  N-stream concat encoder (Three/FourTransforTemproal;
+                      ``depth`` overrides trans_num, e.g. ThreeTransforTask's
+                      hardcoded 2 layers)
+           | "cross"  BERT cross attention (transformer.py BertAttention)
+           | "self"   per-stream plain encoder (ThreeFusion3's ``tran``)
+           | "batch"  scalar-stat shift fusion (BatchTwoFusion)
+    idxs  := modality indices (positions in ``modalities``; m1 first)
+    shift := int — circular roll of the *last* stream, applied identically to
+             support and query (positive = roll left) — or a per-side pair
+             ``((mode, s), (mode, s))`` with mode "roll"|"pad" (zero-filled),
+             support spec first
+    share := branches with the same key share ONE parameterized module (the
+             reference reuses a single ``self.fusion`` across its pair
+             branches — sharing is part of the architecture)
+    sides := which of (support, query) include this branch — e.g.
+             TwoCombinationTemTroShiftTRX adds its 3-stream branch to the
+             support fusion only (model.py:2192-2204)
 
-Two preset families:
+Branch outputs combine by summation (``combine="sum"``) or by a shared
+cross-attention combiner (``combine="cross"``, ThreeCross model.py:1486-1492);
+``post="mlp"`` applies ThreeFusion3's bottleneck MLP to the combined fusion
+(model.py:2582-2584).
 
-- the intent presets (bare class names) implement what each reference class
-  *states* it does;
-- the ``*_faithful`` presets reproduce the released code's cat-order quirks
-  bit-for-bit: several "shuffles" concatenate the split halves back in
-  original order and degenerate to the identity, and some shift only the
-  support side (see per-preset notes below; the bug-faithful 3-modality MFM
-  with its identity third shift is ``MFMTeacher``, fusion.py).
+Two preset families: the intent presets (bare class names) implement what
+each reference class *states* it does; the ``*_faithful`` presets reproduce
+the released code's cat-order quirks bit-for-bit (several "shuffles"
+re-concatenate the split halves in original order and degenerate to the
+identity, and some shift only the support side — noted per preset). The
+bug-faithful 3-modality MFM is ``MFMTeacher`` (fusion.py); the bespoke
+two-road head is ``TwoRoadFusionTeacher``.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple, Union
+from typing import Dict, NamedTuple, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .fusion import (MultiStreamFusion, ThreeStreamFusion, TwoStreamFusion,
+from .fusion import (BatchStatFusion, CrossAttentionFusion, MultiStreamFusion,
+                     SelfEncoderBranch, ThreeStreamFusion, TwoStreamFusion,
                      TrxBranch, _roll_left, _roll_right)
 from ...ops.otam import otam_logits
 
 SideShift = Tuple[str, int]                     # ("roll"|"pad", frames)
 ShiftSpec = Union[int, Tuple[SideShift, SideShift]]
-BranchSpec = Tuple[str, Tuple[int, ...], ShiftSpec]
+
+
+class Branch(NamedTuple):
+    kind: str
+    idxs: Tuple[int, ...]
+    shift: ShiftSpec = 0
+    share: Optional[str] = None
+    sides: Tuple[int, int] = (1, 1)
+    depth: Optional[int] = None
+
+
+BranchSpec = Union[Branch, Tuple]   # plain (kind, idxs, shift) tuples accepted
 
 # named presets reproducing the reference fusion classes (modality indices
 # refer to positions in cfg.model.modalities, m1 first; shift amounts bake the
-# canonical shirt_num=1 of every released script)
+# canonical shirt_num=1 of every released script). Pair/cross branches within
+# one preset share a single fusion module exactly where the reference reuses
+# one ``self.fusion`` for several calls.
 PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     # model.py:1394 TwoTRX — single pair fusion
-    "TwoTRX": (("pair", (0, 1), 0),),
-    # model.py:1499 TwoTRXShuffleTime — plain + shifted pair
-    "TwoTRXShuffleTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1)),
+    "TwoTRX": (Branch("pair", (0, 1)),),
+    # model.py:1430 TwoCross — single BERT cross-attention fusion
+    "TwoCross": (Branch("cross", (0, 1)),),
+    # model.py:1462 ThreeCross — fusion1(m1,m2) and fusion1(m1,m3) (one shared
+    # module) combined by a second cross attention (see PRESET_OPTIONS)
+    "ThreeCross": (Branch("cross", (0, 1), share="f1"),
+                   Branch("cross", (0, 2), share="f1")),
+    # model.py:1499 TwoTRXShuffleTime — plain + shifted pair, one shared fusion
+    "TwoTRXShuffleTime": (Branch("pair", (0, 1), 0, "f"),
+                          Branch("pair", (0, 1), 1, "f")),
     # as released (model.py:1516-1523): support rolled left by shirt_num, but
     # the query side re-concatenates (prefix, rest) == identity
     "TwoTRXShuffleTime_faithful": (
-        ("pair", (0, 1), 0),
-        ("pair", (0, 1), (("roll", 1), ("roll", 0)))),
+        Branch("pair", (0, 1), 0, "f"),
+        Branch("pair", (0, 1), (("roll", 1), ("roll", 0)), "f")),
     # model.py:1539 ThreeTRXShuffleTime — plain + shifted pairs per modality
-    "ThreeTRXShuffleTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1),
-                            ("pair", (0, 2), 0), ("pair", (0, 2), 1)),
+    "ThreeTRXShuffleTime": (Branch("pair", (0, 1), 0, "f"),
+                            Branch("pair", (0, 1), 1, "f"),
+                            Branch("pair", (0, 2), 0, "f"),
+                            Branch("pair", (0, 2), 1, "f")),
     # as released (model.py:1556-1566): exactly 3 branches; the shifts are
     # ZERO-PADDED (F.pad) with the amount hardcoded to 1 frame, m2 left and
     # m3 right, both sides; there is no unshifted third-modality branch
     "ThreeTRXShuffleTime_faithful": (
-        ("pair", (0, 1), 0),
-        ("pair", (0, 1), (("pad", 1), ("pad", 1))),
-        ("pair", (0, 2), (("pad", -1), ("pad", -1)))),
+        Branch("pair", (0, 1), 0, "f"),
+        Branch("pair", (0, 1), (("pad", 1), ("pad", 1)), "f"),
+        Branch("pair", (0, 2), (("pad", -1), ("pad", -1)), "f")),
     # model.py:1588 ThreeTRXShiftLoopTime (MFM intent: m2 left, m3 right);
     # the released quirk version (identity third shift) is MFMTeacher
-    "ThreeTRXShiftLoopTime": (("multi", (0, 1, 2), 0), ("pair", (0, 1), 1),
-                              ("pair", (0, 2), -1)),
+    "ThreeTRXShiftLoopTime": (Branch("multi", (0, 1, 2)),
+                              Branch("pair", (0, 1), 1, "f"),
+                              Branch("pair", (0, 2), -1, "f")),
     # model.py:2209 ThreeTRXLRShiftLoopTime — left and right shifts
-    "ThreeTRXLRShiftLoopTime": (("pair", (0, 1), 0), ("pair", (0, 1), 1),
-                                ("pair", (0, 2), -1)),
+    "ThreeTRXLRShiftLoopTime": (Branch("pair", (0, 1), 0, "f"),
+                                Branch("pair", (0, 1), 1, "f"),
+                                Branch("pair", (0, 2), -1, "f")),
     # as released (model.py:2225-2240): m2 support rolled left / query
     # identity; m3 cat((suffix, rest)) == identity on BOTH sides
     "ThreeTRXLRShiftLoopTime_faithful": (
-        ("pair", (0, 1), 0),
-        ("pair", (0, 1), (("roll", 1), ("roll", 0))),
-        ("pair", (0, 2), 0)),
+        Branch("pair", (0, 1), 0, "f"),
+        Branch("pair", (0, 1), (("roll", 1), ("roll", 0)), "f"),
+        Branch("pair", (0, 2), 0, "f")),
     # model.py:1712 / 1797 Four/FiveShiftFusion
-    "FourShiftFusion": (("multi", (0, 1, 2, 3), 0), ("pair", (0, 1), 1),
-                        ("pair", (0, 2), -1), ("pair", (0, 3), 1)),
+    "FourShiftFusion": (Branch("multi", (0, 1, 2, 3)),
+                        Branch("pair", (0, 1), 1, "f"),
+                        Branch("pair", (0, 2), -1, "f"),
+                        Branch("pair", (0, 3), 1, "f")),
     # as released (model.py:1731-1754): only m2 is genuinely rolled; the m3/m4
     # cat((suffix, rest)) degenerates to identity on both sides
     "FourShiftFusion_faithful": (
-        ("multi", (0, 1, 2, 3), 0), ("pair", (0, 1), 1),
-        ("pair", (0, 2), 0), ("pair", (0, 3), 0)),
-    "FiveShiftFusion": (("multi", (0, 1, 2, 3, 4), 0), ("pair", (0, 1), 1),
-                        ("pair", (0, 2), -1), ("pair", (0, 3), 1),
-                        ("pair", (0, 4), -1)),
+        Branch("multi", (0, 1, 2, 3)), Branch("pair", (0, 1), 1, "f"),
+        Branch("pair", (0, 2), 0, "f"), Branch("pair", (0, 3), 0, "f")),
+    "FiveShiftFusion": (Branch("multi", (0, 1, 2, 3, 4)),
+                        Branch("pair", (0, 1), 1, "f"),
+                        Branch("pair", (0, 2), -1, "f"),
+                        Branch("pair", (0, 3), 1, "f"),
+                        Branch("pair", (0, 4), -1, "f")),
     # as released (model.py:1818-1849): m2 and m5 rolled left, m3/m4 identity
     "FiveShiftFusion_faithful": (
-        ("multi", (0, 1, 2, 3, 4), 0), ("pair", (0, 1), 1),
-        ("pair", (0, 2), 0), ("pair", (0, 3), 0), ("pair", (0, 4), 1)),
+        Branch("multi", (0, 1, 2, 3, 4)), Branch("pair", (0, 1), 1, "f"),
+        Branch("pair", (0, 2), 0, "f"), Branch("pair", (0, 3), 0, "f"),
+        Branch("pair", (0, 4), 1, "f")),
+    # model.py:1990 TwoCombinationTRX — (m1,m2) + (m1,m3), one shared fusion
+    "TwoCombinationTRX": (Branch("pair", (0, 1), 0, "f"),
+                          Branch("pair", (0, 2), 0, "f")),
+    # model.py:2022 TwoCombinationCTX — same but BERT cross attention
+    "TwoCombinationCTX": (Branch("cross", (0, 1), 0, "f1"),
+                          Branch("cross", (0, 2), 0, "f1")),
+    # model.py:2054 ThreeCombinationTRX — 3 pairs vs m1, one shared fusion
+    "ThreeCombinationTRX": (Branch("pair", (0, 1), 0, "f"),
+                            Branch("pair", (0, 2), 0, "f"),
+                            Branch("pair", (0, 3), 0, "f")),
+    # model.py:2096 TwoCombinationShiftTRX — shifted (m1,m2) + (m1,m3)
+    "TwoCombinationShiftTRX": (Branch("pair", (0, 1), 1, "f"),
+                               Branch("pair", (0, 2), -1, "f")),
+    # as released (model.py:2112-2126): m2 rolled left both sides; m3
+    # cat((suffix, rest)) == identity
+    "TwoCombinationShiftTRX_faithful": (Branch("pair", (0, 1), 1, "f"),
+                                        Branch("pair", (0, 2), 0, "f")),
+    # model.py:2158 TwoCombinationTemTroShiftTRX — ThreeTransforTask (2-layer
+    # 3-stream encoder) + the two shifted pairs
+    "TwoCombinationTemTroShiftTRX": (
+        Branch("multi", (0, 1, 2), depth=2),
+        Branch("pair", (0, 1), 1, "f"), Branch("pair", (0, 2), -1, "f")),
+    # as released (model.py:2192-2204): the 3-stream branch is added to the
+    # SUPPORT fusion only (fusion_target omits fusion_context1's counterpart);
+    # m2 rolled left both sides; m3 identity
+    "TwoCombinationTemTroShiftTRX_faithful": (
+        Branch("multi", (0, 1, 2), depth=2, sides=(1, 0)),
+        Branch("pair", (0, 1), 1, "f"), Branch("pair", (0, 2), 0, "f")),
+    # model.py:2555 ThreeFusion3 — self-encoded m1 + pair(m2, m3), MLP post
+    "ThreeFusion3": (Branch("self", (0,), depth=3), Branch("pair", (1, 2))),
+    # model.py:2700 TwoFusionBatchFusion — scalar-stat shift fusion
+    "TwoFusionBatchFusion": (Branch("batch", (0, 1)),),
+}
+
+# per-preset module-level options (combiner / post-processor)
+PRESET_OPTIONS: Dict[str, Dict[str, str]] = {
+    "ThreeCross": {"combine": "cross"},
+    "ThreeFusion3": {"post": "mlp"},
 }
 
 
@@ -116,8 +200,12 @@ def _normalize_shift(shift: ShiftSpec) -> Tuple[SideShift, SideShift]:
     return shift
 
 
+def _as_branch(spec: BranchSpec) -> Branch:
+    return spec if isinstance(spec, Branch) else Branch(*spec)
+
+
 class ComposedFusionTeacher(nn.Module):
-    """Sum-of-branches fusion over modality dicts, TRX or OTAM head.
+    """Sum/cross-combined branches over modality dicts, TRX or OTAM head.
 
     ``__call__(context_feats, context_labels, target_feats, train)`` →
     ``{'logits': (Q, way)}``; ``extract(feats)`` → fused (N, T, D).
@@ -134,22 +222,44 @@ class ComposedFusionTeacher(nn.Module):
     depth: int = 2
     dropout: float = 0.1
     head: str = "trx"            # "trx" | "otam"
+    combine: str = "sum"         # "sum" | "cross"
+    post: Optional[str] = None   # None | "mlp"
 
     def setup(self):
         mods = []
-        for kind, idxs, _ in self.branches:
-            if kind == "multi":
-                n = len(idxs)
-                if n == 3:
-                    mods.append(ThreeStreamFusion(self.seq_len, self.in_dim,
-                                                  self.depth, self.dropout))
-                else:
-                    mods.append(MultiStreamFusion(n, self.seq_len, self.in_dim,
-                                                  self.depth, self.dropout))
+        shared: Dict[Tuple[str, str], nn.Module] = {}
+        for spec in self.branches:
+            b = _as_branch(spec)
+            key = (b.kind, b.share) if b.share else None
+            if key is not None and key in shared:
+                mods.append(shared[key])
+                continue
+            depth = b.depth if b.depth is not None else self.depth
+            if b.kind == "multi":
+                n = len(b.idxs)
+                m = (ThreeStreamFusion(self.seq_len, self.in_dim, depth,
+                                       self.dropout) if n == 3 else
+                     MultiStreamFusion(n, self.seq_len, self.in_dim, depth,
+                                       self.dropout))
+            elif b.kind == "cross":
+                m = CrossAttentionFusion(self.in_dim, dropout=self.dropout)
+            elif b.kind == "self":
+                m = SelfEncoderBranch(self.in_dim, depth, self.dropout)
+            elif b.kind == "batch":
+                m = BatchStatFusion(self.in_dim)
             else:
-                mods.append(TwoStreamFusion(self.seq_len, self.in_dim,
-                                            self.depth, self.dropout))
+                m = TwoStreamFusion(self.seq_len, self.in_dim, depth,
+                                    self.dropout)
+            if key is not None:
+                shared[key] = m
+            mods.append(m)
         self.branch_modules = mods
+        if self.combine == "cross":
+            self.combiner = CrossAttentionFusion(self.in_dim,
+                                                 dropout=self.dropout)
+        if self.post == "mlp":
+            from ...ops.strm import BottleneckMLP2
+            self.post_mlp = BottleneckMLP2(self.in_dim)
         if self.head == "trx":
             self.classifier = TrxBranch(self.way, self.shot, self.seq_len,
                                         self.in_dim, self.out_dim,
@@ -159,19 +269,31 @@ class ComposedFusionTeacher(nn.Module):
              side: int = 0) -> jnp.ndarray:
         """``side``: 0 = support/context shift spec, 1 = query/target."""
         streams = [feats[m] for m in self.modalities]
-        fused = None
-        for module, (kind, idxs, shift) in zip(self.branch_modules,
-                                               self.branches):
-            if kind == "multi":
-                picked = [streams[i] for i in idxs]
-                out = (module(*picked, train) if len(idxs) == 3
+        outs = []
+        for module, spec in zip(self.branch_modules, self.branches):
+            b = _as_branch(spec)
+            if not b.sides[side]:
+                continue
+            if b.kind == "multi":
+                picked = [streams[i] for i in b.idxs]
+                out = (module(*picked, train) if len(b.idxs) == 3
                        else module(picked, train))
+            elif b.kind == "self":
+                out = module(streams[b.idxs[0]], train)
             else:
-                i, j = idxs
-                spec = _normalize_shift(shift)[side]
-                out = module(streams[i], _apply_side_shift(streams[j], spec),
-                             train)
-            fused = out if fused is None else fused + out
+                i, j = b.idxs
+                spec_s = _normalize_shift(b.shift)[side]
+                out = module(streams[i],
+                             _apply_side_shift(streams[j], spec_s), train)
+            outs.append(out)
+        if self.combine == "cross" and len(outs) > 1:
+            fused = outs[0]
+            for o in outs[1:]:
+                fused = self.combiner(fused, o, train)
+        else:
+            fused = sum(outs[1:], outs[0])
+        if self.post == "mlp":
+            fused = self.post_mlp(fused)
         return fused
 
     def __call__(self, context_feats, context_labels, target_feats, train: bool):

@@ -165,6 +165,72 @@ class MultiStreamFusion(nn.Module):
                           name="drop_out")(x)
 
 
+class CrossAttentionFusion(nn.Module):
+    """BERT-style cross attention (``teacher/code/transformer.py:57-71``,
+    ``BertAttention``): query = stream 1, key/value = stream 2, 2 heads,
+    out-projection + dropout + LayerNorm(residual to stream 1). Used by
+    TwoCross/ThreeCross/TwoCombinationCTX (model.py:1430-1498, 2022-2053)."""
+
+    d: int = 2048
+    nhead: int = 2
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool):
+        d, h = self.d, self.nhead
+        hd = d // h
+        cd = self.compute_dtype
+        n, t, _ = x1.shape
+        q = _dense(d, d, "query", cd)(x1).reshape(n, t, h, hd)
+        k = _dense(d, d, "key", cd)(x2).reshape(n, -1, h, hd)
+        v = _dense(d, d, "value", cd)(x2).reshape(n, -1, h, hd)
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop_probs")(attn)
+        ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
+                         preferred_element_type=jnp.float32).reshape(n, t, d)
+        out = _dense(d, d, "out", cd)(ctx)
+        out = nn.Dropout(self.dropout, deterministic=not train,
+                         name="drop_out")(out)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(out + x1)
+
+
+class SelfEncoderBranch(nn.Module):
+    """Plain self-attention encoder over one stream, no positional encoding —
+    ThreeFusion3's ``self.tran`` (model.py:2565-2580: nhead=1, 3 layers; its
+    positionEncoding1 is constructed but never applied)."""
+
+    d: int = 2048
+    depth: int = 3
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return Encoder(self.d, 1, self.depth, self.dropout,
+                       name="encoder")(x, train)
+
+
+class BatchStatFusion(nn.Module):
+    """BatchTwoFusion (model.py:2607-2619): shift-normalize x by the *scalar*
+    mean/std of the other stream (torch.mean/std over all elements), then one
+    linear; operates on flattened (N·T, D) tokens."""
+
+    d: int = 2048
+
+    @nn.compact
+    def __call__(self, x, w, train: bool):
+        n, t, _ = x.shape
+        xf = x.reshape(-1, self.d)
+        wf = w.reshape(-1, self.d)
+        mu = jnp.mean(wf)
+        sd = jnp.std(wf, ddof=1)          # torch.std default: unbiased
+        out = _dense(self.d, self.d, "f1")(xf + (xf - mu) / (sd + 1e-5))
+        return out.reshape(n, t, self.d)
+
+
 class TrxBranch(nn.Module):
     """TCT stack over fused features → (Q, way) logits (model.py:1094-1128)."""
 
@@ -327,6 +393,66 @@ class DGAFusionTeacher(nn.Module):
 
     def extract(self, feats):
         """Per-video fused features for the dump tools."""
+        return self.fuse(feats, train=False)
+
+
+class TwoRoadFusionTeacher(nn.Module):
+    """ThreeFusionTwoRoad (model.py:2646-2700) + its ThreeTranToTwo encoder
+    (model.py:2620-2645): 3 modalities PE'd and concatenated, a 4-layer
+    nhead=3 encoder over 3D channels, a 3D→2D projection, then the released
+    two-road head: the (N, T, 2D) fusion is reinterpreted flat as (2NT, D)
+    tokens, split channel-wise into D/2 halves, each passed through its own
+    linear + bottleneck MLP, summed, and the NT·D elements are reinterpreted
+    again as (N, T, D) for the TRX branch — reshape quirks reproduced exactly.
+    """
+
+    way: int
+    shot: int
+    seq_len: int
+    in_dim: int = 2048
+    out_dim: int = 1152
+    temp_set: Tuple[int, ...] = (2,)
+    depth: int = 4                       # reference hardcodes num_layers=4
+    modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
+    dropout: float = 0.1
+
+    def setup(self):
+        from ...ops.strm import BottleneckMLP2
+        d, half = self.in_dim, self.in_dim // 2
+        self.pes = [TrainablePE(self.seq_len, d, self.dropout)
+                    for _ in self.modalities]
+        self.encoder = Encoder(3 * d, 3, self.depth, self.dropout)
+        self.proj = nn.Dense(2 * d, kernel_init=torch_linear_kernel_init(),
+                             bias_init=torch_linear_bias_init(3 * d))
+        self.drop = nn.Dropout(self.dropout)
+        self.road1 = nn.Dense(half, kernel_init=torch_linear_kernel_init(),
+                              bias_init=torch_linear_bias_init(half))
+        self.road2 = nn.Dense(half, kernel_init=torch_linear_kernel_init(),
+                              bias_init=torch_linear_bias_init(half))
+        self.mlp1 = BottleneckMLP2(half)
+        self.mlp2 = BottleneckMLP2(half)
+        self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
+                                self.out_dim, self.temp_set, self.dropout)
+
+    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
+        d, half = self.in_dim, self.in_dim // 2
+        streams = [pe(feats[m], train=train)
+                   for pe, m in zip(self.pes, self.modalities)]
+        x = self.encoder(jnp.concatenate(streams, -1), train)
+        x = self.drop(self.proj(x), deterministic=not train)   # (N, T, 2D)
+        n = x.shape[0]
+        x = x.reshape(-1, d)                                    # (2NT, D)
+        a = self.mlp1(self.road1(x[:, :half]))
+        b = self.mlp2(self.road2(x[:, half:]))
+        return (a + b).reshape(n, self.seq_len, d)              # NT·D elements
+
+    def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        fused_ctx = self.fuse(context_feats, train)
+        fused_tgt = self.fuse(target_feats, train)
+        logits = self.branch(fused_ctx, context_labels, fused_tgt, train)
+        return {"logits": logits}
+
+    def extract(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return self.fuse(feats, train=False)
 
 

@@ -22,7 +22,8 @@ import flax.linen as nn
 
 from ..config import Config
 from ..models.teacher import (MFMTeacher, ScoreFusion, DGAFusionTeacher,
-                              ComposedFusionTeacher, FUSION_PRESETS)
+                              ComposedFusionTeacher, FUSION_PRESETS,
+                              FUSION_PRESET_OPTIONS, TwoRoadFusionTeacher)
 from ..models.backbones.classifier_net import ActionRecognitionNet
 from ..utils.metrics import per_episode_accuracy
 from .schedule import make_optimizer
@@ -52,12 +53,15 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
     elif kind in ("dga", "dga2"):
         cls = DGAFusionTeacher
         kw.update(depth=cfg.model.trans_num, with_enrich=(kind == "dga2"))
+    elif kind == "two_road":
+        cls = TwoRoadFusionTeacher
     elif kind in FUSION_PRESETS or kind.startswith("otam:"):
         cls = ComposedFusionTeacher
         preset_name = kind[5:] if kind.startswith("otam:") else kind
         kw.update(depth=cfg.model.trans_num,
                   branches=FUSION_PRESETS[preset_name],
-                  head="otam" if kind.startswith("otam:") else "trx")
+                  head="otam" if kind.startswith("otam:") else "trx",
+                  **FUSION_PRESET_OPTIONS.get(preset_name, {}))
     else:
         cls = MFMTeacher
         kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)

@@ -194,7 +194,7 @@ def test_faithful_composer_presets():
     m_intent = ComposedFusionTeacher(
         branches=FUSION_PRESETS["TwoTRXShuffleTime"], **kw)
     m_plain = ComposedFusionTeacher(
-        branches=(("pair", (0, 1), 0), ("pair", (0, 1), 0)), **kw)
+        branches=(("pair", (0, 1), 0, "f"), ("pair", (0, 1), 0, "f")), **kw)
     labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
     ctx = {m: jnp.asarray(rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32))
            for m in mods}
@@ -212,7 +212,9 @@ def test_faithful_composer_presets():
     for name, n_mod in [("ThreeTRXShuffleTime_faithful", 3),
                         ("ThreeTRXLRShiftLoopTime_faithful", 3),
                         ("FourShiftFusion_faithful", 4),
-                        ("FiveShiftFusion_faithful", 5)]:
+                        ("FiveShiftFusion_faithful", 5),
+                        ("TwoCombinationShiftTRX_faithful", 3),
+                        ("TwoCombinationTemTroShiftTRX_faithful", 3)]:
         mods_n = tuple(f"m{i}" for i in range(n_mod))
         mk = lambda n: {m: jnp.asarray(
             rng.normal(size=(n, T, D)).astype(np.float32)) for m in mods_n}
@@ -223,3 +225,54 @@ def test_faithful_composer_presets():
         v = m.init(jax.random.key(1), ctx_n, labels, tgt_n, False)
         out = m.apply(v, ctx_n, labels, tgt_n, False)
         assert out["logits"].shape == (WAY * QPC, WAY), name
+
+
+def test_composer_new_kinds_and_sharing():
+    """Cross/self/batch branch kinds, the cross combiner, the MLP post, the
+    TwoRoad teacher, and reference-faithful parameter sharing."""
+    from litemkd_tpu.models.teacher import (ComposedFusionTeacher,
+                                            FUSION_PRESETS,
+                                            FUSION_PRESET_OPTIONS,
+                                            TwoRoadFusionTeacher)
+    rng = np.random.default_rng(8)
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+
+    def mk(n, mods):
+        return {m: jnp.asarray(rng.normal(size=(n, T, D)).astype(np.float32))
+                for m in mods}
+
+    for name, n_mod in [("TwoCross", 2), ("ThreeCross", 3),
+                        ("TwoCombinationCTX", 3), ("TwoCombinationTRX", 3),
+                        ("ThreeCombinationTRX", 4), ("ThreeFusion3", 3),
+                        ("TwoFusionBatchFusion", 2)]:
+        mods = tuple(f"m{i}" for i in range(n_mod))
+        m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                  out_dim=24, depth=1, modalities=mods,
+                                  branches=FUSION_PRESETS[name],
+                                  **FUSION_PRESET_OPTIONS.get(name, {}))
+        ctx, tgt = mk(WAY * SHOT, mods), mk(WAY * QPC, mods)
+        v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+        out = m.apply(v, ctx, labels, tgt, False)
+        assert out["logits"].shape == (WAY * QPC, WAY), name
+
+    # parameter sharing: TwoCombinationTRX's two pair branches use ONE fusion
+    # module (the reference reuses self.fusion, model.py:1990-2020)
+    mods3 = ("m0", "m1", "m2")
+    m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                              out_dim=24, depth=1, modalities=mods3,
+                              branches=FUSION_PRESETS["TwoCombinationTRX"])
+    v = m.init(jax.random.key(0), mk(WAY * SHOT, mods3), labels,
+               mk(WAY * QPC, mods3), False)
+    fusion_mods = [k for k in v["params"] if "TwoStreamFusion" in k
+                   or "branch_modules" in k]
+    assert len(fusion_mods) == 1, fusion_mods
+
+    # TwoRoad teacher end-to-end + extract
+    m = TwoRoadFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                             out_dim=24, depth=1, modalities=mods3)
+    ctx, tgt = mk(WAY * SHOT, mods3), mk(WAY * QPC, mods3)
+    v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(v, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+    fused = m.apply(v, mk(4, mods3), method=m.extract)
+    assert fused.shape == (4, T, D)

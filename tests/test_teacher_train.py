@@ -119,3 +119,15 @@ def test_pretrain_step(cfg):
     state, metrics = step(state, clips, labels)
     assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+def test_two_road_training_step(cfg):
+    """ThreeFusionTwoRoad teacher trains via the same mfm step machinery."""
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    src = SyntheticMultiModalSource(cfg, n_classes=8, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch,
+                                   kind="two_road")
+    step = jax.jit(make_mfm_train_step(cfg, kind="two_road"))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["task_loss"]))
