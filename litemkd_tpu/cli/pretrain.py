@@ -22,6 +22,9 @@ def main(argv=None):
     add_train_args(p)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--arch", default="resnet50",
+                   help="resnet18|resnet34|resnet50 (Action_Recognition_"
+                        "Resnet50) or deit_small (model_distillation ViT)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -43,7 +46,8 @@ def main(argv=None):
     rng = np.random.default_rng(cfg.train.seed)
     sample = np.stack([vs.load(records[0][0], True, rng)])
     state, model = create_pretrain_state(cfg, jax.random.key(cfg.train.seed),
-                                         n_classes, jnp.asarray(sample))
+                                         n_classes, jnp.asarray(sample),
+                                         arch=args.arch)
     step = jax.jit(make_pretrain_step(cfg, model), donate_argnums=0)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None

@@ -14,6 +14,78 @@ from .resnet import ResNetTrunk, _STAGES
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 
 
+class ViTClassifier(nn.Module):
+    """DeiT-small-style ViT classifier — the structural equivalent of
+    ``model_distillation`` (``teacher/code/model.py:2142-2157``), which wraps
+    timm's ``deit_small_distilled_patch16_224`` plus a linear head. timm and
+    its pretrained weights are unavailable offline, so this is the same
+    architecture trained from scratch: patch16 embed, cls + distill tokens,
+    learned positional embeddings, pre-LN encoder blocks, and the classifier
+    fed the mean of the two special tokens (timm's distilled eval behavior).
+    """
+
+    num_classes: int
+    img_size: int = 224
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        """(B, H, W, 3) → (B, num_classes) logits; a (B, T, H, W, 3) clip is
+        scored per frame and logits averaged over T (the clip adapter the
+        pretrain loop expects)."""
+        frames_per_clip = None
+        if images.ndim == 5:
+            frames_per_clip = images.shape[1]
+            images = images.reshape(-1, *images.shape[2:])
+        cd = self.compute_dtype
+        x = images.astype(cd)
+        if images.dtype == jnp.uint8:
+            x = x / 255.0
+        b = x.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    (self.patch, self.patch), padding="VALID", dtype=cd,
+                    name="patch_embed")(x)
+        x = x.reshape(b, -1, self.dim)
+        n_tok = x.shape[1]
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.dim))
+        dist = self.param("dist_token", nn.initializers.normal(0.02),
+                          (1, 1, self.dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, n_tok + 2, self.dim))
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(cd),
+                             jnp.tile(dist, (b, 1, 1)).astype(cd), x], axis=1)
+        x = x + pos.astype(cd)
+        for i in range(self.depth):
+            # pre-LN block (ViT/DeiT)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, dtype=cd, deterministic=not train,
+                dropout_rate=self.dropout, name=f"attn_{i}")(h, h)
+            x = x + h.astype(x.dtype)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(x)
+            h = nn.Dense(self.dim * self.mlp_ratio, dtype=cd,
+                         name=f"mlp_in_{i}")(h)
+            h = nn.Dense(self.dim, dtype=cd, name=f"mlp_out_{i}")(nn.gelu(h))
+            x = x + h.astype(x.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        feat = (x[:, 0] + x[:, 1]) / 2.0          # mean of cls + dist tokens
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          kernel_init=torch_linear_kernel_init(),
+                          bias_init=torch_linear_bias_init(self.dim),
+                          name="fc")(feat.astype(jnp.float32))
+        if frames_per_clip is not None:
+            logits = logits.reshape(-1, frames_per_clip,
+                                    self.num_classes).mean(axis=1)
+        return logits
+
+
 class ActionRecognitionNet(nn.Module):
     num_classes: int
     depth: int = 50

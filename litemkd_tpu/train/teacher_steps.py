@@ -137,15 +137,25 @@ def make_mfm_eval_step(cfg: Config, kind: str = "mfm",
 # Supervised pretraining (per-modality resnet classifier)
 # ---------------------------------------------------------------------------
 
-def make_pretrain_model(cfg: Config, num_classes: int) -> ActionRecognitionNet:
-    return ActionRecognitionNet(num_classes=num_classes, depth=50,
+def make_pretrain_model(cfg: Config, num_classes: int,
+                        arch: str = "resnet50") -> nn.Module:
+    """arch: resnet18/34/50 (Action_Recognition_Resnet50 family) or
+    deit_small (the model_distillation ViT, model.py:2142-2157)."""
+    if arch == "deit_small":
+        from ..models.backbones.classifier_net import ViTClassifier
+        return ViTClassifier(num_classes=num_classes,
+                             img_size=cfg.episode.img_size,
+                             compute_dtype=jnp.dtype(cfg.model.compute_dtype))
+    depth = int(arch.replace("resnet", "")) if arch.startswith("resnet") else 50
+    return ActionRecognitionNet(num_classes=num_classes, depth=depth,
                                 compute_dtype=jnp.dtype(cfg.model.compute_dtype),
                                 remat=cfg.model.remat)
 
 
 def create_pretrain_state(cfg: Config, rng, num_classes: int,
-                          sample_clips) -> Tuple[TrainState, ActionRecognitionNet]:
-    model = make_pretrain_model(cfg, num_classes)
+                          sample_clips, arch: str = "resnet50",
+                          ) -> Tuple[TrainState, nn.Module]:
+    model = make_pretrain_model(cfg, num_classes, arch)
     variables = model.init(rng, sample_clips[:1], train=False)
     tx = optax.sgd(cfg.train.learning_rate, momentum=0.9)
     params = variables["params"]
@@ -158,7 +168,7 @@ def create_pretrain_state(cfg: Config, rng, num_classes: int,
     return state, model
 
 
-def make_pretrain_step(cfg: Config, model: ActionRecognitionNet) -> Callable:
+def make_pretrain_step(cfg: Config, model: nn.Module) -> Callable:
     def loss_fn(params, batch_stats, clips, labels):
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, clips, train=True,
@@ -166,7 +176,8 @@ def make_pretrain_step(cfg: Config, model: ActionRecognitionNet) -> Callable:
         logp = jax.nn.log_softmax(logits, axis=-1)
         loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return loss, (mutated["batch_stats"], {"loss": loss, "accuracy": acc})
+        new_stats = mutated.get("batch_stats", FrozenDict())  # ViT: stat-free
+        return loss, (new_stats, {"loss": loss, "accuracy": acc})
 
     def step(state: TrainState, clips, labels):
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(

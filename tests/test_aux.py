@@ -106,3 +106,25 @@ def test_figures(tmp_path):
     figures_main(["skeleton", "--npy", str(tmp_path / "sk.npy"),
                   "--out", str(tmp_path / "cli_pose.jpg"), "--frame", "1"])
     assert os.path.getsize(tmp_path / "cli_pose.jpg") > 0
+
+
+def test_vit_classifier():
+    """DeiT-small-style ViT (model_distillation equivalent) trains a step."""
+    from litemkd_tpu.models.backbones.classifier_net import ViTClassifier
+    import optax
+    rng = np.random.default_rng(1)
+    m = ViTClassifier(num_classes=5, img_size=32, patch=8, dim=32, depth=2,
+                      heads=2)
+    x = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8))
+    yl = jnp.asarray(rng.integers(0, 5, (4,), dtype=np.int32))
+    v = m.init(jax.random.key(0), x, train=False)
+    logits = m.apply(v, x, train=False)
+    assert logits.shape == (4, 5)
+
+    def loss(p):
+        lg = m.apply({"params": p}, x, train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(lg, yl).mean()
+
+    g = jax.grad(loss)(v["params"])
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))

@@ -131,3 +131,31 @@ def test_two_road_training_step(cfg):
     step = jax.jit(make_mfm_train_step(cfg, kind="two_road"))
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["task_loss"]))
+
+
+def test_pretrain_vit_arch(cfg):
+    """deit_small pretrain arch (model_distillation equivalent) steps on clips."""
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.integers(0, 255, (2, T, 16, 16, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (2,), dtype=np.int32))
+    from litemkd_tpu.train.teacher_steps import (create_pretrain_state,
+                                                 make_pretrain_step)
+    state, model = create_pretrain_state(
+        cfg, jax.random.key(0), 4, clips, arch="deit_small")
+    # tiny ViT for the test
+    from litemkd_tpu.models.backbones.classifier_net import ViTClassifier
+    model = ViTClassifier(num_classes=4, img_size=16, patch=8, dim=16,
+                          depth=1, heads=2)
+    v = model.init(jax.random.key(0), clips, train=False)
+    import optax
+    tx = optax.sgd(1e-2, momentum=0.9)
+    from litemkd_tpu.train.steps import TrainState
+    from flax.core import FrozenDict
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       episodes_seen=jnp.zeros((), jnp.int32),
+                       params=v["params"], batch_stats=FrozenDict(),
+                       opt_state=tx.init(v["params"]),
+                       rng=jax.random.key(1), tx=tx)
+    step = jax.jit(make_pretrain_step(cfg, model))
+    state, metrics = step(state, clips, labels)
+    assert np.isfinite(float(metrics["loss"]))
