@@ -112,6 +112,8 @@ class ResNetTrunk(nn.Module):
         x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                          epsilon=1e-5, dtype=self.compute_dtype, name="bn1")(x)
         x = nn.relu(x)
+        # SelectAndScatter backward A/B-measured faster than the scatter-free
+        # alternative on v5e (18.0 vs 15.2 eps/s flagship) — see ops/pooling.py
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, (n_blocks, filters) in enumerate(zip(stages, (64, 128, 256, 512))):
             for b in range(n_blocks):

@@ -128,3 +128,36 @@ def test_edist_matches_reference():
                        jnp.asarray(queries), WAY, SHOT)
     ref = edist_reference(support, labels, queries, way=WAY, shot=SHOT)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool_stack_matches_reduce_window():
+    from flax import linen as nn
+    from litemkd_tpu.ops.pooling import max_pool_stack
+    rng = np.random.default_rng(0)
+    for shape, window, strides, pad in [
+            ((2, 13, 13, 4), (3, 3), (2, 2), ((1, 1), (1, 1))),
+            ((1, 8, 8, 3), (2, 2), (2, 2), ((0, 0), (0, 0))),
+            ((2, 9, 7, 5), (3, 3), (1, 1), ((1, 1), (1, 1)))]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        got = max_pool_stack(x, window, strides, pad)
+        want = nn.max_pool(x, window, strides, pad)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # gradient: with tie-free gaussian input the equality-mask backward must
+    # equal reduce_window's SelectAndScatter gradient exactly — both on the
+    # odd-shape general path (9×9) and the even-shape parity fast path (12×12,
+    # the ResNet stem's case)
+    for hw in (9, 12):
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, 3)).astype(np.float32))
+        got = jax.grad(lambda v: jnp.sum(max_pool_stack(v) ** 2))(x)
+        want = jax.grad(lambda v: jnp.sum(nn.max_pool(
+            v, (3, 3), (2, 2), ((1, 1), (1, 1))) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+    # and under vmap (the episode-batched student path)
+    for hw in (9, 12):
+        xb = jnp.asarray(rng.normal(size=(3, 2, hw, hw, 3)).astype(np.float32))
+        gotb = jax.vmap(jax.grad(lambda v: jnp.sum(max_pool_stack(v) ** 2)))(xb)
+        wantb = jax.vmap(jax.grad(lambda v: jnp.sum(nn.max_pool(
+            v, (3, 3), (2, 2), ((1, 1), (1, 1))) ** 2)))(xb)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(wantb),
+                                   rtol=1e-6)
