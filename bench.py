@@ -33,11 +33,13 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
+    pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
     cfg = preset("student_fc2sup_dist")
     cfg = cfg.replace(model=cfg.model.__class__(remat=remat,
                                                 use_pallas=use_pallas,
-                                                freeze_bn=freeze_bn),
+                                                freeze_bn=freeze_bn,
+                                                pallas_bn=pallas_bn),
                       train=cfg.train.__class__(tasks_per_batch=episodes_per_step,
                                                 micro_batch=micro))
 

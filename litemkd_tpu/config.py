@@ -54,6 +54,8 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False                 # rematerialize trunk blocks (saves HBM)
     use_pallas: bool = False            # fused Pallas TCT attention kernel
+    pallas_bn: bool = False             # Pallas-reduced BN training moments
+                                        # (resnet trunks)
     freeze_bn: bool = False             # BN uses running stats during training
                                         # (finetune mode, ~15% faster steps)
 

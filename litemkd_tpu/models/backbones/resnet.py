@@ -18,8 +18,18 @@ from typing import Dict, Tuple, Union
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.pallas_bn import PallasBatchNorm
 from ...ops.torch_init import (torch_conv_kernel_init, torch_linear_kernel_init,
                                torch_linear_bias_init)
+
+
+def _bn_factory(pallas_bn: bool, compute_dtype, train: bool):
+    """nn.BatchNorm or the Pallas-reduced drop-in (same variable naming)."""
+    if pallas_bn:
+        return partial(PallasBatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=compute_dtype)
+    return partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                   epsilon=1e-5, dtype=compute_dtype)
 
 Features = Union[jnp.ndarray, Dict[str, jnp.ndarray]]
 
@@ -29,14 +39,14 @@ class BasicBlock(nn.Module):
     stride: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
     freeze_bn: bool = False
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         train = train and not self.freeze_bn
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
-        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                     epsilon=1e-5, dtype=self.compute_dtype)
+        bn = _bn_factory(self.pallas_bn, self.compute_dtype, train)
         identity = x
         y = conv(self.filters, (3, 3), (self.stride, self.stride),
                  padding=1, name="conv1")(x)
@@ -55,14 +65,14 @@ class Bottleneck(nn.Module):
     stride: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
     freeze_bn: bool = False
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         train = train and not self.freeze_bn
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
-        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                     epsilon=1e-5, dtype=self.compute_dtype)
+        bn = _bn_factory(self.pallas_bn, self.compute_dtype, train)
         out_ch = self.filters * 4
         identity = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
@@ -99,6 +109,7 @@ class ResNetTrunk(nn.Module):
     remat: bool = False
     freeze_bn: bool = False   # use running stats even in training (finetune
                               # mode; ~15% faster — BN-stat reduces vanish)
+    pallas_bn: bool = False   # Pallas-reduced BN training moments
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -109,8 +120,8 @@ class ResNetTrunk(nn.Module):
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.compute_dtype,
                     kernel_init=torch_conv_kernel_init(), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.compute_dtype, name="bn1")(x)
+        x = _bn_factory(self.pallas_bn, self.compute_dtype, bn_train)(
+            name="bn1")(x)
         x = nn.relu(x)
         # SelectAndScatter backward A/B-measured faster than the scatter-free
         # alternative on v5e (18.0 vs 15.2 eps/s flagship) — see ops/pooling.py
@@ -119,7 +130,7 @@ class ResNetTrunk(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (i > 0 and b == 0) else 1
                 x = block_cls(filters, stride, self.compute_dtype,
-                              self.freeze_bn,
+                              self.freeze_bn, self.pallas_bn,
                               name=f"layer{i + 1}_{b}")(x, train)
         return x
 
@@ -159,6 +170,7 @@ class ResNetBackbone(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     freeze_bn: bool = False
+    pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Features:
@@ -167,7 +179,8 @@ class ResNetBackbone(nn.Module):
         if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
             x = x / 255.0
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
-                        self.freeze_bn, name="trunk")(x, train=train)
+                        self.freeze_bn, self.pallas_bn, name="trunk")(
+                            x, train=train)
         if self.pool == "gap":
             x = x.astype(jnp.float32).mean(axis=(1, 2))
         else:

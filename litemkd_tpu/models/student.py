@@ -158,6 +158,7 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
         kw["remat"] = cfg.model.remat
     if name.startswith(("resnet", "meta_baseline")):
         kw["freeze_bn"] = cfg.model.freeze_bn
+        kw["pallas_bn"] = cfg.model.pallas_bn
     return BACKBONES[name](**kw)
 
 
