@@ -83,6 +83,11 @@ def main(argv=None):
                         "otam:<preset> for an OTAM head")
     p.add_argument("--score_weights", "-a", nargs="+", type=float, default=None,
                    help="TSF per-modality logit weights (reference --a/--b/--c)")
+    p.add_argument("--branch_ckpt", action="append", default=None,
+                   metavar="MODALITY=CKPT_DIR",
+                   help="graft a separately-trained expert's episodic head "
+                        "into a TSF branch (reference score_fusion_run.py "
+                        "--rgb/skeleton/flow_test_model_path); repeatable")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -113,6 +118,11 @@ def main(argv=None):
     state = create_mfm_train_state(cfg, jax.random.key(cfg.train.seed), first,
                                    kind=args.fusion,
                                    score_weights=args.score_weights)
+    if args.branch_ckpt:
+        from ..train.teacher_steps import load_tsf_branches
+        pairs = dict(s.split("=", 1) for s in args.branch_ckpt)
+        state = state.replace(params=load_tsf_branches(state.params, pairs))
+        logger.info(f"grafted TSF branches from {sorted(pairs)}")
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None

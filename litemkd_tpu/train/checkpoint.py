@@ -79,6 +79,17 @@ class CheckpointManager:
         return new_state, restored.get("teacher", teacher_vars)
 
 
+def restore_params(directory: str) -> Any:
+    """Load only the params tree from the latest checkpoint in ``directory``
+    (no state template needed) — used for cross-model weight grafts like the
+    TSF per-branch expert loading (reference score_fusion_run.py)."""
+    mngr = ocp.CheckpointManager(os.path.abspath(directory))
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {directory}")
+    return mngr.restore(step, args=ocp.args.StandardRestore())["params"]
+
+
 def verify_checkpoint_dir(directory: str, resume: bool) -> None:
     """Reference semantics (options.py:106-123): fresh runs need a fresh dir;
     resumes need an existing checkpoint."""

@@ -137,6 +137,36 @@ def make_mfm_eval_step(cfg: Config, kind: str = "mfm",
 # Supervised pretraining (per-modality resnet classifier)
 # ---------------------------------------------------------------------------
 
+def load_tsf_branches(params, branch_ckpts) -> Any:
+    """Graft separately-trained per-modality experts into a ScoreFusion's
+    branches (reference ``score_fusion_run.py`` ``--rgb/skeleton/flow_
+    test_model_path``): each expert checkpoint's episodic head
+    (``params/classifier/transformers``) replaces ``branch_<modality>``.
+
+    ``branch_ckpts``: {modality: checkpoint_dir}. Returns updated params.
+    """
+    from .checkpoint import restore_params
+    new = dict(params)
+    for m, path in branch_ckpts.items():
+        key = f"branch_{m}"
+        if key not in new:
+            raise KeyError(f"{key} not in ScoreFusion params "
+                           f"({sorted(new)}) — is --fusion tsf set?")
+        expert = restore_params(path)
+        head = expert.get("classifier", expert)
+        src = head.get("transformers", head)
+        tpl = new[key]["transformers"]
+        if set(tpl) != set(src):
+            # single-set expert stores a flat TCT; the branch's MultiSetTCT
+            # nests per-set children (tct_<n>) — replicate into each set
+            src = {k: src for k in tpl}
+        head = {"transformers": src}
+        new[key] = jax.tree_util.tree_map(
+            lambda tpl, src: jnp.asarray(src).astype(tpl.dtype).reshape(tpl.shape),
+            new[key], head)
+    return new
+
+
 def make_pretrain_model(cfg: Config, num_classes: int,
                         arch: str = "resnet50") -> nn.Module:
     """arch: resnet18/34/50 (Action_Recognition_Resnet50 family) or

@@ -159,3 +159,45 @@ def test_pretrain_vit_arch(cfg):
     step = jax.jit(make_pretrain_step(cfg, model))
     state, metrics = step(state, clips, labels)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_tsf_branch_graft(cfg, tmp_path):
+    """Per-branch expert checkpoint grafting (score_fusion_run.py workflow):
+    a separately-trained TRX expert's head lands in the TSF branch params."""
+    from litemkd_tpu.train.checkpoint import CheckpointManager
+    from litemkd_tpu.train.steps import create_train_state
+    from litemkd_tpu.train.teacher_steps import (create_mfm_train_state,
+                                                 load_tsf_branches)
+    from litemkd_tpu.data import SyntheticEpisodeSource
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+
+    # "expert": feature-backbone + TRX head student pipeline
+    ecfg = cfg.replace(model=cfg.model.__class__(
+        backbone="feature", classifier="TRX",
+        trans_linear_in_dim=D, trans_linear_out_dim=24))
+    src = SyntheticEpisodeSource(ecfg, n_classes=6, seed=0,
+                                 with_teacher_feats=True)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    batch = batch._replace(support_clips=batch.support_feats,
+                           query_clips=batch.query_feats)
+    est, _ = create_train_state(ecfg, jax.random.key(0), batch)
+    ck = CheckpointManager(str(tmp_path / "expert"))
+    ck.save(est)
+
+    mm = SyntheticMultiModalSource(cfg, n_classes=6, seed=0)
+    tbatch = mm.sample_batch(np.random.default_rng(0), 2)
+    tstate = create_mfm_train_state(cfg, jax.random.key(1), tbatch, kind="tsf")
+    new_params = load_tsf_branches(tstate.params,
+                                   {"rgb": str(tmp_path / "expert")})
+    got = jax.tree_util.tree_leaves(new_params["branch_rgb"])
+    want = jax.tree_util.tree_leaves(est.params["classifier"])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32))
+    # untouched branches stay intact
+    for m in ("depth", "flow"):
+        a = jax.tree_util.tree_leaves(new_params[f"branch_{m}"])
+        b = jax.tree_util.tree_leaves(tstate.params[f"branch_{m}"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
