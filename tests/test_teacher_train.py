@@ -201,3 +201,27 @@ def test_tsf_branch_graft(cfg, tmp_path):
         b = jax.tree_util.tree_leaves(tstate.params[f"branch_{m}"])
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_all_fusion_presets_trace(cfg):
+    """Every registered fusion kind builds through make_mfm and its train
+    step traces (abstract eval — no execution) on tiny shapes, including the
+    OTAM-head variants and the faithful quirk presets."""
+    from litemkd_tpu.models.teacher import FUSION_PRESETS
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.train.teacher_steps import (create_mfm_train_state,
+                                                 make_mfm_train_step)
+
+    src = SyntheticMultiModalSource(cfg, n_classes=6, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    n_mod = len(cfg.model.modalities)
+    kinds = ["mfm", "tsf", "dga", "dga2", "two_road",
+             "otam:ThreeTRXShiftLoopTime"]
+    kinds += [name for name, branches in FUSION_PRESETS.items()
+              if max(i for _, idxs, *_ in branches for i in idxs) < n_mod]
+    for kind in kinds:
+        state = create_mfm_train_state(cfg, jax.random.key(0), batch,
+                                       kind=kind)
+        step = make_mfm_train_step(cfg, kind=kind)
+        out = jax.eval_shape(step, state, batch)
+        assert out[1]["task_loss"].shape == (), kind
