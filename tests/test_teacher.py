@@ -276,3 +276,55 @@ def test_composer_new_kinds_and_sharing():
     assert out["logits"].shape == (WAY * QPC, WAY)
     fused = m.apply(v, mk(4, mods3), method=m.extract)
     assert fused.shape == (4, T, D)
+
+
+def test_batch_stat_fusion_formula():
+    """BatchStatFusion == f1(x + (x − mean(w)) / (std(w)+eps)) with scalar
+    unbiased std over ALL elements of w (model.py:2607-2619)."""
+    from litemkd_tpu.models.teacher import BatchStatFusion
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, T, D)).astype(np.float32)
+    w = rng.normal(size=(4, T, D)).astype(np.float32)
+    m = BatchStatFusion(D)
+    v = m.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(w), False)
+    got = np.asarray(m.apply(v, jnp.asarray(x), jnp.asarray(w), False))
+    k = np.asarray(v["params"]["f1"]["kernel"])
+    b = np.asarray(v["params"]["f1"]["bias"])
+    xf = x.reshape(-1, D)
+    shifted = xf + (xf - w.mean()) / (w.std(ddof=1) + 1e-5)
+    want = (shifted @ k + b).reshape(4, T, D)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_matches_torch_bert():
+    """CrossAttentionFusion == the reference BertAttention
+    (transformer.py:57-71) with transplanted weights, eval mode."""
+    from litemkd_tpu.models.teacher import CrossAttentionFusion
+    d, heads, n, tq, tk = 16, 2, 3, 4, 5
+    rng = np.random.default_rng(10)
+    x1 = rng.normal(size=(n, tq, d)).astype(np.float32)
+    x2 = rng.normal(size=(n, tk, d)).astype(np.float32)
+    m = CrossAttentionFusion(d, nhead=heads, dropout=0.0,
+                             compute_dtype=jnp.float32)
+    v = m.init(jax.random.key(0), jnp.asarray(x1), jnp.asarray(x2), False)
+    got = np.asarray(m.apply(v, jnp.asarray(x1), jnp.asarray(x2), False))
+
+    p = v["params"]
+
+    def lin(name, x):
+        return x @ np.asarray(p[name]["kernel"]) + np.asarray(p[name]["bias"])
+
+    # BertSelfAttention math in numpy
+    q = lin("query", x1).reshape(n, tq, heads, d // heads).transpose(0, 2, 1, 3)
+    k = lin("key", x2).reshape(n, tk, heads, d // heads).transpose(0, 2, 1, 3)
+    val = lin("value", x2).reshape(n, tk, heads, d // heads).transpose(0, 2, 1, 3)
+    scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(d // heads)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    ctx = (probs @ val).transpose(0, 2, 1, 3).reshape(n, tq, d)
+    out = lin("out", ctx) + x1
+    mu = out.mean(-1, keepdims=True)
+    var = out.var(-1, keepdims=True)
+    want = ((out - mu) / np.sqrt(var + 1e-6)
+            * np.asarray(p["norm"]["scale"]) + np.asarray(p["norm"]["bias"]))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
