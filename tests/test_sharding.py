@@ -67,3 +67,40 @@ def test_tp_shards_wide_projections():
         for path, s in flat if "model" in str(s.spec)
     ]
     assert any("k_linear" in p for p in tp_sharded), tp_sharded
+
+
+def test_multihost_input_assembly_single_process_equivalence():
+    """global_batch_from_local == shard_batch in the 1-process case, and the
+    assembled batch drives a sharded train step (multi-host input design)."""
+    from litemkd_tpu.parallel import (global_batch_from_local,
+                                      local_episode_count, host_rng)
+    cfg = preset("tiny")
+    src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
+    n_local = local_episode_count(8)     # 1 process → full batch
+    assert n_local == 8
+    batch = src.sample_batch(host_rng(0, step=0), n_local)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    g = global_batch_from_local(batch, mesh)
+    s = shard_batch(batch, mesh)
+    for a, b in zip(g, s):
+        if a is None:
+            assert b is None
+            continue
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    sh_state = state.replace(
+        params=shard_variables(state.params, mesh),
+        batch_stats=shard_variables(state.batch_stats, mesh),
+        opt_state=shard_variables(state.opt_state, mesh),
+    )
+    with jax.set_mesh(mesh):
+        s2, m2 = jax.jit(make_train_step(cfg))(sh_state,
+                                               shard_variables(t_vars, mesh), g)
+    assert np.isfinite(float(m2["task_loss"]))
+
+    # per-process RNG streams are disjoint per step
+    a = host_rng(0, step=0).integers(0, 1 << 30, 4)
+    b = host_rng(0, step=1).integers(0, 1 << 30, 4)
+    assert not np.array_equal(a, b)
