@@ -51,10 +51,17 @@ def main(argv=None):
                             args.out, args.img_size)
     else:
         pose = np.load(args.npy)
+        if pose.ndim not in (2, 3) or pose.shape[-1] != 3:
+            p.error(f"--npy must be (V,3) or (T,V,3); got {pose.shape}")
         if args.clip:
+            if pose.ndim != 3:
+                p.error(f"--clip needs a (T,V,3) clip; got {pose.shape}")
             out = skeleton_clip_grid(pose, args.out)
         else:
             if pose.ndim == 3:
+                if not 0 <= args.frame < pose.shape[0]:
+                    p.error(f"--frame {args.frame} out of range "
+                            f"[0, {pose.shape[0]})")
                 pose = pose[args.frame]
             out = draw_skeleton_3d(pose, args.out)
     print(f"wrote {out}")

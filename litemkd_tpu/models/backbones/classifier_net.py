@@ -43,6 +43,10 @@ class ViTClassifier(nn.Module):
         if images.ndim == 5:
             frames_per_clip = images.shape[1]
             images = images.reshape(-1, *images.shape[2:])
+        if images.shape[1] != self.img_size or images.shape[2] != self.img_size:
+            raise ValueError(f"ViTClassifier(img_size={self.img_size}) got "
+                             f"{images.shape[1]}x{images.shape[2]} input — "
+                             "pos_embed is sized at init and cannot adapt")
         cd = self.compute_dtype
         x = images.astype(cd)
         if images.dtype == jnp.uint8:

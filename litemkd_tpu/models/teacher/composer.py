@@ -307,5 +307,11 @@ class ComposedFusionTeacher(nn.Module):
                                      train)
         return {"logits": logits}
 
-    def extract(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        return self.fuse(feats, train=False, side=0)
+    def extract(self, feats: Dict[str, jnp.ndarray],
+                side: int = 0) -> jnp.ndarray:
+        """Fused features for the dump tools. For side-asymmetric
+        ``*_faithful`` presets the two sides genuinely differ (the released
+        classes never implemented extract_feature, e.g. model.py:1790); pass
+        ``side=1`` to dump what the trained classifier computed for QUERY
+        videos instead of the default support-side fusion."""
+        return self.fuse(feats, train=False, side=side)

@@ -226,7 +226,9 @@ class BatchStatFusion(nn.Module):
         xf = x.reshape(-1, self.d)
         wf = w.reshape(-1, self.d)
         mu = jnp.mean(wf)
-        sd = jnp.std(wf, ddof=1)          # torch.std default: unbiased
+        # unbiased std (torch.std default); sqrt(var+tiny) keeps the gradient
+        # finite for constant/zero-filled streams (CLAUDE.md norm convention)
+        sd = jnp.sqrt(jnp.var(wf, ddof=1) + 1e-16)
         out = _dense(self.d, self.d, "f1")(xf + (xf - mu) / (sd + 1e-5))
         return out.reshape(n, t, self.d)
 
@@ -473,6 +475,10 @@ class ScoreFusion(nn.Module):
 
     @nn.compact
     def __call__(self, context_feats, context_labels, target_feats, train: bool):
+        if len(self.weights) != len(self.modalities):
+            raise ValueError(
+                f"ScoreFusion needs one weight per modality: got "
+                f"{len(self.weights)} weights for {self.modalities}")
         total = None
         per_mod = {}
         for m, w in zip(self.modalities, self.weights):

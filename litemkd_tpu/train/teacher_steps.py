@@ -48,8 +48,8 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
               dropout=cfg.model.trans_dropout)
     if kind == "tsf":
         cls = ScoreFusion
-        if score_weights is not None:
-            kw["weights"] = tuple(score_weights)
+        kw["weights"] = (tuple(score_weights) if score_weights is not None
+                         else (1.0,) * len(cfg.model.modalities))
     elif kind in ("dga", "dga2"):
         cls = DGAFusionTeacher
         kw.update(depth=cfg.model.trans_num, with_enrich=(kind == "dga2"))
@@ -58,13 +58,20 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
     elif kind in FUSION_PRESETS or kind.startswith("otam:"):
         cls = ComposedFusionTeacher
         preset_name = kind[5:] if kind.startswith("otam:") else kind
+        if preset_name not in FUSION_PRESETS:
+            raise ValueError(f"unknown composer preset {preset_name!r}; "
+                             f"choose from {sorted(FUSION_PRESETS)}")
         kw.update(depth=cfg.model.trans_num,
                   branches=FUSION_PRESETS[preset_name],
                   head="otam" if kind.startswith("otam:") else "trx",
                   **FUSION_PRESET_OPTIONS.get(preset_name, {}))
-    else:
+    elif kind == "mfm":
         cls = MFMTeacher
         kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)
+    else:
+        raise ValueError(
+            f"unknown fusion kind {kind!r}; choose mfm | tsf | dga | dga2 | "
+            f"two_road | otam:<preset> | one of {sorted(FUSION_PRESETS)}")
     if not batched:
         return cls(**kw)
     vcls = nn.vmap(cls, in_axes=(0, 0, 0, None), out_axes=0,
@@ -176,8 +183,11 @@ def make_pretrain_model(cfg: Config, num_classes: int,
         return ViTClassifier(num_classes=num_classes,
                              img_size=cfg.episode.img_size,
                              compute_dtype=jnp.dtype(cfg.model.compute_dtype))
-    depth = int(arch.replace("resnet", "")) if arch.startswith("resnet") else 50
-    return ActionRecognitionNet(num_classes=num_classes, depth=depth,
+    if arch not in ("resnet18", "resnet34", "resnet50"):
+        raise ValueError(f"unknown pretrain arch {arch!r}; choose "
+                         "resnet18 | resnet34 | resnet50 | deit_small")
+    return ActionRecognitionNet(num_classes=num_classes,
+                                depth=int(arch.replace("resnet", "")),
                                 compute_dtype=jnp.dtype(cfg.model.compute_dtype),
                                 remat=cfg.model.remat)
 
