@@ -123,9 +123,11 @@ class InvertedResidual(nn.Module):
 class MobileNetV3Trunk(nn.Module):
     variant: str = "large"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    freeze_bn: bool = False   # finetune mode: BN uses running stats in train
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        train = train and not self.freeze_bn   # train only gates BN here
         specs = _LARGE if self.variant == "large" else _SMALL
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
@@ -149,6 +151,7 @@ class MobileNetV3Backbone(nn.Module):
     out_dim: int = 2048
     pool_hw: Tuple[int, int] = (4, 4)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool):
@@ -157,7 +160,7 @@ class MobileNetV3Backbone(nn.Module):
         if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
             x = x / 255.0
         x = MobileNetV3Trunk(self.variant, self.compute_dtype,
-                             name="trunk")(x, train=train)
+                             self.freeze_bn, name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x, self.pool_hw)
         x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
         trunk_dim = x.shape[-1]

@@ -30,6 +30,7 @@ class STRMBackbone(nn.Module):
     out_dim: int = 2048
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Dict[str, jnp.ndarray]:
@@ -38,7 +39,7 @@ class STRMBackbone(nn.Module):
         if clips.dtype == jnp.uint8:
             x = x / 255.0
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
-                        name="trunk")(x, train=train)
+                        self.freeze_bn, name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)
         trunk_dim = x.shape[-1]
         x = x.reshape(b * t, 16, trunk_dim)
