@@ -4,7 +4,8 @@ from .video import (VideoStore, ZipFrameStore, scan_frame_tree,
                     sample_frame_indices, load_clip)
 from .features import FeatureStore, MultiModalFeatureStore, scan_feature_tree
 from .episodes import (EpisodeSampler, EpisodeSpec, draw_episode_spec,
-                       save_fixed_episodes, load_fixed_episodes)
+                       save_fixed_episodes, load_fixed_episodes,
+                       load_reference_fixed_episodes)
 from .prefetch import Prefetcher, device_put_batch
 from .multimodal import MultiModalEpisodeSampler
 
@@ -13,6 +14,7 @@ __all__ = [
     "VideoStore", "ZipFrameStore", "scan_frame_tree", "sample_frame_indices",
     "load_clip", "FeatureStore", "MultiModalFeatureStore", "scan_feature_tree",
     "EpisodeSampler", "EpisodeSpec", "draw_episode_spec",
-    "save_fixed_episodes", "load_fixed_episodes", "Prefetcher",
+    "save_fixed_episodes", "load_fixed_episodes",
+    "load_reference_fixed_episodes", "Prefetcher",
     "device_put_batch", "MultiModalEpisodeSampler",
 ]

@@ -66,6 +66,41 @@ def load_fixed_episodes(path: str) -> List[EpisodeSpec]:
         return [EpisodeSpec.from_json(d) for d in json.load(f)]
 
 
+def load_reference_fixed_episodes(path: str,
+                                  index: SplitIndex) -> List[EpisodeSpec]:
+    """Import the reference's ``fixed_test.json|yaml`` episode files
+    (``splits/gen_fixed_split.py:167-194``): a dict of episodes whose
+    support/query entries carry ``class_bc`` (class id) and ``video_idx``
+    (GLOBAL index into the class-major sorted video scan). Converted to
+    per-class indices against ``index``, which uses the same sorted scan."""
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f)
+    else:
+        with open(path) as f:
+            data = json.load(f)
+    offsets, off = {}, 0
+    for c in index.classes():
+        offsets[int(c)] = off
+        off += index.n_videos(c)
+    specs = []
+    for k in sorted(data, key=lambda x: int(x)):
+        ep = data[k]
+        classes: List[int] = []
+        sup: Dict[int, List[int]] = {}
+        qry: Dict[int, List[int]] = {}
+        for part, store in (("support", sup), ("query", qry)):
+            for d in ep[part]:
+                c = int(d["class_bc"])
+                if c not in classes and part == "support":
+                    classes.append(c)
+                store.setdefault(c, []).append(int(d["video_idx"]) - offsets[c])
+        specs.append(EpisodeSpec(classes, [sup[c] for c in classes],
+                                 [qry.get(c, []) for c in classes]))
+    return specs
+
+
 class EpisodeSampler:
     """Assembles EpisodeBatches from a VideoStore (+ optional FeatureStore).
 

@@ -221,3 +221,44 @@ def test_native_decoder_exact_on_identity_resize(tmp_path):
     b = load_clip_native(paths, idxs, img_size=224, train=True,
                          rng=np.random.default_rng(7))
     np.testing.assert_array_equal(a, b)
+
+
+def test_reference_fixed_episode_import(dataset_dir, cfg, tmp_path):
+    """The reference's fixed_test.json schema (global video_idx + class_bc,
+    gen_fixed_split.py:167-194) converts into our per-class EpisodeSpecs."""
+    import json
+    from litemkd_tpu.data import (VideoStore, EpisodeSampler,
+                                  load_reference_fixed_episodes)
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    index = vs.split(False)
+    offsets, off = {}, 0
+    for c in index.classes():
+        offsets[int(c)] = off
+        off += index.n_videos(c)
+    # build a reference-format file: 2 episodes over classes [1, 3, 4]
+    data = {}
+    n_test = VIDS_PER_CLASS - N_TRAIN   # 3 test videos per class
+    for e in range(2):
+        sup, qry = [], []
+        for c in (1, 3, 4):
+            for j in range(SHOT):
+                sup.append({"id": len(sup), "class_bc": c,
+                            "video_idx": offsets[c] + (j + e) % n_test})
+            qry.append({"id": len(qry), "class_bc": c,
+                        "video_idx": offsets[c] + (SHOT + e) % n_test})
+        data[str(e)] = {"support": sup, "query": qry}
+    path = tmp_path / "fixed_test.json"
+    path.write_text(json.dumps(data))
+    specs = load_reference_fixed_episodes(str(path), index)
+    assert len(specs) == 2
+    assert specs[0].classes == [1, 3, 4]
+    assert specs[0].support_idx[0] == [0, 1]
+    assert specs[1].support_idx[0] == [1, 2]
+    assert specs[0].query_idx == [[2], [2], [2]]
+    assert specs[1].query_idx == [[0], [0], [0]]
+    # the converted specs drive real episode assembly
+    sampler = EpisodeSampler(cfg, vs)
+    batch = sampler.sample_batch(np.random.default_rng(0), 2, train=False,
+                                 specs=specs)
+    assert batch.support_clips.shape[0] == 2
