@@ -120,6 +120,9 @@ def main(argv=None):
                                    score_weights=args.score_weights)
     if args.branch_ckpt:
         from ..train.teacher_steps import load_tsf_branches
+        bad = [s for s in args.branch_ckpt if "=" not in s]
+        if bad:
+            p.error(f"--branch_ckpt expects MODALITY=CKPT_DIR, got {bad}")
         pairs = dict(s.split("=", 1) for s in args.branch_ckpt)
         state = state.replace(params=load_tsf_branches(state.params, pairs))
         logger.info(f"grafted TSF branches from {sorted(pairs)}")

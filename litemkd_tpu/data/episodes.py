@@ -95,7 +95,14 @@ def load_reference_fixed_episodes(path: str,
                 c = int(d["class_bc"])
                 if c not in classes and part == "support":
                     classes.append(c)
-                store.setdefault(c, []).append(int(d["video_idx"]) - offsets[c])
+                idx = int(d["video_idx"]) - offsets[c]
+                if not 0 <= idx < index.n_videos(c):
+                    raise ValueError(
+                        f"episode {k}: video_idx {d['video_idx']} maps to "
+                        f"within-class index {idx} outside class {c}'s "
+                        f"{index.n_videos(c)} videos — the local video scan "
+                        "diverges from the one the fixed file was built from")
+                store.setdefault(c, []).append(idx)
         specs.append(EpisodeSpec(classes, [sup[c] for c in classes],
                                  [qry.get(c, []) for c in classes]))
     return specs

@@ -26,7 +26,12 @@ def device_put_batch(batch: EpisodeBatch, sharding=None) -> EpisodeBatch:
 
 
 class Prefetcher:
-    """Wraps a batch-producing callable in a bounded background queue."""
+    """Wraps a batch-producing callable in a bounded background queue.
+
+    If the consumer stops early (break / exception in the step), ``close()``
+    — called automatically when iteration ends for any reason — unblocks the
+    producer and drains staged device batches so their HBM is released
+    instead of being pinned by a thread stuck in ``q.put``."""
 
     _DONE = object()
 
@@ -38,27 +43,52 @@ class Prefetcher:
         self.n = n_batches
         self.sharding = sharding
         self._err: Optional[BaseException] = None
+        self._stop = False
         self.thread = threading.Thread(target=self._run, args=(produce,),
                                        daemon=True)
         self.thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._stop:
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, produce):
         try:
             for i in range(self.n):
+                if self._stop:
+                    break
                 batch = produce(i)
                 if batch is None:
                     break
-                self.q.put(device_put_batch(batch, self.sharding))
+                if not self._put(device_put_batch(batch, self.sharding)):
+                    break
         except BaseException as e:  # surface worker errors to the consumer
             self._err = e
         finally:
-            self.q.put(self._DONE)
+            self._put(self._DONE)
+
+    def close(self) -> None:
+        """Cancel production and drop staged batches (idempotent)."""
+        self._stop = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self) -> Iterator[EpisodeBatch]:
-        while True:
-            item = self.q.get()
-            if item is self._DONE:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self.q.get()
+                if item is self._DONE:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()

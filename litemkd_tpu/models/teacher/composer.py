@@ -226,6 +226,22 @@ class ComposedFusionTeacher(nn.Module):
     post: Optional[str] = None   # None | "mlp"
 
     def setup(self):
+        branches = [_as_branch(s) for s in self.branches]
+        for side in (0, 1):
+            if not any(b.sides[side] for b in branches):
+                raise ValueError(f"no branch active on side {side} "
+                                 "(0=support, 1=query)")
+        seen: Dict[Tuple[str, str], Branch] = {}
+        for b in branches:
+            if not b.share:
+                continue
+            k = (b.kind, b.share)
+            prev = seen.setdefault(k, b)
+            if (len(prev.idxs) != len(b.idxs)
+                    or (prev.depth or self.depth) != (b.depth or self.depth)):
+                raise ValueError(
+                    f"branches sharing {k} disagree on arity/depth: "
+                    f"{prev} vs {b}")
         mods = []
         shared: Dict[Tuple[str, str], nn.Module] = {}
         for spec in self.branches:

@@ -61,7 +61,7 @@ def _block_rows(c: int) -> int:
     return max(256, min(4096, (1 << 19) // (2 * c) // 16 * 16))
 
 
-def _row_mask(i, rb: int, r: int, dtype):
+def _row_mask(i, rb: int, r: int):
     rows = lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
     return (i * rb + rows) < r
 
@@ -80,7 +80,7 @@ def _sums_pallas(x2: jnp.ndarray) -> jnp.ndarray:
             o_ref[...] = jnp.zeros_like(o_ref)
 
         xb = x_ref[...].astype(jnp.float32)
-        xb = jnp.where(_row_mask(i, rb, r, xb.dtype), xb, 0.0)
+        xb = jnp.where(_row_mask(i, rb, r), xb, 0.0)
         o_ref[0:1, :] += jnp.sum(xb, axis=0, keepdims=True)
         o_ref[1:2, :] += jnp.sum(xb * xb, axis=0, keepdims=True)
 
@@ -110,7 +110,7 @@ def _bwd_sums_pallas(dy2: jnp.ndarray, x2: jnp.ndarray, mean: jnp.ndarray,
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        mask = _row_mask(i, rb, r, jnp.float32)
+        mask = _row_mask(i, rb, r)
         dy = jnp.where(mask, dy_ref[...].astype(jnp.float32), 0.0)
         # mask x as well: 0·NaN from padded tail rows would poison Σdy·x̂
         xb = jnp.where(mask, x_ref[...].astype(jnp.float32), 0.0)

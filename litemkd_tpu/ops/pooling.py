@@ -131,7 +131,7 @@ def _bwd(window, strides, padding, res, g):
                               (dj, wp - we, sw - 1),
                               (0, 0, 0)))
             gp = placed if gp is None else gp + placed
-    return (gp[:, ph0:hp - ph1 if ph1 else hp, pw0:wp - pw1 if pw1 else wp, :],)
+    return (gp[:, ph0:hp - ph1, pw0:wp - pw1, :],)
 
 
 max_pool_stack.defvjp(_fwd, _bwd)

@@ -71,6 +71,12 @@ def modality_grid(data_root: str,
     return out_path
 
 
+def _plot_bones(ax, pose, bones, lcolor, rcolor, lw=2):
+    for a, b, is_left in bones:
+        xs, ys, zs = (np.array([pose[a, k], pose[b, k]]) for k in range(3))
+        ax.plot(xs, ys, zs, lw=lw, c=lcolor if is_left else rcolor)
+
+
 def draw_skeleton_3d(pose_3d: np.ndarray,
                      out_path: str = "skeleton.jpg",
                      bones=HUMAN36M_BONES,
@@ -87,10 +93,7 @@ def draw_skeleton_3d(pose_3d: np.ndarray,
         raise ValueError(f"expected (V, 3) joints, got {pose_3d.shape}")
     fig = plt.figure()
     ax = fig.add_subplot(111, projection="3d")
-    for a, b, is_left in bones:
-        xs, ys, zs = (np.array([pose_3d[a, k], pose_3d[b, k]])
-                      for k in range(3))
-        ax.plot(xs, ys, zs, lw=2, c=lcolor if is_left else rcolor)
+    _plot_bones(ax, pose_3d, bones, lcolor, rcolor)
     xr, yr, zr = pose_3d[root_joint]
     ax.set_xlim3d([xr - radius, xr + radius])
     ax.set_ylim3d([yr - radius, yr + radius])
@@ -104,6 +107,7 @@ def draw_skeleton_3d(pose_3d: np.ndarray,
 def skeleton_clip_grid(skeleton: np.ndarray,
                        out_path: str = "skeleton_clip.jpg",
                        bones=HUMAN36M_BONES,
+                       lcolor: str = "#3498db", rcolor: str = "#e74c3c",
                        max_frames: int = 8):
     """Grid of per-frame 3D skeleton plots for a (T, V, 3) clip — the
     clip-level analog the demo/episode browser uses."""
@@ -116,12 +120,7 @@ def skeleton_clip_grid(skeleton: np.ndarray,
     fig = plt.figure(figsize=(2.2 * t, 2.4))
     for f in range(t):
         ax = fig.add_subplot(1, t, f + 1, projection="3d")
-        pose = skeleton[f]
-        for a, b, is_left in bones:
-            xs, ys, zs = (np.array([pose[a, k], pose[b, k]])
-                          for k in range(3))
-            ax.plot(xs, ys, zs, lw=1.5,
-                    c="#3498db" if is_left else "#e74c3c")
+        _plot_bones(ax, skeleton[f], bones, lcolor, rcolor, lw=1.5)
         ax.set_axis_off()
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)

@@ -23,14 +23,16 @@ from .steps import (EpisodeBatch, create_train_state, make_eval_step,
 
 
 def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
-             batch_size: int = 16, seed: int = 0,
+             batch_size: int = 8, seed: int = 0,
              eval_step: Optional[Callable] = None,
-             specs=None) -> dict:
+             specs=None, prefetch_depth: int = 1) -> dict:
     """Episodic evaluation: mean accuracy ×100 with the 196·std/√n CI.
 
-    Episode assembly and host→device transfer are double-buffered behind the
-    forward pass (same Prefetcher as training); chunks are fixed-size with at
-    most one remainder chunk, so at most two shapes compile."""
+    Episode assembly and host→device transfer overlap the forward pass
+    (same Prefetcher as training); chunks are fixed-size with at most one
+    remainder chunk, so at most two shapes compile. Defaults stay small
+    (8-episode chunks, one staged ahead) because mid-training eval shares
+    HBM with the live train state and the training prefetcher's batches."""
     n_tasks = n_tasks or cfg.train.num_test_tasks
     eval_step = eval_step or jax.jit(make_eval_step(cfg))
     rng = np.random.default_rng(seed)
@@ -46,7 +48,8 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
             {"specs": batch_specs} if batch_specs is not None else {}))
 
     acc = TestAccuracies()
-    for batch in Prefetcher(produce, n_batches=len(sizes)):
+    for batch in Prefetcher(produce, n_batches=len(sizes),
+                            depth=prefetch_depth):
         acc.extend(np.asarray(eval_step(variables, batch)))
     return acc.summary()
 

@@ -164,6 +164,11 @@ def load_tsf_branches(params, branch_ckpts) -> Any:
         src = head.get("transformers", head)
         tpl = new[key]["transformers"]
         if set(tpl) != set(src):
+            if any(k.startswith("tct_") for k in src):
+                raise ValueError(
+                    f"temp_set mismatch grafting {path} into {key}: expert "
+                    f"has sets {sorted(src)}, TSF branch expects "
+                    f"{sorted(tpl)}")
             # single-set expert stores a flat TCT; the branch's MultiSetTCT
             # nests per-set children (tct_<n>) — replicate into each set
             src = {k: src for k in tpl}
