@@ -128,3 +128,11 @@ def test_vit_classifier():
     g = jax.grad(loss)(v["params"])
     assert np.isfinite(float(jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
+def test_pipeline_bench_tool(capsys):
+    from litemkd_tpu.tools.pipeline_bench import main as bench_main
+    bench_main(["--episodes", "1", "--img", "40", "--way", "2", "--shot", "1",
+                "--frames", "2"])
+    out = capsys.readouterr().out
+    assert "PIL decode" in out
