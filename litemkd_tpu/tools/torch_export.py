@@ -1,0 +1,156 @@
+"""PyTorch checkpoint exporter — the inverse of ``torch_import``.
+
+Writes litemkd_tpu weights as reference-layout torch state dicts so a user
+of the reference codebase can take a TPU-trained student or teacher back to
+``model_select.load_student``/``load_teacher`` unchanged:
+
+- ``ResNetTrunk`` params/batch_stats → torchvision attribute naming
+  (``layer1.0.conv1.weight``) or the reference student's Sequential naming
+  (``resnet.4.0.conv1.weight``, resnet18_2fc.py:33);
+- TCT params → ``<prefix>.{k_linear,v_linear,norm_k,norm_v}`` plus the
+  ``pe.pe`` sinusoidal buffer the reference registers
+  (TRX_2fcsup.py:24-41); the unused ``norm_v`` (TRX_2fcsup.py:106) exports
+  identity LayerNorm values;
+- a full student (backbone + classifier) → the reference Student module's
+  key layout with a ``{"iteration", "model_state_dict"}`` wrapper
+  (trainwandb.py:172-180).
+
+Conventions are the importer's reversed: flax kernel (in,out) → torch Linear
+(out,in); HWIO conv → OIHW; scale/bias + batch_stats → BN weight/bias +
+running stats (num_batches_tracked synthesized as 0).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..ops.positional import sinusoidal_pe
+from .torch_import import _SEQ_TO_ATTR, _STAGE_BLOCKS, _BLOCK_BNS, _BLOCK_CONVS
+
+_ATTR_TO_SEQ = {v: k for k, v in _SEQ_TO_ATTR.items()}
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _put_lin(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _np(p["kernel"]).T.copy()
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _put_conv(sd, key, p):
+    sd[key] = np.transpose(_np(p["kernel"]), (3, 2, 0, 1)).copy()
+
+
+def _put_bn(sd, prefix, p, s):
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+    sd[f"{prefix}.running_mean"] = _np(s["mean"])
+    sd[f"{prefix}.running_var"] = _np(s["var"])
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _put_ln(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def export_resnet_trunk(params: dict, stats: dict, depth: int = 18,
+                        prefix: str = "", seq_naming: bool = False
+                        ) -> Dict[str, np.ndarray]:
+    """``ResNetTrunk`` variables → torch resnet keys. ``seq_naming=True``
+    emits the reference's ``nn.Sequential(*children)`` indices."""
+    def name(attr: str) -> str:
+        return prefix + (_ATTR_TO_SEQ.get(attr.split(".")[0], attr.split(".")[0])
+                         + attr[len(attr.split(".")[0]):]
+                         if seq_naming else attr)
+
+    sd: Dict[str, np.ndarray] = {}
+    _put_conv(sd, name("conv1") + ".weight", params["conv1"])
+    _put_bn(sd, name("bn1"), params["bn1"], stats["bn1"])
+    for i, n_blocks in enumerate(_STAGE_BLOCKS[depth]):
+        for b in range(n_blocks):
+            src = f"layer{i + 1}_{b}"
+            dst = name(f"layer{i + 1}") + f".{b}"
+            bp, bs = params[src], stats[src]
+            for conv in _BLOCK_CONVS[depth]:
+                _put_conv(sd, f"{dst}.{conv}.weight", bp[conv])
+            for bn in _BLOCK_BNS[depth]:
+                _put_bn(sd, f"{dst}.{bn}", bp[bn], bs[bn])
+            if "downsample_conv" in bp:
+                _put_conv(sd, f"{dst}.downsample.0.weight",
+                          bp["downsample_conv"])
+                _put_bn(sd, f"{dst}.downsample.1", bp["downsample_bn"],
+                        bs["downsample_bn"])
+    return sd
+
+
+def export_tct(tct: dict, prefix: str, d_model: int = 2048,
+               max_len: int = 5000) -> Dict[str, np.ndarray]:
+    """TCT params → reference TemporalCrossTransformer keys, including the
+    sinusoidal ``pe.pe`` buffer and identity ``norm_v`` (unused in the
+    reference forward but present in its state dict)."""
+    sd: Dict[str, np.ndarray] = {}
+    _put_lin(sd, f"{prefix}.k_linear", tct["k_linear"])
+    _put_lin(sd, f"{prefix}.v_linear", tct["v_linear"])
+    _put_ln(sd, f"{prefix}.norm_k", tct["norm_k"])
+    out_dim = _np(tct["norm_k"]["scale"]).shape[0]
+    sd[f"{prefix}.norm_v.weight"] = np.ones((out_dim,), np.float32)
+    sd[f"{prefix}.norm_v.bias"] = np.zeros((out_dim,), np.float32)
+    sd[f"{prefix}.pe.pe"] = np.asarray(
+        sinusoidal_pe(max_len, d_model, 0.1), np.float32)[None]
+    return sd
+
+
+def _single_tct(classifier: dict) -> dict:
+    """Unwrap a classifier's (possibly multi-set) transformers to one TCT."""
+    t = classifier["transformers"]
+    if "k_linear" in t:
+        return t
+    sets = sorted(k for k in t if k.startswith("tct_"))
+    return t[sets[0]]
+
+
+def export_student_checkpoint(variables: dict, cfg: Config, path: str,
+                              iteration: int = 0,
+                              depth: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """BatchedStudent/Student variables → a reference-format checkpoint file
+    loadable by ``model_select.load_student`` (Student = resnet*_2fc backbone
+    + TRX-family classifier)."""
+    import torch
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if depth is None:
+        depth = 50 if cfg.model.backbone.startswith(
+            ("resnet50", "meta_baseline")) else 18
+    sd = export_resnet_trunk(params["backbone"]["trunk"],
+                             stats["backbone"]["trunk"], depth,
+                             prefix="backbone.resnet.", seq_naming=True)
+    for fc in ("fc1", "fc2"):
+        if fc in params["backbone"]:
+            _put_lin(sd, f"backbone.{fc}", params["backbone"][fc])
+    if "classifier" in params:
+        sd.update(export_tct(_single_tct(params["classifier"]),
+                             "classifier.transformers.0",
+                             d_model=cfg.model.trans_linear_in_dim))
+    torch.save({"iteration": iteration,
+                "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               path)
+    return sd
+
+
+def export_teacher_checkpoint(teacher_vars: dict, cfg: Config, path: str,
+                              iteration: int = 0) -> Dict[str, np.ndarray]:
+    """Teacher head variables → the released teacher layout
+    (``bracnch.transformers.0.*`` — reference model_select.py:105-117)."""
+    import torch
+    sd = export_tct(_single_tct(teacher_vars["params"]["classifier"]),
+                    "bracnch.transformers.0",
+                    d_model=cfg.model.trans_linear_in_dim)
+    torch.save({"iteration": iteration,
+                "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               path)
+    return sd

@@ -172,3 +172,82 @@ def test_full_student_pipeline_matches_torch():
     np.testing.assert_array_equal(
         np.argmax(np.asarray(logits["kl"]) + np.asarray(logits["ce"]), -1),
         np.argmax(t_kl + t_ce, -1))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """export_student_checkpoint → load_student_checkpoint returns the same
+    trunk/fc/TCT weights (the jax→torch→jax interop loop)."""
+    import jax
+    import jax.numpy as jnp
+    from litemkd_tpu import preset
+    from litemkd_tpu.data import SyntheticEpisodeSource
+    from litemkd_tpu.train import create_train_state
+    from litemkd_tpu.tools.torch_export import export_student_checkpoint
+    from litemkd_tpu.tools.torch_import import load_student_checkpoint
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(
+        backbone="resnet18_2fc", classifier="TRX_2fcsup",
+        trans_linear_in_dim=32, trans_linear_out_dim=24))
+    src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0,
+                                 with_teacher_feats=False)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    state, _ = create_train_state(cfg, jax.random.key(0), batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "student.pt")
+    export_student_checkpoint(variables, cfg, path, iteration=7)
+
+    restored = load_student_checkpoint(path, cfg)
+    want_flat = jax.tree_util.tree_leaves_with_path(variables)
+    got = restored
+    # compare every leaf that the reference layout round-trips (all of them
+    # for resnet18_2fc + single-TCT heads)
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = np.asarray(v)
+        return out
+
+    want_p = flat(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    got_p = flat(got["params"])
+    assert set(got_p) == set(want_p), (
+        set(got_p) ^ set(want_p))
+    for k in want_p:
+        np.testing.assert_allclose(got_p[k], want_p[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+    want_s = flat(jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+    got_s = flat(got["batch_stats"])
+    assert set(got_s) == set(want_s)
+    for k in want_s:
+        np.testing.assert_allclose(got_s[k], want_s[k], rtol=1e-6, err_msg=k)
+
+
+def test_torch_export_teacher_roundtrip(tmp_path):
+    import jax
+    from litemkd_tpu import preset
+    from litemkd_tpu.data import SyntheticEpisodeSource
+    from litemkd_tpu.train import create_train_state
+    from litemkd_tpu.tools.torch_export import export_teacher_checkpoint
+    from litemkd_tpu.tools.torch_import import load_teacher_checkpoint
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(
+        trans_linear_in_dim=32, trans_linear_out_dim=24))
+    src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0,
+                                 with_teacher_feats=True)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    _, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    path = str(tmp_path / "teacher.pt")
+    export_teacher_checkpoint(t_vars, cfg, path)
+    restored = load_teacher_checkpoint(path, cfg)
+    want = t_vars["params"]["classifier"]["transformers"]
+    if "k_linear" not in want:
+        want = want[sorted(k for k in want if k.startswith("tct_"))[0]]
+    got = restored["params"]["classifier"]["transformers"]
+    for mod in ("k_linear", "v_linear", "norm_k"):
+        for leaf in got[mod]:
+            np.testing.assert_allclose(np.asarray(got[mod][leaf]),
+                                       np.asarray(want[mod][leaf]), rtol=1e-6)
