@@ -79,15 +79,28 @@ class CheckpointManager:
         return new_state, restored.get("teacher", teacher_vars)
 
 
+def restore_payload(directory: str) -> Any:
+    """Load the raw checkpoint payload as host numpy arrays (no state
+    template, no device placement — works for TPU-written checkpoints opened
+    on a CPU host and vice versa)."""
+    root = os.path.abspath(directory)
+    step = ocp.CheckpointManager(root).latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {directory}")
+    path = os.path.join(root, str(step), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    leaves, treedef = jax.tree_util.tree_flatten(meta)
+    restore_args = jax.tree_util.tree_unflatten(
+        treedef, [ocp.RestoreArgs(restore_type=np.ndarray) for _ in leaves])
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_params(directory: str) -> Any:
     """Load only the params tree from the latest checkpoint in ``directory``
     (no state template needed) — used for cross-model weight grafts like the
     TSF per-branch expert loading (reference score_fusion_run.py)."""
-    mngr = ocp.CheckpointManager(os.path.abspath(directory))
-    step = mngr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoint in {directory}")
-    return mngr.restore(step, args=ocp.args.StandardRestore())["params"]
+    return restore_payload(directory)["params"]
 
 
 def verify_checkpoint_dir(directory: str, resume: bool) -> None:
