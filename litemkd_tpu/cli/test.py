@@ -42,7 +42,23 @@ def main(argv=None):
 
     specs = None
     if cfg.data.fixed_episode_file:
-        specs = load_fixed_episodes(cfg.data.fixed_episode_file)
+        path = cfg.data.fixed_episode_file
+
+        def _reference_specs():
+            # reference gen_fixed_split.py format (dict keyed by episode
+            # index, global video_idx entries) — convert against our index
+            from ..data import load_reference_fixed_episodes
+            index = (sampler.videos if getattr(sampler, "videos", None)
+                     is not None else sampler.features).split(False)
+            return load_reference_fixed_episodes(path, index)
+
+        if path.endswith((".yaml", ".yml")):
+            specs = _reference_specs()
+        else:
+            try:
+                specs = load_fixed_episodes(path)
+            except (KeyError, TypeError, AttributeError):
+                specs = _reference_specs()
         print(f"replaying {len(specs)} fixed episodes")
 
     if need_teacher:
