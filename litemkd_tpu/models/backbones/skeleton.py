@@ -38,7 +38,7 @@ class SkeletonEncoder(nn.Module):
                             bias_init=torch_linear_bias_init(fan_in))
 
         x = dense(d, x.shape[-1], "embed_in")(x)
-        x = nn.relu(nn.LayerNorm(name="embed_ln")(x))
+        x = nn.relu(nn.LayerNorm(epsilon=1e-5, name="embed_ln")(x))
         x = dense(d, d, "embed_out")(x)
         x = SinusoidalPE(d, max_len=max(t, 8), dropout=self.dropout,
                          name="pe")(x, train=train)

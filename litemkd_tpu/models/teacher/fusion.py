@@ -69,12 +69,12 @@ class EncoderLayer(nn.Module):
         ctx = _dense(d, d, "attn_out", cd)(ctx.reshape(n, t, d))
         drop = lambda z, name: nn.Dropout(self.dropout, deterministic=not train,
                                           name=name)(z)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + drop(ctx, "drop_attn"))
         y = _dense(self.dim_ff, d, "mlp_in", cd)(x)
         y = drop(nn.relu(y), "drop_mlp1")
         y = _dense(d, self.dim_ff, "mlp_out", cd)(y)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + drop(y, "drop_mlp2"))
         return x
 
@@ -195,7 +195,8 @@ class CrossAttentionFusion(nn.Module):
         out = _dense(d, d, "out", cd)(ctx)
         out = nn.Dropout(self.dropout, deterministic=not train,
                          name="drop_out")(out)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(out + x1)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,  # torch eps
+                            name="norm")(out + x1)
 
 
 class SelfEncoderBranch(nn.Module):

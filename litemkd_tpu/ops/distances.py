@@ -9,9 +9,18 @@ Vectorized equivalents of the reference's per-class Python loops:
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
 import jax.numpy as jnp
 
 from .tct import class_sort
+
+
+@lru_cache(maxsize=None)
+def _off_diag(way: int) -> np.ndarray:
+    """Static (way, way-1) column indices skipping the diagonal."""
+    return np.stack([[j for j in range(way) if j != i] for i in range(way)])
 
 
 def support_dk_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
@@ -28,9 +37,8 @@ def support_dk_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     dist = -jnp.sum(diff * diff, axis=(-2, -1)) / seq_len
     # drop the diagonal, preserving ascending-j order per row (static gather —
     # boolean masking is not vmappable)
-    import numpy as _np
-    off_diag = _np.stack([[j for j in range(way) if j != i] for i in range(way)])
-    return jnp.take_along_axis(dist, jnp.asarray(off_diag, jnp.int32), axis=1)
+    return jnp.take_along_axis(dist, jnp.asarray(_off_diag(way), jnp.int32),
+                               axis=1)
 
 
 def _cdist(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

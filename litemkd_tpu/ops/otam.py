@@ -15,8 +15,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .tct import class_sort
-
 
 def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
     """dists (Q, S, L, M) frame distances → (Q, S) cumulative distances.
@@ -50,17 +48,25 @@ def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
 
 def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
                 queries: jnp.ndarray, way: int, shot: int,
-                lbda: float = 0.1, eps: float = 1e-8) -> jnp.ndarray:
-    """(WS, T, D), (WS,), (Q, T, D) → (Q, way) softmaxed OTAM logits."""
+                lbda: float = 0.1, eps: float = 0.01) -> jnp.ndarray:
+    """(WS, T, D), (WS,), (Q, T, D) → (Q, way) softmaxed OTAM logits.
+
+    Cosine uses the reference's ``cos_sim`` semantics — ``x·y/(|x||y|+0.01)``
+    (model.py:3260-3268), which also damps near-zero-norm frames — with the
+    gradient-safe ``sqrt(Σx²+1e-16)`` norm (CLAUDE.md convention). The
+    reference's NaN-feature guard (model.py:3321-3324: return zero logits
+    when support features contain NaN, so one bad episode can't poison the
+    summed batch loss) is reproduced below."""
     q_n, t, dim = queries.shape
     s_n = support.shape[0]
-    qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
-    sf = support.reshape(s_n * t, dim).astype(jnp.float32)
-    # safe norms: gradient of linalg.norm is NaN at 0, and zero-filled
-    # missing-modality features are exactly 0
-    qn = qf / (jnp.sqrt(jnp.sum(qf * qf, -1, keepdims=True) + 1e-16) + eps)
-    sn = sf / (jnp.sqrt(jnp.sum(sf * sf, -1, keepdims=True) + 1e-16) + eps)
-    sim = qn @ sn.T                                      # (QT, ST)
+    bad = jnp.any(jnp.isnan(support))
+    # sanitize BEFORE the math: masking only the output would still leak NaN
+    # through the backward pass (0·NaN = NaN in the cotangent chain)
+    qf = jnp.nan_to_num(queries.reshape(q_n * t, dim).astype(jnp.float32))
+    sf = jnp.nan_to_num(support.reshape(s_n * t, dim).astype(jnp.float32))
+    qnorm = jnp.sqrt(jnp.sum(qf * qf, -1, keepdims=True) + 1e-16)
+    snorm = jnp.sqrt(jnp.sum(sf * sf, -1, keepdims=True) + 1e-16)
+    sim = (qf @ sf.T) / (qnorm @ snorm.T + eps)          # (QT, ST)
     dists = 1.0 - sim.reshape(q_n, t, s_n, t).transpose(0, 2, 1, 3)  # (Q,S,T,T)
 
     cum = otam_cum_dist(dists, lbda) + \
@@ -70,4 +76,5 @@ def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     order = jnp.argsort(support_labels, stable=True)
     cum_sorted = jnp.take(cum, order, axis=1).reshape(q_n, way, shot)
     class_dists = cum_sorted.mean(axis=-1)               # (Q, way)
-    return jax.nn.softmax(-class_dists, axis=-1)
+    logits = jax.nn.softmax(-class_dists, axis=-1)
+    return jnp.where(bad, jnp.zeros_like(logits), logits)

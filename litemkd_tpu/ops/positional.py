@@ -53,6 +53,7 @@ class TrainablePE(nn.Module):
         emb = self.param("position_embeddings", torch_embedding_init(),
                          (self.max_len, self.d_model), jnp.float32)
         t = x.shape[-2]
-        x = nn.LayerNorm(dtype=jnp.float32)(x + emb[:t].astype(x.dtype))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(  # torch LN eps
+            x + emb[:t].astype(x.dtype))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

@@ -87,7 +87,8 @@ class TemporalCrossTransformer(nn.Module):
         v_linear = nn.Dense(dk, kernel_init=torch_linear_kernel_init(),
                             bias_init=torch_linear_bias_init(tuple_dim),
                             dtype=self.compute_dtype, name="v_linear")
-        norm_k = nn.LayerNorm(dtype=jnp.float32, name="norm_k")
+        norm_k = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,  # torch eps
+                              name="norm_k")
 
         s_k = norm_k(k_linear(s_t))
         q_k = norm_k(k_linear(q_t))

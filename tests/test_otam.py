@@ -72,3 +72,40 @@ def test_otam_classifier_registered():
     v = head.init(jax.random.key(0), support, labels, queries, False)
     out = head.apply(v, support, labels, queries, False)
     assert out.shape == (2, ep.way)
+
+
+def test_cos_sim_reference_semantics_and_nan_guard():
+    """cos uses the reference's x·y/(|x||y|+0.01) (model.py:3260-3268) and a
+    NaN support episode returns zero logits with finite gradients
+    (model.py:3321-3324)."""
+    import jax
+    rng = np.random.default_rng(2)
+    support = rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+    labels = np.repeat(np.arange(WAY), SHOT).astype(np.int32)
+    queries = rng.normal(size=(2, T, D)).astype(np.float32)
+
+    # independent transcription of the logits with reference cos semantics
+    qf = queries.reshape(-1, D)
+    sf = support.reshape(-1, D)
+    sim = (qf @ sf.T) / (np.linalg.norm(qf, axis=-1, keepdims=True)
+                         @ np.linalg.norm(sf, axis=-1, keepdims=True).T + 0.01)
+    dists = 1 - sim.reshape(2, T, WAY * SHOT, T).transpose(0, 2, 1, 3)
+    cum = (naive_cum_dist(dists) +
+           naive_cum_dist(dists.transpose(0, 1, 3, 2)))
+    class_d = cum.reshape(2, WAY, SHOT).mean(-1)
+    e = np.exp(-class_d - (-class_d).max(-1, keepdims=True))
+    want = e / e.sum(-1, keepdims=True)
+    got = np.asarray(otam_logits(jnp.asarray(support), jnp.asarray(labels),
+                                 jnp.asarray(queries), WAY, SHOT))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # NaN guard: zero logits, finite grads
+    bad = support.copy()
+    bad[0, 0, 0] = np.nan
+    out = np.asarray(otam_logits(jnp.asarray(bad), jnp.asarray(labels),
+                                 jnp.asarray(queries), WAY, SHOT))
+    np.testing.assert_array_equal(out, 0.0)
+    g = jax.grad(lambda s: jnp.sum(otam_logits(
+        s, jnp.asarray(labels), jnp.asarray(queries), WAY, SHOT)))(
+        jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all()
