@@ -262,3 +262,31 @@ def test_reference_fixed_episode_import(dataset_dir, cfg, tmp_path):
     batch = sampler.sample_batch(np.random.default_rng(0), 2, train=False,
                                  specs=specs)
     assert batch.support_clips.shape[0] == 2
+
+
+def test_reference_fixed_episode_yaml(dataset_dir, tmp_path):
+    """The reference emits fixed_test.yaml via ruamel (gen_fixed_split.py:194);
+    the yaml path of the importer parses it identically to json."""
+    import yaml
+    from litemkd_tpu.data import VideoStore, load_reference_fixed_episodes
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    index = vs.split(False)
+    offsets, off = {}, 0
+    for c in index.classes():
+        offsets[int(c)] = off
+        off += index.n_videos(c)
+    data = {"0": {"support": [{"id": 0, "class_bc": 2,
+                               "video_idx": offsets[2] + 1}],
+                  "query": [{"id": 0, "class_bc": 2,
+                             "video_idx": offsets[2] + 2}]}}
+    path = tmp_path / "fixed_test.yaml"
+    path.write_text(yaml.safe_dump(data))
+    specs = load_reference_fixed_episodes(str(path), index)
+    assert specs[0].classes == [2]
+    assert specs[0].support_idx == [[1]] and specs[0].query_idx == [[2]]
+    # out-of-range indices fail loudly (scan-divergence guard)
+    data["0"]["support"][0]["video_idx"] = 10 ** 6
+    path.write_text(yaml.safe_dump(data))
+    with pytest.raises(ValueError):
+        load_reference_fixed_episodes(str(path), index)
