@@ -36,9 +36,19 @@ def main(argv=None):
                    help="checkpoint dir to load weights from (optional for "
                         "expert mode: random weights then)")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--arch", default="resnet50",
+                   help="expert trunk for expert mode (reference "
+                        "extract_feature.py --model): resnet18|resnet34|"
+                        "resnet50 — feature dim follows the trunk (512/512/"
+                        "2048)")
     p.add_argument("--fusion", default="mfm",
                    help="fusion teacher kind for mfm mode: mfm | dga | dga2 | "
                         "two_road | a composer preset | otam:<preset>")
+    p.add_argument("--extract_side", choices=["support", "query"],
+                   default="support",
+                   help="which fusion path side-asymmetric composer presets "
+                        "dump (the released classes never defined this; "
+                        "side-symmetric teachers reject 'query')")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -52,7 +62,8 @@ def main(argv=None):
         from ..tools.extract import extract_expert_features
         vs = VideoStore(cfg.data.rgb_path, cfg.data.traintestlist,
                         cfg.data.split, cfg.episode.seq_len, cfg.episode.img_size)
-        net = ActionRecognitionNet(num_classes=2, depth=50,
+        depth = {"resnet18": 18, "resnet34": 34, "resnet50": 50}[args.arch]
+        net = ActionRecognitionNet(num_classes=2, depth=depth,
                                    compute_dtype=jnp.dtype(cfg.model.compute_dtype))
         rng = np.random.default_rng(0)
         sample = np.zeros((1, cfg.episode.seq_len, cfg.episode.img_size,
@@ -101,7 +112,8 @@ def main(argv=None):
             variables = {"params": restored["params"]}
         n = extract_mfm_features(cfg, store, variables, args.out,
                                  store.class_names, batch_size=args.batch_size,
-                                 fusion_kind=args.fusion)
+                                 fusion_kind=args.fusion,
+                                 side=int(args.extract_side == "query"))
         print(f"extracted {n} fused videos → {args.out}")
 
 

@@ -76,12 +76,26 @@ def extract_expert_features(cfg: Config, video_store: VideoStore,
 def extract_mfm_features(cfg: Config, store: MultiModalFeatureStore,
                          mfm_variables, out_root: str,
                          class_names: List[str], batch_size: int = 64,
-                         verify: bool = True, fusion_kind: str = "mfm") -> int:
-    """MFM-fuse per-modality features for every video; dump feature.npy tree."""
+                         verify: bool = True, fusion_kind: str = "mfm",
+                         side: int = 0) -> int:
+    """MFM-fuse per-modality features for every video; dump feature.npy tree.
+
+    ``side`` selects the support (0) or query (1) fusion path for composer
+    presets whose two sides differ (the released side-asymmetric classes never
+    implemented extract_feature, e.g. reference model.py:1790); side-symmetric
+    teachers (MFM itself, DGA, two_road) ignore it.
+    """
+    import inspect
     from ..train.teacher_steps import make_mfm
 
     model = make_mfm(cfg, batched=False, kind=fusion_kind)
-    fuse = jax.jit(lambda v, feats: model.apply(v, feats, method=model.extract))
+    kw = ({"side": side}
+          if "side" in inspect.signature(model.extract).parameters else {})
+    if side and not kw:
+        raise ValueError(f"fusion kind {fusion_kind!r} is side-symmetric; "
+                         "query-side extraction does not apply")
+    fuse = jax.jit(lambda v, feats: model.apply(v, feats, method=model.extract,
+                                                **kw))
 
     n = 0
     for train in (True, False):

@@ -97,6 +97,39 @@ def test_mfm_training_and_extraction(cfg, feature_root, tmp_path):
     assert np.isfinite(feat).all()
 
 
+def test_extract_side_selects_fusion_path(cfg, feature_root, tmp_path):
+    """Side-asymmetric faithful presets fuse support and query differently
+    (reference model.py:2192-2204 adds the 3-stream branch to the support
+    fusion only); ``side`` picks which path the dump tools run, and
+    side-symmetric teachers reject a query-side request."""
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    kind = "TwoCombinationTemTroShiftTRX_faithful"
+    paths = {m: str(feature_root / m) for m in MODS}
+    store = MultiModalFeatureStore(paths, str(feature_root / "splits"), 3, T, D)
+    model = make_mfm(cfg, batched=False, kind=kind)
+    ep = cfg.episode
+    mk = lambda n: {m: jnp.asarray(np.random.default_rng(1).normal(
+        size=(n, T, D)).astype(np.float32)) for m in MODS}
+    labels = jnp.zeros((ep.n_support,), jnp.int32)
+    v = model.init(jax.random.key(0), mk(ep.n_support), labels,
+                   mk(ep.n_queries(False)), False)
+
+    outs = {}
+    for side in (0, 1):
+        out = str(tmp_path / f"side{side}")
+        extract_mfm_features(cfg, store, v, out, store.class_names,
+                             batch_size=8, fusion_kind=kind, side=side)
+        fused_store = FeatureStore(out, str(feature_root / "splits"), 3, T, D)
+        outs[side] = fused_store.load(fused_store.train_split.get(0, 0))
+    assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
+    assert not np.allclose(outs[0], outs[1])
+
+    with pytest.raises(ValueError, match="side-symmetric"):
+        extract_mfm_features(cfg, store, v, str(tmp_path / "bad"),
+                             store.class_names, fusion_kind="mfm", side=1)
+
+
 def test_missing_modality_zero_filled(cfg, feature_root):
     paths = {m: str(feature_root / m) for m in MODS}
     store = MultiModalFeatureStore(paths, str(feature_root / "splits"), 3, T, D)
