@@ -95,6 +95,11 @@ def load_reference_fixed_episodes(path: str,
                 c = int(d["class_bc"])
                 if c not in classes and part == "support":
                     classes.append(c)
+                if c not in offsets:
+                    raise ValueError(
+                        f"episode {k}: class_bc {c} does not exist in the "
+                        f"local {len(offsets)}-class split — the fixed file "
+                        "was built against a different dataset/split")
                 idx = int(d["video_idx"]) - offsets[c]
                 if not 0 <= idx < index.n_videos(c):
                     raise ValueError(
@@ -103,6 +108,12 @@ def load_reference_fixed_episodes(path: str,
                         f"{index.n_videos(c)} videos — the local video scan "
                         "diverges from the one the fixed file was built from")
                 store.setdefault(c, []).append(idx)
+        orphans = set(qry) - set(classes)
+        if orphans:
+            raise ValueError(
+                f"episode {k}: query entries for classes {sorted(orphans)} "
+                "that have no support entries — dropping them would silently "
+                "change the episode the file specifies")
         specs.append(EpisodeSpec(classes, [sup[c] for c in classes],
                                  [qry.get(c, []) for c in classes]))
     return specs
@@ -124,15 +135,18 @@ class EpisodeSampler:
         self.videos = video_store
         self.features = feature_store
         self.pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers else None
-        # (train, class_id, video_id) → feature record, for O(1) pairing of a
-        # video with its fused teacher feature
+        # (train, class NAME, video_id) → feature record, for O(1) pairing of
+        # a video with its fused teacher feature. Keyed by name because the
+        # two trees are scanned independently: a class folder missing from one
+        # renumbers its scan-order ids
         self._feat_lookup: Dict[tuple, object] = {}
         if feature_store is not None and video_store is not None:
             for train in (True, False):
                 idx = feature_store.split(train)
                 for cid in idx.classes():
+                    cname = feature_store.class_names[cid]
                     for cand in idx.videos_for_class(cid):
-                        self._feat_lookup[(train, cid, cand.video_id)] = cand
+                        self._feat_lookup[(train, cname, cand.video_id)] = cand
 
     def _index(self, train: bool) -> SplitIndex:
         store = self.videos if self.videos is not None else self.features
@@ -147,19 +161,32 @@ class EpisodeSampler:
             # feature tree is keyed identically (class, video); records from the
             # video index carry the ids needed for the lookup
             frec = self._feature_record(rec, train)
-            feats = self.features.load(frec) if frec is not None else \
-                np.zeros((self.cfg.episode.seq_len,
-                          self.cfg.model.trans_linear_in_dim), np.float32)
+            if frec is not None:
+                feats = self.features.load(frec)
+            elif getattr(self.features, "strict", True):
+                # the reference crashes on a missing feature.npy; training
+                # against silently zero-filled teacher features would be a
+                # far worse failure mode than this error
+                cname = self.videos.class_names[rec.class_id]
+                raise FileNotFoundError(
+                    f"no teacher feature for video {cname}/{rec.video_id} "
+                    f"({'train' if train else 'test'} split) — is "
+                    "teacher_path pointing at a complete extraction tree? "
+                    "(pass a strict=False FeatureStore to zero-fill instead)")
+            else:
+                feats = np.zeros((self.cfg.episode.seq_len,
+                                  self.cfg.model.trans_linear_in_dim),
+                                 np.float32)
         return clip, feats
 
     def _feature_record(self, rec, train: bool):
         if self.videos is None:
             return rec
-        return self._feat_lookup.get((train, rec.class_id, rec.video_id))
+        return self._feat_lookup.get(
+            (train, self.videos.class_names[rec.class_id], rec.video_id))
 
     def build_episode(self, spec: EpisodeSpec, train: bool,
                       rng: np.random.Generator):
-        ep = self.cfg.episode
         index = self._index(train)
         jobs: List[Tuple] = []   # (record, is_support, label)
         for label, (c, s_idx, q_idx) in enumerate(

@@ -16,31 +16,18 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from .splits import SplitIndex, VideoRecord, load_split_lists
+from .splits import SplitIndex, VideoRecord, load_split_lists, scan_class_tree
 
 
 def scan_feature_tree(root: str, split_lists: Dict[str, set]) -> Tuple[SplitIndex, SplitIndex, list]:
-    train, test = SplitIndex(), SplitIndex()
-    class_folders = sorted(os.listdir(root))
-    for class_id, class_folder in enumerate(class_folders):
-        cdir = os.path.join(root, class_folder)
-        if not os.path.isdir(cdir):
-            continue
-        for video_folder in sorted(os.listdir(cdir)):
-            key = video_folder.lower()
-            if key in split_lists["train"]:
-                dest = train
-            elif key in split_lists["test"]:
-                dest = test
-            else:
-                continue
-            vdir = os.path.join(cdir, video_folder)
-            files = [f for f in sorted(os.listdir(vdir)) if f.endswith(".npy")]
-            if not files:
-                continue
-            dest.add(VideoRecord(class_id, video_folder,
-                                 feature_path=os.path.join(vdir, files[0])))
-    return train, test, class_folders
+    def make_record(class_id, video_folder, vdir):
+        files = [f for f in sorted(os.listdir(vdir)) if f.endswith(".npy")]
+        if not files:
+            return None
+        return VideoRecord(class_id, video_folder,
+                           feature_path=os.path.join(vdir, files[0]))
+
+    return scan_class_tree(root, split_lists, make_record)
 
 
 class FeatureStore:
@@ -87,14 +74,18 @@ class MultiModalFeatureStore:
         self.train_split = primary.train_split
         self.test_split = primary.test_split
         self.class_names = primary.class_names
-        # (modality, train, class_id, video_id) → record
+        # (modality, train, class NAME, video_id) → record. Keyed by name, not
+        # scan-order id: a modality tree missing a class folder renumbers its
+        # later classes, so ids do not line up across independently scanned
+        # trees
         self._lookup: Dict[tuple, VideoRecord] = {}
         for m, store in self.stores.items():
             for train in (True, False):
                 idx = store.split(train)
                 for cid in idx.classes():
+                    cname = store.class_names[cid]
                     for rec in idx.videos_for_class(cid):
-                        self._lookup[(m, train, cid, rec.video_id)] = rec
+                        self._lookup[(m, train, cname, rec.video_id)] = rec
 
     def split(self, train: bool) -> SplitIndex:
         return self.train_split if train else self.test_split
@@ -102,7 +93,8 @@ class MultiModalFeatureStore:
     def load(self, rec: VideoRecord, modality: str, train: bool) -> Dict[str, np.ndarray]:
         """(T, D) features of ``modality`` for the primary-index record;
         zeros when that modality is missing for the video."""
-        hit = self._lookup.get((modality, train, rec.class_id, rec.video_id))
+        hit = self._lookup.get((modality, train,
+                                self.class_names[rec.class_id], rec.video_id))
         if hit is None:
             return np.zeros((self.seq_len, self.feat_dim), dtype=np.float32)
         return self.stores[modality].load(hit)

@@ -32,6 +32,36 @@ def load_split_lists(annotation_dir: str, split: int) -> Dict[str, Set[str]]:
     return out
 
 
+def scan_class_tree(root: str, split_lists: Dict[str, Set[str]], make_record):
+    """Shared ``<root>/<class>/<video>/...`` tree walk (the reference scan,
+    video_reader.py:174-196): class ids follow sorted class-folder order,
+    videos are assigned to train/test by lowercase folder membership in the
+    split lists. ``make_record(class_id, video_folder, video_dir)`` builds the
+    per-leaf record (frame list or feature path) or returns None to skip the
+    video. One walker for both the frame and feature trees keeps their class
+    numbering rules identical (the stores pair videos to features by class
+    NAME, but a single implementation removes the drift hazard entirely)."""
+    train, test = SplitIndex(), SplitIndex()
+    class_folders = sorted(os.listdir(root))
+    for class_id, class_folder in enumerate(class_folders):
+        cdir = os.path.join(root, class_folder)
+        if not os.path.isdir(cdir):
+            continue
+        for video_folder in sorted(os.listdir(cdir)):
+            key = video_folder.lower()
+            if key in split_lists["train"]:
+                dest = train
+            elif key in split_lists["test"]:
+                dest = test
+            else:
+                continue
+            rec = make_record(class_id, video_folder,
+                              os.path.join(cdir, video_folder))
+            if rec is not None:
+                dest.add(rec)
+    return train, test, class_folders
+
+
 @dataclass
 class VideoRecord:
     """One video: either a list of frame paths or a single feature-file path."""

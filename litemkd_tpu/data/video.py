@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .splits import SplitIndex, VideoRecord, load_split_lists
+from .splits import SplitIndex, VideoRecord, load_split_lists, scan_class_tree
 
 try:  # PIL ships with the image; gate anyway so feature-only flows never need it
     from PIL import Image
@@ -39,27 +39,14 @@ def scan_frame_tree(root: str, split_lists: Dict[str, set],
     sorted class-folder order — all matching the reference scan
     (video_reader.py:174-196).
     """
-    train, test = SplitIndex(), SplitIndex()
-    class_folders = sorted(os.listdir(root))
-    for class_id, class_folder in enumerate(class_folders):
-        cdir = os.path.join(root, class_folder)
-        if not os.path.isdir(cdir):
-            continue
-        for video_folder in sorted(os.listdir(cdir)):
-            key = video_folder.lower()
-            if key in split_lists["train"]:
-                dest = train
-            elif key in split_lists["test"]:
-                dest = test
-            else:
-                continue
-            vdir = os.path.join(cdir, video_folder)
-            frames = sorted(os.path.join(vdir, f) for f in os.listdir(vdir)
-                            if f.lower().endswith(_IMG_EXTS))
-            if len(frames) < seq_len:
-                continue
-            dest.add(VideoRecord(class_id, video_folder, frame_paths=frames))
-    return train, test, class_folders
+    def make_record(class_id, video_folder, vdir):
+        frames = sorted(os.path.join(vdir, f) for f in os.listdir(vdir)
+                        if f.lower().endswith(_IMG_EXTS))
+        if len(frames) < seq_len:
+            return None
+        return VideoRecord(class_id, video_folder, frame_paths=frames)
+
+    return scan_class_tree(root, split_lists, make_record)
 
 
 class ZipFrameStore:
@@ -122,6 +109,10 @@ def sample_frame_indices(n_frames: int, seq_len: int, train: bool,
         start, end = 1, n_frames - 2
     if end - start < seq_len:
         start, end = 0, n_frames - 1
+    if seq_len == 1:
+        # single-frame runs draw one random frame from the trimmed range
+        # (video_reader.py:373-374, applied at train AND test time)
+        return np.asarray([int(rng.integers(start, end))], np.int64)
     idx = np.linspace(start, end, num=seq_len)
     return idx.astype(np.int64)
 
@@ -169,6 +160,11 @@ def load_clip_native(paths: List[str], idxs: np.ndarray, *, img_size: int,
         flip = rng.random() < 0.5
         y0 = int(rng.integers(0, rh - img_size + 1))
         x0 = int(rng.integers(0, rw - img_size + 1))
+        if flip:
+            # the PIL path (like the reference, video_reader.py:106-107) flips
+            # the FULL image before cropping at x0; the C++ kernel flips within
+            # the crop window, so mirror the window to select the same pixels
+            x0 = rw - img_size - x0
     else:
         flip = False
         y0 = (rh - img_size) // 2
@@ -210,10 +206,17 @@ class VideoStore:
     the C++ decoder when it is available, falling back to PIL otherwise."""
 
     def __init__(self, rgb_path: str, annotation_dir: str, split: int,
-                 seq_len: int, img_size: int, use_native: bool = True):
+                 seq_len: int, img_size: int, use_native: bool = True,
+                 resize_to: Optional[int] = None):
         self.seq_len = seq_len
         self.img_size = img_size
         self.use_native = use_native
+        # the reference's shorter-side resize follows the crop size
+        # (video_reader.py:96-101: 96 for img_size 84, 256 for 224 — both are
+        # img_size·256/224); a fixed 256 would give wrong-scale crops at other
+        # sizes
+        self.resize_to = resize_to if resize_to is not None else \
+            round(img_size * 256 / 224)
         self.zip_store: Optional[ZipFrameStore] = None
         split_lists = load_split_lists(annotation_dir, split)
         if rgb_path.endswith(".zip"):
@@ -233,8 +236,9 @@ class VideoStore:
         if self.use_native and self.zip_store is None:
             clip = load_clip_native(rec.frame_paths, idxs,
                                     img_size=self.img_size, train=train,
-                                    rng=rng)
+                                    rng=rng, resize_to=self.resize_to)
             if clip is not None:
                 return clip
         return load_clip(rec.frame_paths, idxs, img_size=self.img_size,
-                         train=train, rng=rng, zip_store=self.zip_store)
+                         train=train, rng=rng, zip_store=self.zip_store,
+                         resize_to=self.resize_to)

@@ -65,9 +65,14 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     n_steps = max(1, cfg.train.training_iterations // e_per_step)
 
     rng = np.random.default_rng(cfg.train.seed)
-    first = sampler.sample_batch(rng, e_per_step, train=True)
+    # init only needs shapes: one episode, not a full (possibly ~GB) batch —
+    # create_train_state slices to [:1] anyway and this batch is never trained
+    # on. episodes_per_step is passed so the LR schedule still counts real
+    # batch sizes.
+    first = sampler.sample_batch(rng, 1, train=True)
     state, t_vars = create_train_state(cfg, jax.random.key(cfg.train.seed),
-                                       device_put_batch(first))
+                                       device_put_batch(first),
+                                       episodes_per_step=e_per_step)
     if teacher_vars_init is not None:
         t_vars = teacher_vars_init
 

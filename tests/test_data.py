@@ -215,12 +215,19 @@ def test_native_decoder_exact_on_identity_resize(tmp_path):
                          rng=np.random.default_rng(1))
     assert b is not None
     np.testing.assert_array_equal(a, b)
-    # train path: same rng stream → same crop/flip decisions → identical bytes
-    a = load_clip(paths, idxs, img_size=224, train=True,
-                  rng=np.random.default_rng(7))
-    b = load_clip_native(paths, idxs, img_size=224, train=True,
-                         rng=np.random.default_rng(7))
-    np.testing.assert_array_equal(a, b)
+    # train path: same rng stream → same crop/flip decisions → identical
+    # bytes. Sweep seeds so BOTH flip outcomes are exercised (the C++ kernel
+    # flips within the crop window; the wrapper mirrors the window so the
+    # selected pixels match the flip-then-crop PIL/reference order)
+    flips_seen = set()
+    for seed in range(10):
+        flips_seen.add(bool(np.random.default_rng(seed).random() < 0.5))
+        a = load_clip(paths, idxs, img_size=224, train=True,
+                      rng=np.random.default_rng(seed))
+        b = load_clip_native(paths, idxs, img_size=224, train=True,
+                             rng=np.random.default_rng(seed))
+        np.testing.assert_array_equal(a, b)
+    assert flips_seen == {False, True}
 
 
 def test_reference_fixed_episode_import(dataset_dir, cfg, tmp_path):
@@ -289,4 +296,91 @@ def test_reference_fixed_episode_yaml(dataset_dir, tmp_path):
     data["0"]["support"][0]["video_idx"] = 10 ** 6
     path.write_text(yaml.safe_dump(data))
     with pytest.raises(ValueError):
+        load_reference_fixed_episodes(str(path), index)
+
+
+def test_single_frame_sampling_is_random():
+    """seq_len == 1 draws one random frame from the trimmed range
+    (video_reader.py:373-374), at train AND test time — not a fixed linspace
+    start frame."""
+    train_draws = {int(sample_frame_indices(10, 1, True,
+                                            np.random.default_rng(s))[0])
+                   for s in range(50)}
+    assert len(train_draws) > 1 and all(0 <= d <= 9 for d in train_draws)
+    # test-time trim is 1 frame each end → uniform over [1, n-3]
+    test_draws = {int(sample_frame_indices(10, 1, False,
+                                           np.random.default_rng(s))[0])
+                  for s in range(50)}
+    assert len(test_draws) > 1 and test_draws <= set(range(1, 8))
+
+
+def test_resize_follows_crop_size(dataset_dir):
+    """Shorter-side resize scales with img_size like the reference
+    (video_reader.py:96-101: 96 for 84, 256 for 224 — both img_size·256/224)."""
+    from litemkd_tpu.data import VideoStore
+    args = (str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"), 3, T)
+    assert VideoStore(*args, 84).resize_to == 96
+    assert VideoStore(*args, 224).resize_to == 256
+    assert VideoStore(*args, 224, resize_to=512).resize_to == 512
+
+
+def test_missing_teacher_feature_raises(dataset_dir, cfg, tmp_path):
+    """A video with no feature.npy in a strict teacher store fails loudly
+    (the reference crashes on np.load; silently distilling against zeros
+    would be worse)."""
+    import shutil
+    from litemkd_tpu.data import (VideoStore, FeatureStore, EpisodeSampler,
+                                  EpisodeSpec)
+    feat_root = tmp_path / "multi_feature"
+    shutil.copytree(dataset_dir / "multi_feature", feat_root)
+    shutil.rmtree(feat_root / "class00" / "vid_00_00")
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    fs = FeatureStore(str(feat_root), str(dataset_dir / "splits"), 3, T, D)
+    sampler = EpisodeSampler(cfg, vs, fs, num_workers=0)
+    spec = EpisodeSpec([0, 1, 2], [[0, 1]] * 3, [[2, 3]] * 3)  # hits vid_00_00
+    with pytest.raises(FileNotFoundError, match="vid_00_00"):
+        sampler.sample_batch(np.random.default_rng(0), 1, train=True,
+                             specs=[spec])
+
+
+def test_feature_pairing_keys_on_class_name(dataset_dir, cfg, tmp_path):
+    """Feature trees missing a class folder renumber their scan-order class
+    ids; video→feature pairing must key on class NAME so later classes still
+    match their own features."""
+    import shutil
+    from litemkd_tpu.data import VideoStore, FeatureStore, EpisodeSampler
+    feat_root = tmp_path / "multi_feature"
+    shutil.copytree(dataset_dir / "multi_feature", feat_root)
+    shutil.rmtree(feat_root / "class00")   # shift every later class's scan id
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    fs = FeatureStore(str(feat_root), str(dataset_dir / "splits"), 3, T, D)
+    sampler = EpisodeSampler(cfg, vs, fs, num_workers=0)
+    rec = vs.split(True).get(2, 1)          # class02's second train video
+    _, feats = sampler._load_one(rec, True, seed=0)
+    expected = np.load(feat_root / "class02" / rec.video_id / "feature.npy")
+    np.testing.assert_array_equal(feats, expected)
+
+
+def test_fixed_import_rejects_orphan_query(dataset_dir, tmp_path):
+    """A fixed-file query entry whose class has no support entries is an
+    error, not a silent drop (the episode the file specifies could not be
+    replayed faithfully)."""
+    import json
+    from litemkd_tpu.data import VideoStore, load_reference_fixed_episodes
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    index = vs.split(False)
+    data = {"0": {"support": [{"id": 0, "class_bc": 0, "video_idx": 0}],
+                  "query": [{"id": 0, "class_bc": 1,
+                             "video_idx": index.n_videos(0)}]}}
+    path = tmp_path / "fixed_test.json"
+    path.write_text(json.dumps(data))
+    with pytest.raises(ValueError, match="no support entries"):
+        load_reference_fixed_episodes(str(path), index)
+    # and an unknown class id is a clear error, not a KeyError
+    data["0"]["query"][0]["class_bc"] = 99
+    path.write_text(json.dumps(data))
+    with pytest.raises(ValueError, match="does not exist"):
         load_reference_fixed_episodes(str(path), index)
