@@ -46,6 +46,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--temp_set", nargs="+", type=int, default=None)
     p.add_argument("--trans_dropout", type=float, default=None)
     p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--pallas_tct", action="store_true", default=None,
+                   help="fused Pallas TCT attention kernel (model.use_pallas)")
+    p.add_argument("--pallas_bn", action="store_true", default=None,
+                   help="Pallas-reduced BN training moments (XLA wins the A/B "
+                        "on v5e; kept for experiments)")
+    p.add_argument("--freeze_bn", action="store_true", default=None,
+                   help="BN uses running stats during training (finetune "
+                        "mode, ~15%% faster steps)")
     # distillation (options.py:40, 48-60)
     p.add_argument("--distill_name", default=None)
     p.add_argument("--temperature", type=float, default=None)
@@ -134,19 +142,25 @@ def build_config(args: argparse.Namespace) -> Config:
         seq_len=pick(ep.seq_len, args.seq_len),
         img_size=pick(ep.img_size, args.img_size)))
 
+    # dict-splat keeps every ModelConfig field a flag doesn't touch (a listed
+    # reconstruction silently reset fields added later, e.g. pallas_bn)
     m = cfg.model
-    cfg = cfg.replace(model=ModelConfig(
-        backbone=pick(m.backbone, args.model_backbone),
-        classifier=pick(m.classifier, args.model_classifier),
-        teacher=pick(m.teacher, args.model_teacher),
-        trans_linear_in_dim=pick(m.trans_linear_in_dim, args.trans_linear_in_dim),
-        trans_linear_out_dim=pick(m.trans_linear_out_dim, args.trans_linear_out_dim),
-        temp_set=tuple(args.temp_set) if args.temp_set else m.temp_set,
-        trans_dropout=pick(m.trans_dropout, args.trans_dropout),
-        trans_num=m.trans_num, shirt_num=m.shirt_num, modalities=m.modalities,
-        compute_dtype=m.compute_dtype, param_dtype=m.param_dtype,
-        remat=pick(m.remat, args.remat),
-        use_pallas=m.use_pallas, freeze_bn=m.freeze_bn))
+    cfg = cfg.replace(model=ModelConfig(**{
+        **m.__dict__,
+        "backbone": pick(m.backbone, args.model_backbone),
+        "classifier": pick(m.classifier, args.model_classifier),
+        "teacher": pick(m.teacher, args.model_teacher),
+        "trans_linear_in_dim": pick(m.trans_linear_in_dim,
+                                    args.trans_linear_in_dim),
+        "trans_linear_out_dim": pick(m.trans_linear_out_dim,
+                                     args.trans_linear_out_dim),
+        "temp_set": tuple(args.temp_set) if args.temp_set else m.temp_set,
+        "trans_dropout": pick(m.trans_dropout, args.trans_dropout),
+        "remat": pick(m.remat, args.remat),
+        "use_pallas": pick(m.use_pallas, getattr(args, "pallas_tct", None)),
+        "pallas_bn": pick(m.pallas_bn, getattr(args, "pallas_bn", None)),
+        "freeze_bn": pick(m.freeze_bn, getattr(args, "freeze_bn", None)),
+    }))
 
     d = cfg.distill
     cfg = cfg.replace(distill=DistillConfig(

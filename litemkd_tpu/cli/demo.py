@@ -19,9 +19,8 @@ import jax
 from .common import enable_compilation_cache, add_common_args, build_config, build_sampler
 
 
-def build_runner(cfg):
-    from ..data.prefetch import device_put_batch
-    from ..train import create_train_state, make_eval_step
+def build_runner(cfg, checkpoint_dir=None):
+    from ..train import create_train_state, CheckpointManager
     from ..distill import merge_logits
     from ..models import BatchedStudent
 
@@ -29,6 +28,12 @@ def build_runner(cfg):
     rng = np.random.default_rng(cfg.train.seed)
     sample = sampler.sample_batch(rng, 1, train=False)
     state, _ = create_train_state(cfg, jax.random.key(0), sample)
+    if checkpoint_dir:
+        # the reference demo serves a trained model (multi_fusion.py:676-680)
+        state, _ = CheckpointManager(checkpoint_dir).restore(state)
+        print(f"restored checkpoint @{int(state.episodes_seen)} episodes")
+    else:
+        print("WARNING: no --test_model_path given — serving RANDOM weights")
     student = BatchedStudent(cfg)
 
     def run_episode(seed: int):
@@ -52,12 +57,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--port", type=int, default=8089)
+    p.add_argument("--test_model_path", "-m", default=None,
+                   help="checkpoint dir to serve (random weights otherwise)")
     p.add_argument("--once", action="store_true",
                    help="print one episode's results as JSON and exit (no server)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
-    run_episode = build_runner(cfg)
+    run_episode = build_runner(cfg, checkpoint_dir=args.test_model_path)
 
     if args.once:
         print(json.dumps(run_episode(0), indent=2))

@@ -92,9 +92,6 @@ def main(argv=None):
                                        cfg.data.split, cfg.episode.seq_len,
                                        cfg.model.trans_linear_in_dim)
         model = make_mfm(cfg, batched=False, kind=args.fusion)
-        feats = {m: jnp.zeros((1, cfg.episode.seq_len,
-                               cfg.model.trans_linear_in_dim))
-                 for m in cfg.model.modalities}
         labels = jnp.zeros((cfg.episode.n_support,), jnp.int32)
         ctx = {m: jnp.zeros((cfg.episode.n_support, cfg.episode.seq_len,
                              cfg.model.trans_linear_in_dim))

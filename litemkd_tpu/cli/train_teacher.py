@@ -114,7 +114,8 @@ def main(argv=None):
     sampler = build_mm_sampler(cfg, args)
     rng = np.random.default_rng(cfg.train.seed)
     e = cfg.train.tasks_per_batch
-    first = sampler.sample_batch(rng, e, train=True)
+    # init only needs shapes — one episode, and the state slices to [:1] anyway
+    first = sampler.sample_batch(rng, 1, train=True)
     state = create_mfm_train_state(cfg, jax.random.key(cfg.train.seed), first,
                                    kind=args.fusion,
                                    score_weights=args.score_weights)

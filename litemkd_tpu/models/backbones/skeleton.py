@@ -6,6 +6,11 @@ joint coordinates: Linear(J·3 → d) + LayerNorm + ReLU + Linear(d → d)
 embedding, 0.1-scaled sinusoidal PE, and a 3-layer post-LN encoder
 (nhead=1, dim_feedforward=d). The full ``S3D`` expert = this backbone + the
 multi-set TCT head ('TRM'/'TRX_multi' classifier).
+
+Documented divergence: the released encoder omits ``batch_first=True``
+(model.py:2808), so torch attends across the B clips at each frame position
+(and its PE is likewise added along the clip axis) — batch-composition-
+dependent and clearly unintended. We attend over time.
 """
 from __future__ import annotations
 

@@ -4,6 +4,12 @@ Rebuild of the reference's ``CTX`` pipeline pieces (``teacher/code/model.py``):
 ``TimeTransformer`` (l.2819-2839: trainable PE + 2-layer nhead-8 encoder) and
 ``CrossTransformer`` (l.2840-2936: a TCT over single frames instead of frame
 pairs — here simply the shared TCT with ``set_size=1``).
+
+Documented divergence: the released TimeTransformer omits
+``batch_first=True`` (l.2828), so torch attends across the N videos at each
+frame position instead of across time — batch-composition-dependent and
+clearly unintended (the core fusions pass batch_first=True). We attend over
+time.
 """
 from __future__ import annotations
 

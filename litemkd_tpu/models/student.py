@@ -60,9 +60,14 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "strmbackbone": partial(STRMBackbone, depth=18, num_fc=1),
     "strm50_student": partial(STRMBackbone, depth=50, num_fc=1),
     "cnn_strm": partial(STRMBackbone, depth=50, num_fc=1),
-    "s3d": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
-    "skeleton": lambda out_dim=2048, **kw: SkeletonEncoder(out_dim=out_dim),
-    "feature": lambda **kw: FeatureBackbone(),
+    # lambdas drop the CNN-only kwargs (compute_dtype etc.) but MUST forward
+    # name=: the "backbone" module name is the pytree invariant every
+    # importer/exporter addresses
+    "s3d": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
+        out_dim=out_dim, name=name),
+    "skeleton": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
+        out_dim=out_dim, name=name),
+    "feature": lambda name=None, **kw: FeatureBackbone(name=name),
 }
 
 CLASSIFIERS: Dict[str, Any] = {
@@ -102,11 +107,19 @@ TEACHER_ALIASES: Dict[str, str] = {
     "test_teacher_TRX_sup_fixed": "TRX_sup_fixed",
     "train_teacher_TRX_2fcsup": "TRX_2fcsup",
     "test_teacher_TRX_2fcsup_fixed": "TRX_2fcsup_fixed",
-    # direct head names are also accepted
-    "TRX_2fcsup_fixed": "TRX_2fcsup_fixed",
-    "TRX_fixed": "TRX_fixed",
-    "TRX_sup_fixed": "TRX_sup_fixed",
 }
+
+
+def resolve_teacher(name: str) -> str:
+    """Map a reference teacher-selection name (or any registered classifier
+    name directly) to its CLASSIFIERS key, with a clear error otherwise."""
+    resolved = TEACHER_ALIASES.get(name, name)
+    if resolved not in CLASSIFIERS:
+        raise ValueError(
+            f"unknown teacher head {name!r}; expected one of "
+            f"{sorted(TEACHER_ALIASES)} or a classifier name "
+            f"{sorted(CLASSIFIERS)}")
+    return resolved
 
 
 def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
@@ -239,7 +252,7 @@ class Teacher(nn.Module):
 
     @nn.compact
     def __call__(self, context_feats, context_labels, target_feats, *, train: bool):
-        name = TEACHER_ALIASES[self.cfg.model.teacher]
+        name = resolve_teacher(self.cfg.model.teacher)
         head = make_classifier(name, self.cfg)
         return {"logits": head(context_feats, context_labels, target_feats,
                                train=train)}
@@ -252,7 +265,7 @@ class BatchedTeacher(nn.Module):
 
     @nn.compact
     def __call__(self, context_feats, context_labels, target_feats, *, train: bool):
-        name = TEACHER_ALIASES[self.cfg.model.teacher]
+        name = resolve_teacher(self.cfg.model.teacher)
         vhead = make_vmapped_classifier(name, self.cfg)
         return {"logits": vhead(context_feats, context_labels, target_feats,
                                 train)}

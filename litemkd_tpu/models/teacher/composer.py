@@ -129,14 +129,18 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     "FourShiftFusion_faithful": (
         Branch("multi", (0, 1, 2, 3)), Branch("pair", (0, 1), 1, "f"),
         Branch("pair", (0, 2), 0, "f"), Branch("pair", (0, 3), 0, "f")),
-    "FiveShiftFusion": (Branch("multi", (0, 1, 2, 3, 4)),
+    # NOTE: the released FiveShiftFusion's multi branch is the THREE-stream
+    # encoder over (m1,m2,m3) only (model.py:1803: three_fusion =
+    # ThreeTransforTemproal, called at l.1852 with first/second/third) — no
+    # five-stream encoder exists in the reference, so both variants keep it
+    "FiveShiftFusion": (Branch("multi", (0, 1, 2)),
                         Branch("pair", (0, 1), 1, "f"),
                         Branch("pair", (0, 2), -1, "f"),
                         Branch("pair", (0, 3), 1, "f"),
                         Branch("pair", (0, 4), -1, "f")),
     # as released (model.py:1818-1849): m2 and m5 rolled left, m3/m4 identity
     "FiveShiftFusion_faithful": (
-        Branch("multi", (0, 1, 2, 3, 4)), Branch("pair", (0, 1), 1, "f"),
+        Branch("multi", (0, 1, 2)), Branch("pair", (0, 1), 1, "f"),
         Branch("pair", (0, 2), 0, "f"), Branch("pair", (0, 3), 0, "f"),
         Branch("pair", (0, 4), 1, "f")),
     # model.py:1990 TwoCombinationTRX — (m1,m2) + (m1,m3), one shared fusion

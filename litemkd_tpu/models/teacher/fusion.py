@@ -64,11 +64,14 @@ class EncoderLayer(nn.Module):
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(hd)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        drop = lambda z, name: nn.Dropout(self.dropout, deterministic=not train,
+                                          name=name)(z)
+        # torch TransformerEncoderLayer forwards its dropout into
+        # MultiheadAttention, which drops the post-softmax probabilities too
+        attn = drop(attn, "drop_probs")
         ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
                          preferred_element_type=jnp.float32)
         ctx = _dense(d, d, "attn_out", cd)(ctx.reshape(n, t, d))
-        drop = lambda z, name: nn.Dropout(self.dropout, deterministic=not train,
-                                          name=name)(z)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + drop(ctx, "drop_attn"))
         y = _dense(self.dim_ff, d, "mlp_in", cd)(x)
@@ -202,7 +205,13 @@ class CrossAttentionFusion(nn.Module):
 class SelfEncoderBranch(nn.Module):
     """Plain self-attention encoder over one stream, no positional encoding —
     ThreeFusion3's ``self.tran`` (model.py:2565-2580: nhead=1, 3 layers; its
-    positionEncoding1 is constructed but never applied)."""
+    positionEncoding1 is constructed but never applied).
+
+    Documented divergence: the released layer omits ``batch_first=True``
+    (unlike the four core fusions, l.1245/1311/1346/1370), so with (N, T, D)
+    inputs torch attends ACROSS VIDEOS at each frame position — batch-size-
+    and episode-composition-dependent. We attend over time, the evident
+    intent."""
 
     d: int = 2048
     depth: int = 3
@@ -407,6 +416,10 @@ class TwoRoadFusionTeacher(nn.Module):
     tokens, split channel-wise into D/2 halves, each passed through its own
     linear + bottleneck MLP, summed, and the NT·D elements are reinterpreted
     again as (N, T, D) for the TRX branch — reshape quirks reproduced exactly.
+
+    Documented divergence: ThreeTranToTwo omits ``batch_first=True``
+    (model.py:2630), so the released encoder attends across videos, not time
+    (see SelfEncoderBranch); we attend over time like the core fusions.
     """
 
     way: int

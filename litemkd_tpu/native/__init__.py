@@ -38,10 +38,18 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not os.path.exists(_SO):
             if not _build():
                 return None
+        elif os.path.exists(_SRC) and \
+                os.path.getmtime(_SRC) > os.path.getmtime(_SO):
+            # stale .so: try a rebuild, but a failed rebuild (no toolchain)
+            # must not disable the existing working library
+            if not _build():
+                import warnings
+                warnings.warn("litemkd_tpu.native: clipdec.cpp is newer than "
+                              "libclipdec.so and the rebuild failed; using "
+                              "the existing (possibly stale) library")
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

@@ -100,3 +100,35 @@ def test_distill_config_defaults_match_reference():
     assert d.hard_loss_weight == 1.0
     assert d.soft_loss_weight_support == 1.0
     assert d.fcwsl_aerfa == 0.5
+
+
+def test_cli_model_flags_survive_build_config():
+    """build_config must not silently reset ModelConfig fields it doesn't
+    map from flags (pallas_bn was once dropped), and the perf flags map."""
+    import argparse
+    from litemkd_tpu import preset
+    from litemkd_tpu.cli.common import add_common_args, add_train_args, build_config
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_train_args(p)
+
+    # flag → config
+    args = p.parse_args(["--preset", "tiny", "--pallas_bn", "--freeze_bn",
+                         "--pallas_tct"])
+    cfg = build_config(args)
+    assert cfg.model.pallas_bn and cfg.model.freeze_bn and cfg.model.use_pallas
+
+    # preset value survives a flagless parse for EVERY model field
+    base = preset("tiny")
+    src = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "pallas_bn": True, "freeze_bn": True,
+        "use_pallas": True, "remat": True, "shirt_num": 2}))
+    import litemkd_tpu.cli.common as common
+    orig = common.preset
+    common.preset = lambda name, **kw: src if name == "tiny" else orig(name, **kw)
+    try:
+        cfg = build_config(p.parse_args(["--preset", "tiny"]))
+    finally:
+        common.preset = orig
+    assert cfg.model.__dict__ == src.model.__dict__

@@ -328,3 +328,33 @@ def test_cross_attention_matches_torch_bert():
     want = ((out - mu) / np.sqrt(var + 1e-6)
             * np.asarray(p["norm"]["scale"]) + np.asarray(p["norm"]["bias"]))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_five_shift_multi_branch_is_three_stream():
+    """The released FiveShiftFusion's multi branch is ThreeTransforTemproal
+    over (m1,m2,m3) only (model.py:1803, called at l.1852) — no five-stream
+    encoder exists in the reference."""
+    from litemkd_tpu.models.teacher import FUSION_PRESETS
+    for name in ("FiveShiftFusion", "FiveShiftFusion_faithful"):
+        multi = [b for b in FUSION_PRESETS[name] if b.kind == "multi"]
+        assert len(multi) == 1 and tuple(multi[0].idxs) == (0, 1, 2), name
+
+
+def test_resolve_teacher_accepts_any_classifier():
+    from litemkd_tpu.models.student import resolve_teacher
+    assert resolve_teacher("test_teacher_TRX_2fcsup_fixed") == "TRX_2fcsup_fixed"
+    # any registered classifier name passes straight through
+    assert resolve_teacher("e_dist_fc2_sup_fixed") == "e_dist_fc2_sup_fixed"
+    assert resolve_teacher("strm_1fc_sup") == "strm_1fc_sup"
+    with pytest.raises(ValueError, match="unknown teacher head"):
+        resolve_teacher("not_a_head")
+
+
+def test_skeleton_backbone_keeps_module_name():
+    """The 'backbone' module name is the pytree invariant the torch
+    import/export tools address — lambdas in the registry must forward it."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.models.student import make_backbone
+    cfg = preset("tiny")
+    for name in ("s3d", "skeleton", "feature"):
+        assert make_backbone(name, cfg).name == "backbone", name
