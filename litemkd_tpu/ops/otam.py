@@ -26,7 +26,13 @@ def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
     Mp = M + 2
 
     def softmin(*xs):
-        return -lbda * jnp.log(sum(jnp.exp(-x / lbda) for x in xs))
+        # min-subtracted log-sum-exp: identical to -λ·log(Σ exp(-x/λ)) in
+        # real arithmetic but NaN-free — the naive form underflows to
+        # log(0) = -inf once cumulative distances exceed ~λ·88 in fp32
+        stacked = jnp.stack(xs)
+        m = jnp.min(stacked, axis=0)
+        return m - lbda * jnp.log(
+            jnp.sum(jnp.exp(-(stacked - m) / lbda), axis=0))
 
     # cum is built row by row; each row is a list of (Q, S) cells
     zeros = jnp.zeros((q, s), dists.dtype)
@@ -60,9 +66,12 @@ def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     q_n, t, dim = queries.shape
     s_n = support.shape[0]
     bad = jnp.any(jnp.isnan(support))
-    # sanitize BEFORE the math: masking only the output would still leak NaN
-    # through the backward pass (0·NaN = NaN in the cotangent chain)
-    qf = jnp.nan_to_num(queries.reshape(q_n * t, dim).astype(jnp.float32))
+    # sanitize the SUPPORT features before the math: masking only the output
+    # would still leak NaN through the backward pass (0·NaN = NaN in the
+    # cotangent chain). Query NaN is deliberately NOT sanitized — the
+    # reference guards only support (model.py:3321-3324), so corrupted query
+    # data stays loudly NaN instead of training silently on zero-filled frames
+    qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
     sf = jnp.nan_to_num(support.reshape(s_n * t, dim).astype(jnp.float32))
     qnorm = jnp.sqrt(jnp.sum(qf * qf, -1, keepdims=True) + 1e-16)
     snorm = jnp.sqrt(jnp.sum(sf * sf, -1, keepdims=True) + 1e-16)

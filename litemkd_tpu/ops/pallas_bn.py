@@ -55,10 +55,12 @@ def _on_tpu() -> bool:
 
 
 def _block_rows(c: int) -> int:
-    # ~0.5 MiB bf16 input blocks, sublane-aligned; the bwd kernel keeps two
+    # ≤0.5 MiB bf16 input blocks, sublane-aligned; the bwd kernel keeps two
     # inputs (double-buffered) plus their f32 temporaries on the VMEM stack,
-    # so 1 MiB blocks overflowed the 16 MiB scoped limit
-    return max(256, min(4096, (1 << 19) // (2 * c) // 16 * 16))
+    # so 1 MiB blocks overflowed the 16 MiB scoped limit. The floor is the
+    # 16-row bf16 tile, NOT a perf floor — max(256, ...) here would reinstate
+    # 1 MiB blocks for c ≥ 2048 (resnet50 layer4)
+    return max(16, min(4096, (1 << 19) // (2 * c) // 16 * 16))
 
 
 def _row_mask(i, rb: int, r: int):

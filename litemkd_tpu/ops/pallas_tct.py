@@ -78,8 +78,10 @@ def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
     return -dist                                         # (Q, W) logits
 
 
-def tct_attention_xla(q_k, q_v, class_k, class_v) -> jnp.ndarray:
-    """Reference einsum path (identical math; used off-TPU and in tests)."""
+def tct_attention_xla(q_k, q_v, class_k, class_v, return_proto: bool = False):
+    """Reference einsum path (identical math; used off-TPU, in tests, and —
+    with ``return_proto=True`` — by the prototype-emitting TRX_sup head, so
+    the two call sites cannot drift numerically)."""
     q, u, dk = q_k.shape
     w, s = class_k.shape[0], class_k.shape[1]
     scores = jnp.einsum("qud,wsvd->qwusv", q_k, class_k,
@@ -89,7 +91,8 @@ def tct_attention_xla(q_k, q_v, class_k, class_v) -> jnp.ndarray:
     proto = jnp.einsum("qwusv,wsvd->qwud", attn, class_v,
                        preferred_element_type=jnp.float32)
     diff = q_v[:, None, :, :] - proto
-    return -jnp.sum(diff * diff, axis=(-2, -1)) / u
+    dist = jnp.sum(diff * diff, axis=(-2, -1)) / u
+    return (-dist, proto) if return_proto else -dist
 
 
 @jax.custom_vjp

@@ -42,13 +42,10 @@ class TokenMLP(nn.Module):
         return _dense(self.dim, self.dim, "out_fc")(y)
 
 
-class BottleneckMLP2(nn.Module):
-    dim: int
-
-    @nn.compact
-    def __call__(self, x):
-        y = nn.relu(_dense(self.dim, self.dim, "inp_fc")(x))
-        return _dense(self.dim, self.dim, "out_fc")(y)
+# the reference's Bottleneck_Perceptron_2_layer is byte-identical to
+# Token_Perceptron; one module serves both names (checkpoint param paths come
+# from the instance name=, not the class)
+BottleneckMLP2 = TokenMLP
 
 
 class BottleneckMLP3Res(nn.Module):

@@ -100,18 +100,11 @@ class TemporalCrossTransformer(nn.Module):
         class_v = class_sort(s_v, support_labels, self.way, self.shot)
 
         if self.return_prototypes:
-            # prototype-emitting path (TRX_sup) needs the materialized protos
-            scores = jnp.einsum("qud,wsvd->qwusv", q_k, class_k,
-                                preferred_element_type=jnp.float32) / np.sqrt(dk)
-            q_n, w = scores.shape[0], scores.shape[1]
-            attn = jax.nn.softmax(
-                scores.reshape(q_n, w, n_tup, self.shot * n_tup), axis=-1)
-            attn = attn.reshape(q_n, w, n_tup, self.shot, n_tup)
-            proto = jnp.einsum("qwusv,wsvd->qwud", attn, class_v,
-                               preferred_element_type=jnp.float32)
-            diff = q_v[:, None, :, :] - proto                 # (Q, W, U, dk)
-            dist = jnp.sum(diff * diff, axis=(-2, -1)) / n_tup
-            return -dist, proto
+            # prototype-emitting path (TRX_sup) needs the materialized protos;
+            # shares the einsum implementation with the common path
+            from .pallas_tct import tct_attention_xla
+            return tct_attention_xla(q_k, q_v, class_k, class_v,
+                                     return_proto=True)
 
         from .pallas_tct import tct_attention
         return tct_attention(q_k, q_v, class_k, class_v,

@@ -109,3 +109,38 @@ def test_cos_sim_reference_semantics_and_nan_guard():
         s, jnp.asarray(labels), jnp.asarray(queries), WAY, SHOT)))(
         jnp.asarray(bad))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_softmin_stable_at_large_cumulative_distances():
+    """Dissimilar 8-frame videos push cumulative distances past ~8.7, where
+    the naive exp(-x/0.1) underflows to 0 in fp32 and -λ·log(0) = +inf; the
+    min-subtracted LSE keeps cells finite (identical value in real
+    arithmetic)."""
+    d = jnp.full((2, 3, 8, 8), 2.0, jnp.float32)
+    cum = np.asarray(otam_cum_dist(d))
+    assert np.isfinite(cum).all()
+    # soft-min sits just below the 8-step hard-min diagonal (16), reduced by
+    # up to λ·log(k) of smoothing per step
+    assert (cum > 14.0).all() and (cum <= 16.0).all()
+
+
+def test_query_nan_propagates_support_nan_zeroes():
+    """Reference parity (model.py:3321-3324): NaN in SUPPORT → zero logits
+    (guarded); NaN in QUERY propagates loudly instead of being silently
+    zero-filled."""
+    rng = np.random.default_rng(0)
+    sup = rng.normal(size=(6, 4, 16)).astype(np.float32)
+    qry = rng.normal(size=(4, 4, 16)).astype(np.float32)
+    labels = np.repeat(np.arange(3), 2).astype(np.int32)
+
+    bad_q = qry.copy()
+    bad_q[0, 0, 0] = np.nan
+    out = np.asarray(otam_logits(jnp.asarray(sup), jnp.asarray(labels),
+                                 jnp.asarray(bad_q), way=3, shot=2))
+    assert np.isnan(out[0]).any()
+
+    bad_s = sup.copy()
+    bad_s[0, 0, 0] = np.nan
+    out = np.asarray(otam_logits(jnp.asarray(bad_s), jnp.asarray(labels),
+                                 jnp.asarray(qry), way=3, shot=2))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
