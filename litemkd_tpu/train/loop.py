@@ -83,6 +83,27 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
             state, t_vars = ckpt.restore(state, t_vars)
             logger.info(f"resumed at {int(state.episodes_seen)} episodes")
 
+    # multi-device: shard the episode axis over 'data' and the wide
+    # projections over 'model' (parallel/mesh.py rules); single-device meshes
+    # and batch sizes that don't divide the data axis run the plain path
+    mesh = None
+    if cfg.mesh is not None and len(jax.devices()) > 1:
+        from ..parallel import make_mesh, shard_variables, shard_batch
+        m = make_mesh(cfg.mesh)
+        if m.devices.size > 1 and e_per_step % m.shape["data"] == 0:
+            mesh = m
+            state = state.replace(
+                params=shard_variables(state.params, mesh),
+                batch_stats=shard_variables(state.batch_stats, mesh),
+                opt_state=shard_variables(state.opt_state, mesh))
+            if t_vars is not None:
+                t_vars = shard_variables(t_vars, mesh)
+            logger.info(f"sharding over mesh {dict(m.shape)}")
+        elif m.devices.size > 1:
+            logger.info(f"mesh {dict(m.shape)} available but tasks_per_batch="
+                        f"{e_per_step} does not divide the data axis — "
+                        "running unsharded")
+
     step_fn = jax.jit(make_train_step(cfg), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg))
 
@@ -97,7 +118,13 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                          depth=prefetch_depth)
 
     for batch in fetcher:
-        state, metrics = step_fn(state, t_vars, batch)
+        if mesh is not None:
+            from ..parallel import shard_batch
+            batch = shard_batch(batch, mesh)
+            with jax.set_mesh(mesh):
+                state, metrics = step_fn(state, t_vars, batch)
+        else:
+            state, metrics = step_fn(state, t_vars, batch)
         step_i = int(state.step)
         episodes = int(state.episodes_seen)
         logger.log(step_i, {k: float(v) for k, v in metrics.items()}

@@ -104,3 +104,27 @@ def test_multihost_input_assembly_single_process_equivalence():
     a = host_rng(0, step=0).integers(0, 1 << 30, 4)
     b = host_rng(0, step=1).integers(0, 1 << 30, 4)
     assert not np.array_equal(a, b)
+
+
+def test_run_training_shards_over_mesh(tmp_path):
+    """The CLI-facing training loop consumes cfg.mesh: with a multi-device
+    mesh and a divisible batch it shards state + batches and still trains."""
+    from litemkd_tpu.train import run_training
+    from litemkd_tpu.utils.logging import MetricsLogger
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    base = preset("tiny")
+    cfg = base.replace(
+        mesh=MeshConfig(data=4, model=2),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "tasks_per_batch": 8,
+                                      "training_iterations": 16,
+                                      "checkpoint_dir": None}))
+    src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
+    logs = []
+    logger = MetricsLogger(print_freq=0)
+    logger.info = lambda msg: logs.append(msg)
+    state, _, _ = run_training(cfg, src, logger)
+    assert int(state.episodes_seen) == 16
+    assert any("sharding over mesh" in m for m in logs), logs
