@@ -68,9 +68,18 @@ def main(argv=None):
         eval_step = jax.jit(make_eval_step(cfg))
         variables = state.variables
 
+    mesh = None
+    if cfg.mesh is not None and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+        m = make_mesh(cfg.mesh)
+        if m.devices.size > 1:
+            mesh = m
+            print(f"eval sharded over mesh {dict(m.shape)}")
+
     summary = run_eval(cfg, variables, sampler,
                        n_tasks=len(specs) if specs else cfg.train.num_test_tasks,
-                       eval_step=eval_step, seed=cfg.train.seed, specs=specs)
+                       eval_step=eval_step, seed=cfg.train.seed, specs=specs,
+                       mesh=mesh)
     print(f"{cfg.data.dataset}: {summary['accuracy']:.2f} ± "
           f"{summary['confidence']:.2f} over {summary['n_tasks']} tasks")
     return summary

@@ -25,14 +25,19 @@ from .steps import (EpisodeBatch, create_train_state, make_eval_step,
 def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
              batch_size: int = 8, seed: int = 0,
              eval_step: Optional[Callable] = None,
-             specs=None, prefetch_depth: int = 1) -> dict:
+             specs=None, prefetch_depth: int = 1, mesh=None) -> dict:
     """Episodic evaluation: mean accuracy ×100 with the 196·std/√n CI.
 
     Episode assembly and host→device transfer overlap the forward pass
     (same Prefetcher as training); chunks are fixed-size with at most one
     remainder chunk, so at most two shapes compile. Defaults stay small
     (8-episode chunks, one staged ahead) because mid-training eval shares
-    HBM with the live train state and the training prefetcher's batches."""
+    HBM with the live train state and the training prefetcher's batches.
+
+    With a multi-device ``mesh``, parameters replicate/shard per the mesh
+    rules and each full chunk shards its episode axis over 'data' (the
+    reference's 10k-episode protocol then scales ~linearly with chips); a
+    remainder chunk that doesn't divide the data axis runs replicated."""
     n_tasks = n_tasks or cfg.train.num_test_tasks
     eval_step = eval_step or jax.jit(make_eval_step(cfg))
     rng = np.random.default_rng(seed)
@@ -40,6 +45,10 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
     if n_tasks % batch_size:
         sizes.append(n_tasks % batch_size)
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
+
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel import shard_variables
+        variables = shard_variables(variables, mesh)
 
     def produce(i):
         e, off = sizes[i], offsets[i]
@@ -50,7 +59,15 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
     acc = TestAccuracies()
     for batch in Prefetcher(produce, n_batches=len(sizes),
                             depth=prefetch_depth):
-        acc.extend(np.asarray(eval_step(variables, batch)))
+        if mesh is not None and mesh.devices.size > 1 and \
+                batch.support_labels.shape[0] % mesh.shape["data"] == 0:
+            from ..parallel import shard_batch
+            batch = shard_batch(batch, mesh)
+            with jax.set_mesh(mesh):
+                accs = eval_step(variables, batch)
+        else:
+            accs = eval_step(variables, batch)
+        acc.extend(np.asarray(accs))
     return acc.summary()
 
 
@@ -136,7 +153,7 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
         while test_marks and episodes >= test_marks[0]:
             mark = test_marks.pop(0)
             summary = run_eval(cfg, state.variables, eval_sampler,
-                               eval_step=eval_step)
+                               eval_step=eval_step, mesh=mesh)
             eval_history.append({"episodes": episodes, **summary})
             logger.info(f"eval @{episodes} episodes: "
                         f"{summary['accuracy']:.2f} ± {summary['confidence']:.2f} "

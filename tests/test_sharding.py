@@ -128,3 +128,24 @@ def test_run_training_shards_over_mesh(tmp_path):
     state, _, _ = run_training(cfg, src, logger)
     assert int(state.episodes_seen) == 16
     assert any("sharding over mesh" in m for m in logs), logs
+
+
+def test_run_eval_sharded_matches_unsharded():
+    """Eval over a dp mesh returns the same per-episode accuracies as the
+    plain path (remainder chunks that don't divide the data axis replicate)."""
+    from litemkd_tpu.train import run_eval, create_train_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = preset("tiny")
+    src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    state, _ = create_train_state(cfg, jax.random.key(0), batch)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    # 20 tasks with batch_size 8 → two full sharded chunks + one remainder 4
+    plain = run_eval(cfg, state.variables, src, n_tasks=20, seed=5)
+    sharded = run_eval(cfg, state.variables, src, n_tasks=20, seed=5,
+                       mesh=mesh)
+    assert sharded["n_tasks"] == plain["n_tasks"] == 20
+    np.testing.assert_allclose(sharded["accuracy"], plain["accuracy"],
+                               atol=1e-4)
