@@ -130,14 +130,31 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     eval_history = []
 
     start_step = int(state.step)
-    produce = lambda i: sampler.sample_batch(rng, e_per_step, train=True)
+    # multi-host: every process draws a DISJOINT shard of the global episode
+    # batch from a process-folded rng stream and the loop assembles the
+    # global data-sharded array (parallel/multihost.py); single-process the
+    # plain stream is kept byte-identical
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from ..parallel import local_episode_count, host_rng
+        local_e = local_episode_count(e_per_step)
+        produce = lambda i: sampler.sample_batch(
+            host_rng(cfg.train.seed, start_step + i), local_e, train=True)
+        logger.info(f"multi-host input: {local_e} episodes/process × "
+                    f"{jax.process_count()} processes")
+    else:
+        produce = lambda i: sampler.sample_batch(rng, e_per_step, train=True)
     fetcher = Prefetcher(produce, n_batches=n_steps - start_step,
                          depth=prefetch_depth)
 
     for batch in fetcher:
         if mesh is not None:
-            from ..parallel import shard_batch
-            batch = shard_batch(batch, mesh)
+            if multihost:
+                from ..parallel import global_batch_from_local
+                batch = global_batch_from_local(batch, mesh)
+            else:
+                from ..parallel import shard_batch
+                batch = shard_batch(batch, mesh)
             with jax.set_mesh(mesh):
                 state, metrics = step_fn(state, t_vars, batch)
         else:
