@@ -87,6 +87,9 @@ class ZipFrameStore:
             img.load()
             return img
 
+    def read_bytes(self, path: str) -> bytes:
+        return self.zfile.read(path)
+
 
 def sample_frame_indices(n_frames: int, seq_len: int, train: bool,
                          rng: np.random.Generator) -> np.ndarray:
@@ -142,18 +145,32 @@ def _resized_dims(w: int, h: int, size: int) -> Tuple[int, int]:
 
 def load_clip_native(paths: List[str], idxs: np.ndarray, *, img_size: int,
                      train: bool, rng: np.random.Generator,
-                     resize_to: int = 256) -> Optional[np.ndarray]:
+                     resize_to: int = 256,
+                     zip_store: Optional[ZipFrameStore] = None
+                     ) -> Optional[np.ndarray]:
     """GIL-free C++ decode path (litemkd_tpu.native); None → caller falls back.
 
     Crop/flip draws consume the rng identically to the PIL path, so episode
-    content is reproducible across backends up to resize interpolation."""
+    content is reproducible across backends up to resize interpolation.
+    With ``zip_store`` the frames' raw JPEG bytes are fed to the in-memory
+    decoder (the reference's in-RAM zip path)."""
     from .. import native
     if not native.available():
         return None
     sel = [paths[int(i)] for i in idxs]
     if not all(p.lower().endswith((".jpg", ".jpeg")) for p in sel):
         return None
-    with Image.open(sel[0]) as probe:   # header-only: dims before decode
+    blobs = None
+    if zip_store is not None:
+        # bail BEFORE consuming rng draws (a stale pre-mem .so lacks the
+        # entry) so the PIL fallback sees the same stream as a pure-PIL run
+        if getattr(native.load(), "clipdec_decode_clip_mem", None) is None:
+            return None
+        blobs = [zip_store.read_bytes(p) for p in sel]
+        probe_src = io.BytesIO(blobs[0])
+    else:
+        probe_src = sel[0]
+    with Image.open(probe_src) as probe:   # header-only: dims before decode
         w, h = probe.size
     rw, rh = _resized_dims(w, h, resize_to)
     if train:
@@ -169,6 +186,9 @@ def load_clip_native(paths: List[str], idxs: np.ndarray, *, img_size: int,
         flip = False
         y0 = (rh - img_size) // 2
         x0 = (rw - img_size) // 2
+    if blobs is not None:
+        return native.decode_clip_mem(blobs, resize_to, y0, x0, img_size,
+                                      flip)
     return native.decode_clip(sel, resize_to, y0, x0, img_size, flip)
 
 
@@ -233,10 +253,11 @@ class VideoStore:
     def load(self, rec: VideoRecord, train: bool,
              rng: np.random.Generator) -> np.ndarray:
         idxs = sample_frame_indices(rec.n_frames, self.seq_len, train, rng)
-        if self.use_native and self.zip_store is None:
+        if self.use_native:
             clip = load_clip_native(rec.frame_paths, idxs,
                                     img_size=self.img_size, train=train,
-                                    rng=rng, resize_to=self.resize_to)
+                                    rng=rng, resize_to=self.resize_to,
+                                    zip_store=self.zip_store)
             if clip is not None:
                 return clip
         return load_clip(rec.frame_paths, idxs, img_size=self.img_size,

@@ -60,6 +60,15 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        try:
+            lib.clipdec_decode_clip_mem.restype = ctypes.c_int
+            lib.clipdec_decode_clip_mem.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ]
+        except AttributeError:   # stale pre-mem .so kept by the fallback path
+            lib.clipdec_decode_clip_mem = None
         _lib = lib
         return _lib
 
@@ -84,6 +93,27 @@ def decode_clip(paths: List[str], resize_to: int, crop_y: int, crop_x: int,
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.clipdec_decode_clip(
         arr, n, resize_to, crop_y, crop_x, crop_size, int(flip),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_clip_mem(blobs: List[bytes], resize_to: int, crop_y: int,
+                    crop_x: int, crop_size: int,
+                    flip: bool) -> Optional[np.ndarray]:
+    """In-memory variant of :func:`decode_clip` for zip-backed frame stores:
+    each blob holds one frame's raw JPEG bytes. Returns None when the native
+    library (or the mem entry, for a stale pre-mem .so) is unavailable."""
+    lib = load()
+    if lib is None or getattr(lib, "clipdec_decode_clip_mem", None) is None:
+        return None
+    n = len(blobs)
+    out = np.empty((n, crop_size, crop_size, 3), dtype=np.uint8)
+    bufs = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_ulong * n)(*[len(b) for b in blobs])
+    rc = lib.clipdec_decode_clip_mem(
+        bufs, lens, n, resize_to, crop_y, crop_x, crop_size, int(flip),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:
         return None

@@ -33,23 +33,20 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode one JPEG file to an RGB buffer. Returns true on success.
-bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
-                 int* width, int* height) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-
+// Decode one in-memory JPEG to an RGB buffer. Returns true on success.
+bool decode_jpeg_mem(const unsigned char* buf, unsigned long len,
+                     std::vector<unsigned char>& rgb,
+                     int* width, int* height) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -64,8 +61,24 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   return true;
+}
+
+// Decode one JPEG file to an RGB buffer (file bytes → memory decoder; frame
+// files are ~tens of KB so the extra copy is noise next to the IDCT).
+bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
+                 int* width, int* height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0) { fclose(f); return false; }
+  std::vector<unsigned char> bytes(static_cast<size_t>(sz));
+  size_t got = fread(bytes.data(), 1, bytes.size(), f);
+  fclose(f);
+  if (got != bytes.size()) return false;
+  return decode_jpeg_mem(bytes.data(), bytes.size(), rgb, width, height);
 }
 
 // Plain bilinear resize (half-pixel centers) of an RGB buffer.
@@ -99,6 +112,52 @@ void resize_bilinear(const unsigned char* src, int sw, int sh,
   }
 }
 
+// Shared per-frame tail: shorter-side resize (identity if already at target,
+// like the reference), bounds-checked crop, optional horizontal flip.
+// Returns 0 on success, -1001 if the crop falls outside the resized image.
+int process_frame(const std::vector<unsigned char>& rgb, int w, int h,
+                  int resize_to, int crop_y, int crop_x, int crop_size,
+                  int flip, unsigned char* dst,
+                  std::vector<unsigned char>& resized) {
+  const unsigned char* img = rgb.data();
+  int iw = w, ih = h;
+  if (!((w <= h && w == resize_to) || (h <= w && h == resize_to))) {
+    int dw, dh;
+    if (w < h) {
+      dw = resize_to;
+      dh = static_cast<int>(static_cast<long long>(resize_to) * h / w);
+    } else {
+      dh = resize_to;
+      dw = static_cast<int>(static_cast<long long>(resize_to) * w / h);
+    }
+    resized.resize(static_cast<size_t>(dw) * dh * 3);
+    resize_bilinear(rgb.data(), w, h, resized.data(), dw, dh);
+    img = resized.data();
+    iw = dw;
+    ih = dh;
+  }
+  if (crop_y < 0 || crop_x < 0 || crop_y + crop_size > ih ||
+      crop_x + crop_size > iw) {
+    return -1001;  // crop out of bounds
+  }
+  for (int y = 0; y < crop_size; ++y) {
+    const unsigned char* src_row =
+        img + (static_cast<size_t>(crop_y + y) * iw + crop_x) * 3;
+    unsigned char* dst_row = dst + static_cast<size_t>(y) * crop_size * 3;
+    if (!flip) {
+      memcpy(dst_row, src_row, static_cast<size_t>(crop_size) * 3);
+    } else {
+      for (int x = 0; x < crop_size; ++x) {
+        const unsigned char* px = src_row + (crop_size - 1 - x) * 3;
+        dst_row[x * 3 + 0] = px[0];
+        dst_row[x * 3 + 1] = px[1];
+        dst_row[x * 3 + 2] = px[2];
+      }
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" int clipdec_decode_clip(const char** paths, int n_frames,
@@ -109,46 +168,34 @@ extern "C" int clipdec_decode_clip(const char** paths, int n_frames,
   for (int t = 0; t < n_frames; ++t) {
     int w = 0, h = 0;
     if (!decode_jpeg(paths[t], rgb, &w, &h)) return -(t + 1);
+    int rc = process_frame(rgb, w, h, resize_to, crop_y, crop_x, crop_size,
+                           flip,
+                           out + static_cast<size_t>(t) * crop_size *
+                               crop_size * 3,
+                           resized);
+    if (rc != 0) return rc - t;  // frame-indexed: -(t + 1001)
+  }
+  return 0;
+}
 
-    const unsigned char* img = rgb.data();
-    int iw = w, ih = h;
-    // shorter-side resize (identity if already at target, like the reference)
-    if (!((w <= h && w == resize_to) || (h <= w && h == resize_to))) {
-      int dw, dh;
-      if (w < h) {
-        dw = resize_to;
-        dh = static_cast<int>(static_cast<long long>(resize_to) * h / w);
-      } else {
-        dh = resize_to;
-        dw = static_cast<int>(static_cast<long long>(resize_to) * w / h);
-      }
-      resized.resize(static_cast<size_t>(dw) * dh * 3);
-      resize_bilinear(rgb.data(), w, h, resized.data(), dw, dh);
-      img = resized.data();
-      iw = dw;
-      ih = dh;
-    }
-    if (crop_y < 0 || crop_x < 0 || crop_y + crop_size > ih ||
-        crop_x + crop_size > iw) {
-      return -(t + 1001);  // crop out of bounds
-    }
-    unsigned char* dst =
-        out + static_cast<size_t>(t) * crop_size * crop_size * 3;
-    for (int y = 0; y < crop_size; ++y) {
-      const unsigned char* src_row =
-          img + (static_cast<size_t>(crop_y + y) * iw + crop_x) * 3;
-      unsigned char* dst_row = dst + static_cast<size_t>(y) * crop_size * 3;
-      if (!flip) {
-        memcpy(dst_row, src_row, static_cast<size_t>(crop_size) * 3);
-      } else {
-        for (int x = 0; x < crop_size; ++x) {
-          const unsigned char* px = src_row + (crop_size - 1 - x) * 3;
-          dst_row[x * 3 + 0] = px[0];
-          dst_row[x * 3 + 1] = px[1];
-          dst_row[x * 3 + 2] = px[2];
-        }
-      }
-    }
+// In-memory variant for zip-backed frame stores (the reference's in-RAM
+// 'szip' path, video_reader.py:120-172): bufs[t]/lens[t] hold each frame's
+// raw JPEG bytes.
+extern "C" int clipdec_decode_clip_mem(const unsigned char** bufs,
+                                       const unsigned long* lens,
+                                       int n_frames, int resize_to,
+                                       int crop_y, int crop_x, int crop_size,
+                                       int flip, unsigned char* out) {
+  std::vector<unsigned char> rgb, resized;
+  for (int t = 0; t < n_frames; ++t) {
+    int w = 0, h = 0;
+    if (!decode_jpeg_mem(bufs[t], lens[t], rgb, &w, &h)) return -(t + 1);
+    int rc = process_frame(rgb, w, h, resize_to, crop_y, crop_x, crop_size,
+                           flip,
+                           out + static_cast<size_t>(t) * crop_size *
+                               crop_size * 3,
+                           resized);
+    if (rc != 0) return rc - t;
   }
   return 0;
 }

@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--way", type=int, default=5)
     p.add_argument("--shot", type=int, default=5)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--zip", action="store_true",
+                   help="bench the in-RAM zip store (ssv2 'szip' path) "
+                        "instead of the directory tree")
     args = p.parse_args(argv)
 
     from .. import native
@@ -74,6 +77,17 @@ def main(argv=None):
             f.write("\n".join(lines) + "\n")
         with open(os.path.join(ann, "testlist03.txt"), "w") as f:
             f.write("\n".join(lines[:12]) + "\n")
+
+        if args.zip:
+            import zipfile
+            zp = os.path.join(tmp, "frames.zip")
+            with zipfile.ZipFile(zp, "w") as zf:
+                for r, _, files in os.walk(root):
+                    for fn in sorted(files):
+                        full = os.path.join(r, fn)
+                        zf.write(full, os.path.relpath(full, tmp))
+            root = zp
+            print("store: in-RAM zip")
 
         pil = bench(root, ann, cfg, args.episodes, use_native=False)
         if native.available():

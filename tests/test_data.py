@@ -384,3 +384,37 @@ def test_fixed_import_rejects_orphan_query(dataset_dir, tmp_path):
     path.write_text(json.dumps(data))
     with pytest.raises(ValueError, match="does not exist"):
         load_reference_fixed_episodes(str(path), index)
+
+
+def test_native_zip_decode_matches_file_decode(tmp_path):
+    """The in-memory native decoder over zip-held JPEG bytes produces the
+    same bytes as the file-path native decoder (and hence, on identity
+    resize, as PIL — covered above)."""
+    import zipfile
+    from litemkd_tpu import native
+    from litemkd_tpu.data.video import ZipFrameStore, load_clip_native
+    if not native.available() or \
+            getattr(native.load(), "clipdec_decode_clip_mem", None) is None:
+        pytest.skip("native mem decoder unavailable")
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 255, size=(256, 300, 3), dtype=np.uint8)
+        p = tmp_path / f"c0/v0/{i:05d}.jpg"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    zp = str(tmp_path / "z.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for p in paths:
+            zf.write(p, os.path.relpath(p, tmp_path))
+    zs = ZipFrameStore(zp)
+    zpaths = [os.path.relpath(p, tmp_path) for p in paths]
+    idxs = np.arange(3)
+    for train, seed in [(False, 0), (True, 3), (True, 4)]:
+        a = load_clip_native(paths, idxs, img_size=224, train=train,
+                             rng=np.random.default_rng(seed))
+        b = load_clip_native(zpaths, idxs, img_size=224, train=train,
+                             rng=np.random.default_rng(seed), zip_store=zs)
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a, b)
