@@ -149,3 +149,60 @@ def test_run_eval_sharded_matches_unsharded():
     assert sharded["n_tasks"] == plain["n_tasks"] == 20
     np.testing.assert_allclose(sharded["accuracy"], plain["accuracy"],
                                atol=1e-4)
+
+
+def test_dp_mesh_with_micro_batch_matches_single_device():
+    """lax.scan grad accumulation (micro_batch) composes with dp sharding:
+    the scan reshapes the sharded episode axis, so verify the numerics stay
+    equal to the single-device result."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    base = preset("tiny")
+    cfg = base.replace(train=base.train.__class__(
+        **{**base.train.__dict__, "micro_batch": 2}))
+    src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0), 8)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    step = make_train_step(cfg)
+    s1, m1 = jax.jit(step)(state, t_vars, batch)
+
+    mesh = make_mesh(MeshConfig(data=4, model=1), devices=jax.devices()[:4])
+    sh_state = state.replace(
+        params=shard_variables(state.params, mesh),
+        batch_stats=shard_variables(state.batch_stats, mesh),
+        opt_state=shard_variables(state.opt_state, mesh))
+    with jax.set_mesh(mesh):
+        s2, m2 = jax.jit(step)(sh_state, shard_variables(t_vars, mesh),
+                               shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["task_loss"]), float(m2["task_loss"]),
+                               rtol=2e-3)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """Orbax saves a mesh-sharded TrainState and restores it into a fresh
+    (unsharded) template — the resume path of a multi-device run."""
+    from litemkd_tpu.train import run_training
+    from litemkd_tpu.utils.logging import MetricsLogger
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    base = preset("tiny")
+    cfg = base.replace(
+        mesh=MeshConfig(data=8, model=1),
+        train=base.train.__class__(**{**base.train.__dict__,
+                                      "tasks_per_batch": 8,
+                                      "training_iterations": 16,
+                                      "checkpoint_dir": str(tmp_path / "ck")}))
+    src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
+    state, _, _ = run_training(cfg, src, MetricsLogger(print_freq=0))
+    assert int(state.episodes_seen) == 16
+
+    cfg2 = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "training_iterations": 32,
+           "resume_from_checkpoint": True}))
+    state2, _, _ = run_training(cfg2, src, MetricsLogger(print_freq=0))
+    assert int(state2.episodes_seen) == 32
