@@ -28,12 +28,16 @@ def build_runner(cfg, checkpoint_dir=None):
     rng = np.random.default_rng(cfg.train.seed)
     sample = sampler.sample_batch(rng, 1, train=False)
     state, _ = create_train_state(cfg, jax.random.key(0), sample)
+    import sys
     if checkpoint_dir:
-        # the reference demo serves a trained model (multi_fusion.py:676-680)
+        # the reference demo serves a trained model (multi_fusion.py:676-680);
+        # status goes to stderr — `--once` stdout must stay pure JSON
         state, _ = CheckpointManager(checkpoint_dir).restore(state)
-        print(f"restored checkpoint @{int(state.episodes_seen)} episodes")
+        print(f"restored checkpoint @{int(state.episodes_seen)} episodes",
+              file=sys.stderr)
     else:
-        print("WARNING: no --test_model_path given — serving RANDOM weights")
+        print("WARNING: no --test_model_path given — serving RANDOM weights",
+              file=sys.stderr)
     student = BatchedStudent(cfg)
 
     def run_episode(seed: int):

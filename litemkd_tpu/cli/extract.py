@@ -37,10 +37,10 @@ def main(argv=None):
                         "expert mode: random weights then)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--arch", default="resnet50",
+                   choices=["resnet18", "resnet34", "resnet50"],
                    help="expert trunk for expert mode (reference "
-                        "extract_feature.py --model): resnet18|resnet34|"
-                        "resnet50 — feature dim follows the trunk (512/512/"
-                        "2048)")
+                        "extract_feature.py --model); feature dim follows "
+                        "the trunk (512/512/2048)")
     p.add_argument("--fusion", default="mfm",
                    help="fusion teacher kind for mfm mode: mfm | dga | dga2 | "
                         "two_road | a composer preset | otam:<preset>")

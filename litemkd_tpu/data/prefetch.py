@@ -36,12 +36,19 @@ class Prefetcher:
     _DONE = object()
 
     def __init__(self, produce: Callable[[int], Optional[EpisodeBatch]],
-                 n_batches: int, depth: int = 2, sharding=None):
+                 n_batches: int, depth: int = 2, sharding=None,
+                 transfer: Optional[Callable] = None):
         """``produce(i)`` returns the i-th batch (host numpy). ``depth`` is the
-        number of batches staged ahead (2 = classic double buffering)."""
+        number of batches staged ahead (2 = classic double buffering).
+        ``transfer`` overrides the host→device placement (default
+        ``device_put_batch`` with ``sharding``) — e.g. mesh-sharded or
+        multi-host global-array assembly — and runs on the background thread,
+        keeping the (possibly slow) transfer off the training loop's critical
+        path."""
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.n = n_batches
-        self.sharding = sharding
+        self.transfer = transfer or \
+            (lambda b: device_put_batch(b, sharding))
         self._err: Optional[BaseException] = None
         self._stop = False
         self.thread = threading.Thread(target=self._run, args=(produce,),
@@ -65,7 +72,7 @@ class Prefetcher:
                 batch = produce(i)
                 if batch is None:
                     break
-                if not self._put(device_put_batch(batch, self.sharding)):
+                if not self._put(self.transfer(batch)):
                     break
         except BaseException as e:  # surface worker errors to the consumer
             self._err = e

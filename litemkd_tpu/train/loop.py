@@ -46,9 +46,20 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
         sizes.append(n_tasks % batch_size)
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
 
-    if mesh is not None and mesh.devices.size > 1:
-        from ..parallel import shard_variables
+    transfer = None
+    use_mesh = mesh is not None and mesh.devices.size > 1
+    if use_mesh:
+        from ..parallel import shard_variables, batch_sharding
         variables = shard_variables(variables, mesh)
+        data_ax = mesh.shape["data"]
+        bs_sharding = batch_sharding(mesh)
+
+        def transfer(b):
+            # shard full chunks during the prefetch-thread transfer;
+            # remainder chunks that don't divide the data axis replicate
+            if b.support_labels.shape[0] % data_ax == 0:
+                return device_put_batch(b, bs_sharding)
+            return device_put_batch(b)
 
     def produce(i):
         e, off = sizes[i], offsets[i]
@@ -58,11 +69,8 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
 
     acc = TestAccuracies()
     for batch in Prefetcher(produce, n_batches=len(sizes),
-                            depth=prefetch_depth):
-        if mesh is not None and mesh.devices.size > 1 and \
-                batch.support_labels.shape[0] % mesh.shape["data"] == 0:
-            from ..parallel import shard_batch
-            batch = shard_batch(batch, mesh)
+                            depth=prefetch_depth, transfer=transfer):
+        if use_mesh:
             with jax.set_mesh(mesh):
                 accs = eval_step(variables, batch)
         else:
@@ -117,6 +125,13 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                 t_vars = shard_variables(t_vars, mesh)
             logger.info(f"sharding over mesh {dict(m.shape)}")
         elif m.devices.size > 1:
+            if jax.process_count() > 1:
+                # falling back would have every process run a duplicate
+                # full training job with identical rng into one ckpt dir
+                raise ValueError(
+                    f"multi-process run needs the sharded path: "
+                    f"tasks_per_batch={e_per_step} does not divide the "
+                    f"mesh data axis {m.shape['data']}")
             logger.info(f"mesh {dict(m.shape)} available but tasks_per_batch="
                         f"{e_per_step} does not divide the data axis — "
                         "running unsharded")
@@ -135,26 +150,28 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     # global data-sharded array (parallel/multihost.py); single-process the
     # plain stream is kept byte-identical
     multihost = mesh is not None and jax.process_count() > 1
+    transfer = None   # default: plain device_put on the prefetch thread
     if multihost:
-        from ..parallel import local_episode_count, host_rng
+        from ..parallel import (local_episode_count, host_rng,
+                                global_batch_from_local)
         local_e = local_episode_count(e_per_step)
         produce = lambda i: sampler.sample_batch(
             host_rng(cfg.train.seed, start_step + i), local_e, train=True)
+        transfer = lambda b: global_batch_from_local(b, mesh)
         logger.info(f"multi-host input: {local_e} episodes/process × "
                     f"{jax.process_count()} processes")
     else:
         produce = lambda i: sampler.sample_batch(rng, e_per_step, train=True)
+        if mesh is not None:
+            from ..parallel import batch_sharding
+            # shard during the host→device transfer on the prefetch thread —
+            # NOT default-device first and resharded on the hot loop
+            transfer = lambda b: device_put_batch(b, batch_sharding(mesh))
     fetcher = Prefetcher(produce, n_batches=n_steps - start_step,
-                         depth=prefetch_depth)
+                         depth=prefetch_depth, transfer=transfer)
 
     for batch in fetcher:
         if mesh is not None:
-            if multihost:
-                from ..parallel import global_batch_from_local
-                batch = global_batch_from_local(batch, mesh)
-            else:
-                from ..parallel import shard_batch
-                batch = shard_batch(batch, mesh)
             with jax.set_mesh(mesh):
                 state, metrics = step_fn(state, t_vars, batch)
         else:
