@@ -35,7 +35,20 @@ def main(argv=None):
     rng = np.random.default_rng(cfg.train.seed)
     sample = sampler.sample_batch(rng, 1, train=False)
     state, t_vars = create_train_state(cfg, jax.random.key(0), sample)
-    if args.test_model_path:
+    if args.test_model_path and args.test_model_path.endswith((".pt", ".pth")):
+        # a reference torch checkpoint: import it in place (trainwandb.py
+        # users can evaluate their existing .pt files directly)
+        if need_teacher:
+            from ..tools.torch_import import load_teacher_checkpoint
+            t_vars = load_teacher_checkpoint(args.test_model_path, cfg)
+        else:
+            from ..tools.torch_import import load_student_checkpoint
+            v = load_student_checkpoint(args.test_model_path, cfg)
+            state = state.replace(params=v["params"],
+                                  batch_stats=v.get("batch_stats",
+                                                    state.batch_stats))
+        print(f"imported torch checkpoint {args.test_model_path}")
+    elif args.test_model_path:
         ckpt = CheckpointManager(args.test_model_path)
         state, t_vars = ckpt.restore(state, t_vars)
         print(f"restored checkpoint @{int(state.episodes_seen)} episodes")

@@ -119,6 +119,71 @@ def import_resnet_trunk(sd: Dict[str, np.ndarray], depth: int = 18,
     return params, stats
 
 
+def import_mobilenet_trunk(sd: Dict[str, np.ndarray], variant: str = "large",
+                           prefix: str = "") -> Tuple[dict, dict]:
+    """torchvision ``mobilenet_v3_{large,small}`` feature-extractor keys →
+    (params, batch_stats) for ``MobileNetV3Trunk``.
+
+    torchvision layout: ``features.0`` = stem ConvBNAct; spec block i lives at
+    ``features.{i+1}`` whose ``block`` Sequential indices shift by whether the
+    expand 1×1 exists (first block: expand == in_ch → absent) and whether SE
+    is used (``fcN`` are 1×1 convs → Dense kernels); the 1×1 head ConvBNAct is
+    the last features entry."""
+    from ..models.backbones.mobilenet import _LARGE, _SMALL
+    specs = _LARGE if variant == "large" else _SMALL
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: dict = {}
+    stats: dict = {}
+    params["stem"] = _conv(sd, "features.0.0.weight")
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "features.0.1")
+    in_ch = 16
+    for i, (_, e, o, se, _hs, _s) in enumerate(specs):
+        src = f"features.{i + 1}.block"
+        bp: dict = {}
+        bs: dict = {}
+        j = 0
+        if e != in_ch:
+            bp["expand"] = _conv(sd, f"{src}.{j}.0.weight")
+            bp["expand_bn"], bs["expand_bn"] = _bn(sd, f"{src}.{j}.1")
+            j += 1
+        # depthwise (E, 1, kh, kw) → (kh, kw, 1, E): same transpose as _conv
+        bp["depthwise"] = _conv(sd, f"{src}.{j}.0.weight")
+        bp["depthwise_bn"], bs["depthwise_bn"] = _bn(sd, f"{src}.{j}.1")
+        j += 1
+        if se:
+            def se_fc(name):
+                w = sd[f"{src}.{j}.{name}.weight"]        # (out, in, 1, 1)
+                return {"kernel": w[:, :, 0, 0].T.copy(),
+                        "bias": sd[f"{src}.{j}.{name}.bias"].copy()}
+            bp["se"] = {"fc1": se_fc("fc1"), "fc2": se_fc("fc2")}
+            j += 1
+        bp["project"] = _conv(sd, f"{src}.{j}.0.weight")
+        bp["project_bn"], bs["project_bn"] = _bn(sd, f"{src}.{j}.1")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+        in_ch = o
+    head = f"features.{len(specs) + 1}"
+    params["head"] = _conv(sd, f"{head}.0.weight")
+    params["head_bn"], stats["head_bn"] = _bn(sd, f"{head}.1")
+    return params, stats
+
+
+def import_backbone_mobilenet(sd: Dict[str, np.ndarray],
+                              variant: str = "large") -> dict:
+    """Reference ``mobile_large[_2fc]`` student backbone → MobileNetV3Backbone
+    variables. The reference wraps torchvision's features module in
+    ``nn.Sequential`` (moblienetv3.py:31-33), so trunk keys carry a
+    ``mobile.0.`` prefix."""
+    feats = {"features." + k[len("mobile.0."):]: v for k, v in sd.items()
+             if k.startswith("mobile.0.")}
+    trunk_p, trunk_s = import_mobilenet_trunk(feats, variant)
+    params = {"trunk": trunk_p, "fc1": _lin(sd, "fc1")}
+    if "fc2.weight" in sd:
+        params["fc2"] = _lin(sd, "fc2")
+    return {"params": params, "batch_stats": {"trunk": trunk_s}}
+
+
 def import_tct(sd: Dict[str, np.ndarray], prefix: str) -> dict:
     """TRX TemporalCrossTransformer weights under ``prefix`` → TCT params.
     (The value-side LayerNorm ``norm_v`` exists in torch checkpoints but is
@@ -165,8 +230,13 @@ def load_student_checkpoint(path: str, cfg: Config) -> dict:
     sd = load_state_dict(path)
     backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
                    if k.startswith("backbone.")}
-    depth = 50 if cfg.model.backbone.startswith(("resnet50", "meta_baseline")) else 18
-    bb = import_backbone_2fc(backbone_sd, depth)
+    if cfg.model.backbone.startswith("mobilenetv3"):
+        variant = "small" if "small" in cfg.model.backbone else "large"
+        bb = import_backbone_mobilenet(backbone_sd, variant)
+    else:
+        depth = 50 if cfg.model.backbone.startswith(("resnet50",
+                                                     "meta_baseline")) else 18
+        bb = import_backbone_2fc(backbone_sd, depth)
     prefix = _find_tct_prefix(sd)
     params = {"backbone": bb["params"]}
     if prefix is not None:

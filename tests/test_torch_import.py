@@ -251,3 +251,153 @@ def test_torch_export_teacher_roundtrip(tmp_path):
         for leaf in got[mod]:
             np.testing.assert_allclose(np.asarray(got[mod][leaf]),
                                        np.asarray(want[mod][leaf]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 import: from-scratch torch transcription with torchvision's
+# module naming (features.N.block.M...) as the weight source
+# ---------------------------------------------------------------------------
+
+def _tv_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _TorchSE(torch.nn.Module):
+    """torchvision SqueezeExcitation: 1x1-conv fc1/fc2, hardsigmoid scale."""
+
+    def __init__(self, ch, squeeze):
+        super().__init__()
+        self.fc1 = torch.nn.Conv2d(ch, squeeze, 1)
+        self.fc2 = torch.nn.Conv2d(squeeze, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.nn.functional.relu(self.fc1(s))
+        s = torch.nn.functional.hardsigmoid(self.fc2(s))
+        return x * s
+
+
+def _cba(cin, cout, k, s, groups=1, hs=True, act=True):
+    layers = [torch.nn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=groups,
+                              bias=False),
+              torch.nn.BatchNorm2d(cout, eps=1e-3)]
+    if act:
+        layers.append(torch.nn.Hardswish() if hs else torch.nn.ReLU())
+    return torch.nn.Sequential(*layers)
+
+
+class _TorchIR(torch.nn.Module):
+    def __init__(self, cin, k, e, o, se, hs, s):
+        super().__init__()
+        layers = []
+        if e != cin:
+            layers.append(_cba(cin, e, 1, 1, hs=hs))
+        layers.append(_cba(e, e, k, s, groups=e, hs=hs))
+        if se:
+            layers.append(_TorchSE(e, _tv_divisible(e / 4)))
+        layers.append(_cba(e, o, 1, 1, act=False))
+        self.block = torch.nn.Sequential(*layers)
+        self.use_res = s == 1 and cin == o
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+class TorchMobileNetV3(torch.nn.Module):
+    def __init__(self, variant="large"):
+        super().__init__()
+        from litemkd_tpu.models.backbones.mobilenet import (_LARGE, _SMALL,
+                                                            _LAST_CH)
+        specs = _LARGE if variant == "large" else _SMALL
+        feats = [_cba(3, 16, 3, 2, hs=True)]
+        cin = 16
+        for (k, e, o, se, hs, s) in specs:
+            feats.append(_TorchIR(cin, k, e, o, se, hs, s))
+            cin = o
+        feats.append(_cba(cin, _LAST_CH[variant], 1, 1, hs=True))
+        self.features = torch.nn.Sequential(*feats)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+@pytest.mark.parametrize("variant", ["large", "small"])
+def test_mobilenet_trunk_import_matches_torch_forward(variant):
+    from litemkd_tpu.models.backbones.mobilenet import MobileNetV3Trunk
+    from litemkd_tpu.tools import import_mobilenet_trunk
+
+    torch.manual_seed(0)
+    tm = TorchMobileNetV3(variant).eval()
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    g = torch.Generator().manual_seed(1)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.rand(m.running_mean.shape,
+                                            generator=g) - 0.5)
+            m.running_var.copy_(torch.rand(m.running_var.shape,
+                                           generator=g) + 0.5)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_mobilenet_trunk(sd, variant)
+
+    x = np.random.default_rng(2).random((2, 64, 64, 3), np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    trunk = MobileNetV3Trunk(variant, compute_dtype=jnp.float32)
+    got = trunk.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mobilenet_student_checkpoint_import(tmp_path):
+    """A reference-layout mobile_large_2fc checkpoint (backbone.mobile.0.* +
+    fc1/fc2 + TRX head) loads into the flax mobilenet student."""
+    from litemkd_tpu.tools.torch_import import load_student_checkpoint
+    from litemkd_tpu.models import BatchedStudent
+    from litemkd_tpu import preset
+
+    torch.manual_seed(3)
+    tm = TorchMobileNetV3("large")
+    sd = {}
+    for k, v in tm.state_dict().items():
+        assert k.startswith("features.")
+        sd["backbone.mobile.0." + k[len("features."):]] = v
+    for head in ("fc1", "fc2"):
+        lin = torch.nn.Linear(960, 64)
+        sd[f"backbone.{head}.weight"] = lin.weight.detach()
+        sd[f"backbone.{head}.bias"] = lin.bias.detach()
+    # TRX_2fcsup head at the test dims (in 2·64 tuple-pairs → dk 32)
+    for name, lin in (("k_linear", torch.nn.Linear(128, 32)),
+                      ("v_linear", torch.nn.Linear(128, 32)),
+                      ("norm_k", torch.nn.LayerNorm(32)),
+                      ("norm_v", torch.nn.LayerNorm(32))):
+        for p, v in lin.state_dict().items():
+            sd[f"classifier.transformers.0.{name}.{p}"] = v
+    path = tmp_path / "student.pt"
+    torch.save({"model_state_dict": sd}, path)
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "backbone": "mobilenetv3_large_2fc",
+        "trans_linear_in_dim": 64, "trans_linear_out_dim": 32}))
+    variables = load_student_checkpoint(str(path), cfg)
+    ep = cfg.episode
+    model = BatchedStudent(cfg)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.integers(0, 255, (1, ep.n_support, ep.seq_len,
+                                            ep.img_size, ep.img_size, 3),
+                                   dtype=np.uint8))
+    tgt = jnp.asarray(rng.integers(0, 255, (1, ep.n_queries(True), ep.seq_len,
+                                            ep.img_size, ep.img_size, 3),
+                                   dtype=np.uint8))
+    labels = jnp.asarray(np.tile(np.repeat(np.arange(ep.way), ep.shot),
+                                 (1, 1)).astype(np.int32))
+    out = model.apply(variables, ctx, labels, tgt, train=False)
+    merged = np.asarray(out["logits"]["kl"])
+    assert merged.shape == (1, ep.n_queries(True), ep.way)
+    assert np.isfinite(merged).all()
