@@ -22,6 +22,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     add_train_args(p)
+    p.add_argument("--init_checkpoint", default=None,
+                   help="warm-start student weights from a reference torch "
+                        ".pt (a trainwandb.py checkpoint or an exported one)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -45,8 +48,15 @@ def main(argv=None):
         teacher_vars = load_teacher_checkpoint(args.teacher_checkpoint, cfg)
         logger.info(f"loaded teacher head from {args.teacher_checkpoint}")
 
+    student_vars = None
+    if args.init_checkpoint:
+        from ..tools.torch_import import load_student_checkpoint
+        student_vars = load_student_checkpoint(args.init_checkpoint, cfg)
+        logger.info(f"warm-started student from {args.init_checkpoint}")
+
     state, t_vars, history = run_training(cfg, sampler, logger,
-                                          teacher_vars_init=teacher_vars)
+                                          teacher_vars_init=teacher_vars,
+                                          student_vars_init=student_vars)
     if history:
         logger.info("eval history: " + json.dumps(history))
     return state

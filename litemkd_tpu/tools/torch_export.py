@@ -88,6 +88,45 @@ def export_resnet_trunk(params: dict, stats: dict, depth: int = 18,
     return sd
 
 
+def export_mobilenet_trunk(params: dict, stats: dict, variant: str = "large",
+                           prefix: str = "backbone.mobile.0."
+                           ) -> Dict[str, np.ndarray]:
+    """MobileNetV3Trunk variables → the reference ``mobile_large[_2fc]``
+    key layout (torchvision features wrapped in nn.Sequential,
+    moblienetv3.py:31-33 — inverse of torch_import.import_mobilenet_trunk)."""
+    from ..models.backbones.mobilenet import _LARGE, _SMALL
+    specs = _LARGE if variant == "large" else _SMALL
+    sd: Dict[str, np.ndarray] = {}
+    _put_conv(sd, f"{prefix}0.0.weight", params["stem"])
+    _put_bn(sd, f"{prefix}0.1", params["stem_bn"], stats["stem_bn"])
+    in_ch = 16
+    for i, (_, e, o, se, _hs, _s) in enumerate(specs):
+        bp, bs = params[f"block{i}"], stats[f"block{i}"]
+        base = f"{prefix}{i + 1}.block"
+        j = 0
+        if e != in_ch:
+            _put_conv(sd, f"{base}.{j}.0.weight", bp["expand"])
+            _put_bn(sd, f"{base}.{j}.1", bp["expand_bn"], bs["expand_bn"])
+            j += 1
+        _put_conv(sd, f"{base}.{j}.0.weight", bp["depthwise"])
+        _put_bn(sd, f"{base}.{j}.1", bp["depthwise_bn"], bs["depthwise_bn"])
+        j += 1
+        if se:
+            for name in ("fc1", "fc2"):
+                # Dense (in, out) → torch 1×1 conv (out, in, 1, 1)
+                sd[f"{base}.{j}.{name}.weight"] = \
+                    _np(bp["se"][name]["kernel"]).T[:, :, None, None].copy()
+                sd[f"{base}.{j}.{name}.bias"] = _np(bp["se"][name]["bias"])
+            j += 1
+        _put_conv(sd, f"{base}.{j}.0.weight", bp["project"])
+        _put_bn(sd, f"{base}.{j}.1", bp["project_bn"], bs["project_bn"])
+        in_ch = o
+    head = f"{prefix}{len(specs) + 1}"
+    _put_conv(sd, f"{head}.0.weight", params["head"])
+    _put_bn(sd, f"{head}.1", params["head_bn"], stats["head_bn"])
+    return sd
+
+
 def export_tct(tct: dict, prefix: str, d_model: int = 2048,
                max_len: int = 5000) -> Dict[str, np.ndarray]:
     """TCT params → reference TemporalCrossTransformer keys, including the
@@ -123,12 +162,17 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
     import torch
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    if depth is None:
-        depth = 50 if cfg.model.backbone.startswith(
-            ("resnet50", "meta_baseline")) else 18
-    sd = export_resnet_trunk(params["backbone"]["trunk"],
-                             stats["backbone"]["trunk"], depth,
-                             prefix="backbone.resnet.", seq_naming=True)
+    if cfg.model.backbone.startswith("mobilenetv3"):
+        variant = "small" if "small" in cfg.model.backbone else "large"
+        sd = export_mobilenet_trunk(params["backbone"]["trunk"],
+                                    stats["backbone"]["trunk"], variant)
+    else:
+        if depth is None:
+            depth = 50 if cfg.model.backbone.startswith(
+                ("resnet50", "meta_baseline")) else 18
+        sd = export_resnet_trunk(params["backbone"]["trunk"],
+                                 stats["backbone"]["trunk"], depth,
+                                 prefix="backbone.resnet.", seq_naming=True)
     for fc in ("fc1", "fc2"):
         if fc in params["backbone"]:
             _put_lin(sd, f"backbone.{fc}", params["backbone"][fc])

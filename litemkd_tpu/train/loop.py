@@ -81,9 +81,12 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
 
 def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                  teacher_vars_init: Optional[Any] = None,
-                 eval_sampler=None, prefetch_depth: int = 2):
+                 eval_sampler=None, prefetch_depth: int = 2,
+                 student_vars_init: Optional[dict] = None):
     """Full student training. ``sampler.sample_batch(rng, n, train)`` must
-    yield EpisodeBatches; returns (final_state, teacher_vars, eval_history)."""
+    yield EpisodeBatches; returns (final_state, teacher_vars, eval_history).
+    ``student_vars_init`` warm-starts the student from imported weights
+    (e.g. a reference torch checkpoint or pretrained trunks)."""
     logger = logger or MetricsLogger(print_freq=cfg.train.print_freq)
     eval_sampler = eval_sampler or sampler
     e_per_step = cfg.train.tasks_per_batch
@@ -100,6 +103,11 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                                        episodes_per_step=e_per_step)
     if teacher_vars_init is not None:
         t_vars = teacher_vars_init
+    if student_vars_init is not None:
+        state = state.replace(
+            params=student_vars_init["params"],
+            batch_stats=student_vars_init.get("batch_stats",
+                                              state.batch_stats))
 
     ckpt = None
     if cfg.train.checkpoint_dir:

@@ -174,7 +174,8 @@ def test_full_student_pipeline_matches_torch():
         np.argmax(t_kl + t_ce, -1))
 
 
-def test_torch_export_roundtrip(tmp_path):
+@pytest.mark.parametrize("backbone", ["resnet18_2fc", "mobilenetv3_large_2fc"])
+def test_torch_export_roundtrip(tmp_path, backbone):
     """export_student_checkpoint → load_student_checkpoint returns the same
     trunk/fc/TCT weights (the jax→torch→jax interop loop)."""
     import jax
@@ -187,7 +188,7 @@ def test_torch_export_roundtrip(tmp_path):
 
     base = preset("tiny")
     cfg = base.replace(model=base.model.__class__(
-        backbone="resnet18_2fc", classifier="TRX_2fcsup",
+        backbone=backbone, classifier="TRX_2fcsup",
         trans_linear_in_dim=32, trans_linear_out_dim=24))
     src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0,
                                  with_teacher_feats=False)
