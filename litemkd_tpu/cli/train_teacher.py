@@ -134,6 +134,19 @@ def main(argv=None):
         state, _ = ckpt.restore(state)
         logger.info(f"resumed at {int(state.episodes_seen)} episodes")
 
+    # multi-device: episode batches shard over 'data', encoder/TCT
+    # projections over 'model' (same rules as the student loop)
+    mesh = None
+    if cfg.mesh is not None and len(jax.devices()) > 1:
+        from ..parallel import make_mesh, shard_variables, shard_batch
+        m = make_mesh(cfg.mesh)
+        if m.devices.size > 1 and e % m.shape["data"] == 0:
+            mesh = m
+            state = state.replace(params=shard_variables(state.params, mesh),
+                                  opt_state=shard_variables(state.opt_state,
+                                                            mesh))
+            logger.info(f"sharding over mesh {dict(m.shape)}")
+
     step = jax.jit(make_mfm_train_step(cfg, kind=args.fusion,
                                        score_weights=args.score_weights),
                    donate_argnums=0)
@@ -146,7 +159,12 @@ def main(argv=None):
 
     for i in range(int(state.step), n_steps):
         batch = sampler.sample_batch(rng, e, train=True)
-        state, metrics = step(state, batch)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+            with jax.set_mesh(mesh):
+                state, metrics = step(state, batch)
+        else:
+            state, metrics = step(state, batch)
         logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
         if ckpt and int(state.step) % save_every == 0:
             ckpt.save(state)
