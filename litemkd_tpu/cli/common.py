@@ -76,6 +76,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_model", type=int, default=None)
     p.add_argument("--debug", action="store_true",
                    help="no checkpoints, no log files")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics to wandb (reference trainwandb.py; "
+                        "skipped with a notice if the package is missing)")
 
 
 def add_train_args(p: argparse.ArgumentParser) -> None:

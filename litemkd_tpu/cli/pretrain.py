@@ -40,7 +40,8 @@ def main(argv=None):
                for r in index.videos_for_class(c)]
     n_classes = len(index.classes())
     logger = MetricsLogger(log_dir=None if args.debug else cfg.train.checkpoint_dir,
-                           run_name="pretrain", print_freq=cfg.train.print_freq)
+                           run_name="pretrain", print_freq=cfg.train.print_freq,
+                           use_wandb=args.wandb)
     logger.info(f"{len(records)} train videos over {n_classes} classes")
 
     rng = np.random.default_rng(cfg.train.seed)

@@ -37,7 +37,8 @@ def main(argv=None):
 
     logger = MetricsLogger(
         log_dir=None if args.debug else (cfg.train.checkpoint_dir or "log"),
-        run_name=cfg.mode, print_freq=cfg.train.print_freq)
+        run_name=cfg.mode, print_freq=cfg.train.print_freq,
+        use_wandb=args.wandb)
     logger.info(f"config:\n{cfg.to_json()}")
 
     sampler = build_sampler(cfg, need_teacher=True)

@@ -35,8 +35,14 @@ class MetricsLogger:
             try:
                 import wandb
                 self._wandb = wandb
+                if wandb.run is None:   # reference: wandb.init (trainwandb.py:41)
+                    wandb.init(project="litemkd_tpu", name=run_name)
             except ImportError:
                 print("[metrics] wandb requested but not installed; skipping",
+                      file=sys.stderr)
+            except Exception as e:   # offline/no-credentials boxes
+                self._wandb = None
+                print(f"[metrics] wandb init failed ({e}); skipping",
                       file=sys.stderr)
 
     def log_config(self, cfg) -> None:
