@@ -66,6 +66,7 @@ class Branch(NamedTuple):
     share: Optional[str] = None
     sides: Tuple[int, int] = (1, 1)
     depth: Optional[int] = None
+    nhead: int = 0    # multi branches: 0 → per-arity default head count
 
 
 BranchSpec = Union[Branch, Tuple]   # plain (kind, idxs, shift) tuples accepted
@@ -104,6 +105,13 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
         Branch("pair", (0, 1), 0, "f"),
         Branch("pair", (0, 1), (("pad", 1), ("pad", 1)), "f"),
         Branch("pair", (0, 2), (("pad", -1), ("pad", -1)), "f")),
+    # model.py:2262 ThreeStrm — despite the name, no STRM blocks: just the
+    # 3-stream encoder (ThreeTransforTemproal) into the TRX branch
+    "ThreeStrm": (Branch("multi", (0, 1, 2)),),
+    # model.py:2335 FourStrm — FourTransforFusion: nhead=4, 2 layers fixed
+    # (and another missing-batch_first video-axis attention in the release —
+    # see the PARITY.md divergences note)
+    "FourStrm": (Branch("multi", (0, 1, 2, 3), depth=2, nhead=4),),
     # model.py:1588 ThreeTRXShiftLoopTime (MFM intent: m2 left, m3 right);
     # the released quirk version (identity third shift) is MFMTeacher
     "ThreeTRXShiftLoopTime": (Branch("multi", (0, 1, 2)),
@@ -258,9 +266,10 @@ class ComposedFusionTeacher(nn.Module):
             if b.kind == "multi":
                 n = len(b.idxs)
                 m = (ThreeStreamFusion(self.seq_len, self.in_dim, depth,
-                                       self.dropout) if n == 3 else
+                                       self.dropout)
+                     if n == 3 and not b.nhead else
                      MultiStreamFusion(n, self.seq_len, self.in_dim, depth,
-                                       self.dropout))
+                                       self.dropout, nhead=b.nhead))
             elif b.kind == "cross":
                 m = CrossAttentionFusion(self.in_dim, dropout=self.dropout)
             elif b.kind == "self":

@@ -143,8 +143,10 @@ class ThreeStreamFusion(nn.Module):
 
 class MultiStreamFusion(nn.Module):
     """N-modality concat-encode-project fusion — generalizes the reference's
-    ThreeTransforTemproal (nhead=3) and FourTransforTemproal (nhead=2,
-    model.py:1333-1360); Two/ThreeStreamFusion are the 2/3-stream cases."""
+    ThreeTransforTemproal (nhead=3), FourTransforTemproal (nhead=2,
+    model.py:1333-1360) and FourTransforFusion (nhead=4, model.py:1192-1233);
+    Two/ThreeStreamFusion are the 2/3-stream cases. ``nhead`` overrides the
+    default per-arity head count."""
 
     n_streams: int
     seq_len: int
@@ -152,6 +154,7 @@ class MultiStreamFusion(nn.Module):
     depth: int = 2
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    nhead: int = 0    # 0 → per-arity default (3 streams → 3 heads, else 2)
 
     @nn.compact
     def __call__(self, streams, train: bool):
@@ -160,7 +163,7 @@ class MultiStreamFusion(nn.Module):
                for i in range(self.n_streams)]
         x = jnp.concatenate([pe(m, train=train)
                              for pe, m in zip(pes, streams)], -1)
-        nhead = 3 if self.n_streams == 3 else 2
+        nhead = self.nhead or (3 if self.n_streams == 3 else 2)
         x = Encoder(self.n_streams * self.d, nhead, self.depth, self.dropout,
                     self.compute_dtype, name="encoder")(x, train)
         x = _dense(self.d, self.n_streams * self.d, "fuse_proj")(x)
