@@ -35,11 +35,13 @@ def main():
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
-    cfg = preset("student_fc2sup_dist")
-    cfg = cfg.replace(model=cfg.model.__class__(remat=remat,
-                                                use_pallas=use_pallas,
-                                                freeze_bn=freeze_bn,
-                                                pallas_bn=pallas_bn),
+    cfg = preset(os.environ.get("BENCH_PRESET", "student_fc2sup_dist"))
+    # dict-splat: only override the knobs, never reset preset fields
+    cfg = cfg.replace(model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                                   "remat": remat,
+                                                   "use_pallas": use_pallas,
+                                                   "freeze_bn": freeze_bn,
+                                                   "pallas_bn": pallas_bn}),
                       train=cfg.train.__class__(tasks_per_batch=episodes_per_step,
                                                 micro_batch=micro))
 
@@ -76,7 +78,9 @@ def main():
     print(json.dumps({
         "metric": "train_episodes_per_sec_per_chip",
         "value": round(eps, 3),
-        "unit": "episodes/s (5-way 5-shot, resnet18_2fc+TRX_2fcsup+fc_2_sup_dist, 224px)",
+        "unit": (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot, "
+                 f"{cfg.model.backbone}+{cfg.model.classifier}+"
+                 f"{cfg.distill.name}, {cfg.episode.img_size}px)"),
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
 
