@@ -111,6 +111,12 @@ def main(argv=None):
                            run_name="mfm", print_freq=cfg.train.print_freq,
                            use_wandb=args.wandb)
     logger.info(f"config:\n{cfg.to_json()}")
+    if cfg.train.checkpoint_dir:
+        # full run config next to the checkpoints (reference: args.pkl)
+        import os
+        with open(os.path.join(cfg.train.checkpoint_dir, "config.json"),
+                  "w") as f:
+            f.write(cfg.to_json())
 
     sampler = build_mm_sampler(cfg, args)
     rng = np.random.default_rng(cfg.train.seed)
