@@ -21,6 +21,12 @@ def main(argv=None):
     p.add_argument("--n_episodes", type=int, default=10000)
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=3483)
+    p.add_argument("--format", choices=["native", "reference"],
+                   default="native",
+                   help="'reference' emits the reference's fixed_test schema "
+                        "(class_bc + global video_idx; yaml when --out ends "
+                        ".yaml) so the generated file replays in the "
+                        "reference codebase too")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -31,7 +37,11 @@ def main(argv=None):
     ep = cfg.episode
     specs = [draw_episode_spec(index, ep.way, ep.shot, ep.query_per_class_test,
                                rng) for _ in range(args.n_episodes)]
-    save_fixed_episodes(specs, args.out)
+    if args.format == "reference":
+        from ..data import save_reference_fixed_episodes
+        save_reference_fixed_episodes(specs, index, args.out)
+    else:
+        save_fixed_episodes(specs, args.out)
     print(f"wrote {len(specs)} fixed episodes → {args.out}")
 
 

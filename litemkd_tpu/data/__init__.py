@@ -5,7 +5,8 @@ from .video import (VideoStore, ZipFrameStore, scan_frame_tree,
 from .features import FeatureStore, MultiModalFeatureStore, scan_feature_tree
 from .episodes import (EpisodeSampler, EpisodeSpec, draw_episode_spec,
                        save_fixed_episodes, load_fixed_episodes,
-                       load_reference_fixed_episodes)
+                       load_reference_fixed_episodes,
+                       save_reference_fixed_episodes)
 from .prefetch import Prefetcher, device_put_batch
 from .multimodal import MultiModalEpisodeSampler
 
@@ -15,6 +16,7 @@ __all__ = [
     "load_clip", "FeatureStore", "MultiModalFeatureStore", "scan_feature_tree",
     "EpisodeSampler", "EpisodeSpec", "draw_episode_spec",
     "save_fixed_episodes", "load_fixed_episodes",
-    "load_reference_fixed_episodes", "Prefetcher",
+    "load_reference_fixed_episodes", "save_reference_fixed_episodes",
+    "Prefetcher",
     "device_put_batch", "MultiModalEpisodeSampler",
 ]

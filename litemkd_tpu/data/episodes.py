@@ -66,6 +66,37 @@ def load_fixed_episodes(path: str) -> List[EpisodeSpec]:
         return [EpisodeSpec.from_json(d) for d in json.load(f)]
 
 
+def save_reference_fixed_episodes(specs: List[EpisodeSpec], index: SplitIndex,
+                                  path: str) -> None:
+    """Write episodes in the reference's fixed_test schema
+    (``splits/gen_fixed_split.py:167-194``: per-episode support/query entry
+    lists with ``class_bc`` and GLOBAL ``video_idx``), yaml when the path
+    ends .yaml/.yml — so files generated here replay in the reference
+    codebase. Exact inverse of :func:`load_reference_fixed_episodes`."""
+    offsets, off = {}, 0
+    for c in index.classes():
+        offsets[int(c)] = off
+        off += index.n_videos(c)
+    data = {}
+    for e, spec in enumerate(specs):
+        sup, qry = [], []
+        for c, s_idx, q_idx in zip(spec.classes, spec.support_idx,
+                                   spec.query_idx):
+            for j in s_idx:
+                sup.append({"id": len(sup), "class_bc": int(c),
+                            "video_idx": offsets[int(c)] + int(j)})
+            for j in q_idx:
+                qry.append({"id": len(qry), "class_bc": int(c),
+                            "video_idx": offsets[int(c)] + int(j)})
+        data[e] = {"support": sup, "query": qry}
+    with open(path, "w") as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            yaml.safe_dump(data, f)
+        else:
+            json.dump(data, f)
+
+
 def load_reference_fixed_episodes(path: str,
                                   index: SplitIndex) -> List[EpisodeSpec]:
     """Import the reference's ``fixed_test.json|yaml`` episode files

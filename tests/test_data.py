@@ -418,3 +418,21 @@ def test_native_zip_decode_matches_file_decode(tmp_path):
                              rng=np.random.default_rng(seed), zip_store=zs)
         assert a is not None and b is not None
         np.testing.assert_array_equal(a, b)
+
+
+def test_reference_fixed_episode_save_roundtrip(dataset_dir, tmp_path):
+    """save_reference_fixed_episodes is the exact inverse of the importer —
+    files we generate replay both here and in the reference codebase."""
+    from litemkd_tpu.data import (VideoStore, draw_episode_spec,
+                                  save_reference_fixed_episodes,
+                                  load_reference_fixed_episodes)
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    index = vs.split(False)
+    rng = np.random.default_rng(11)
+    specs = [draw_episode_spec(index, WAY, SHOT, 1, rng) for _ in range(3)]
+    for name in ("fixed.json", "fixed.yaml"):
+        path = str(tmp_path / name)
+        save_reference_fixed_episodes(specs, index, path)
+        back = load_reference_fixed_episodes(path, index)
+        assert [s.to_json() for s in back] == [s.to_json() for s in specs], name
