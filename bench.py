@@ -35,15 +35,18 @@ def main():
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
-    cfg = preset(os.environ.get("BENCH_PRESET", "student_fc2sup_dist"))
+    bench_preset = os.environ.get("BENCH_PRESET", "student_fc2sup_dist")
+    cfg = preset(bench_preset)
     # dict-splat: only override the knobs, never reset preset fields
     cfg = cfg.replace(model=cfg.model.__class__(**{**cfg.model.__dict__,
                                                    "remat": remat,
                                                    "use_pallas": use_pallas,
                                                    "freeze_bn": freeze_bn,
                                                    "pallas_bn": pallas_bn}),
-                      train=cfg.train.__class__(tasks_per_batch=episodes_per_step,
-                                                micro_batch=micro))
+                      train=cfg.train.__class__(**{
+                          **cfg.train.__dict__,
+                          "tasks_per_batch": episodes_per_step,
+                          "micro_batch": micro}))
 
     src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
     rng = np.random.default_rng(0)
@@ -69,7 +72,9 @@ def main():
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_LOCAL.json")
     vs = None
-    if os.path.exists(baseline_path):
+    # the torch-CPU baseline is the flagship computation — the ratio is
+    # meaningless for other presets
+    if bench_preset == "student_fc2sup_dist" and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f).get("torch_cpu_episodes_per_sec")
         if base:

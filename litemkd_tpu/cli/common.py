@@ -224,6 +224,20 @@ def build_config(args: argparse.Namespace) -> Config:
     return cfg
 
 
+def save_run_config(cfg: Config) -> None:
+    """Write the full run config next to the checkpoints (reference:
+    args.pkl, multi_fusion.py:369-371; json so it's greppable). A resume
+    keeps the ORIGINAL run's record instead of clobbering it."""
+    if not cfg.train.checkpoint_dir:
+        return
+    path = os.path.join(cfg.train.checkpoint_dir, "config.json")
+    if cfg.train.resume_from_checkpoint and os.path.exists(path):
+        return
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(cfg.to_json())
+
+
 def build_sampler(cfg: Config, need_teacher: bool = True):
     """Construct the episode sampler for the configured dataset."""
     if cfg.data.dataset == "synthetic":

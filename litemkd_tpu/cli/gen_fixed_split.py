@@ -24,9 +24,11 @@ def main(argv=None):
     p.add_argument("--format", choices=["native", "reference"],
                    default="native",
                    help="'reference' emits the reference's fixed_test schema "
-                        "(class_bc + global video_idx; yaml when --out ends "
-                        ".yaml) so the generated file replays in the "
-                        "reference codebase too")
+                        "(class_bc + global video_idx). Use a .yaml --out to "
+                        "replay in the reference codebase — its own JSON "
+                        "reader double-decodes and int-indexes (broken in "
+                        "the release); the json form of this schema loads "
+                        "here only")
     args = p.parse_args(argv)
     cfg = build_config(args)
 

@@ -44,9 +44,12 @@ def main(argv=None):
         else:
             from ..tools.torch_import import load_student_checkpoint
             v = load_student_checkpoint(args.test_model_path, cfg)
-            state = state.replace(params=v["params"],
-                                  batch_stats=v.get("batch_stats",
-                                                    state.batch_stats))
+            # merge over the template: a headless (backbone-only) checkpoint
+            # keeps the initialized classifier instead of dropping its params
+            state = state.replace(
+                params={**state.params, **v["params"]},
+                batch_stats={**state.batch_stats,
+                             **v.get("batch_stats", {})})
         print(f"imported torch checkpoint {args.test_model_path}")
     elif args.test_model_path:
         ckpt = CheckpointManager(args.test_model_path)

@@ -40,13 +40,8 @@ def main(argv=None):
         run_name=cfg.mode, print_freq=cfg.train.print_freq,
         use_wandb=args.wandb)
     logger.info(f"config:\n{cfg.to_json()}")
-    if cfg.train.checkpoint_dir:
-        # full run config next to the checkpoints (reference: args.pkl,
-        # multi_fusion.py:369-371 — json here so it's greppable)
-        import os
-        with open(os.path.join(cfg.train.checkpoint_dir, "config.json"),
-                  "w") as f:
-            f.write(cfg.to_json())
+    from .common import save_run_config
+    save_run_config(cfg)
 
     sampler = build_sampler(cfg, need_teacher=True)
 

@@ -111,12 +111,8 @@ def main(argv=None):
                            run_name="mfm", print_freq=cfg.train.print_freq,
                            use_wandb=args.wandb)
     logger.info(f"config:\n{cfg.to_json()}")
-    if cfg.train.checkpoint_dir:
-        # full run config next to the checkpoints (reference: args.pkl)
-        import os
-        with open(os.path.join(cfg.train.checkpoint_dir, "config.json"),
-                  "w") as f:
-            f.write(cfg.to_json())
+    from .common import save_run_config
+    save_run_config(cfg)
 
     sampler = build_mm_sampler(cfg, args)
     rng = np.random.default_rng(cfg.train.seed)
@@ -153,6 +149,15 @@ def main(argv=None):
                                   opt_state=shard_variables(state.opt_state,
                                                             mesh))
             logger.info(f"sharding over mesh {dict(m.shape)}")
+        elif m.devices.size > 1:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    f"multi-process run needs the sharded path: "
+                    f"tasks_per_batch={e} does not divide the mesh data "
+                    f"axis {m.shape['data']}")
+            logger.info(f"mesh {dict(m.shape)} available but tasks_per_batch="
+                        f"{e} does not divide the data axis — running "
+                        "unsharded")
 
     step = jax.jit(make_mfm_train_step(cfg, kind=args.fusion,
                                        score_weights=args.score_weights),

@@ -71,8 +71,11 @@ def save_reference_fixed_episodes(specs: List[EpisodeSpec], index: SplitIndex,
     """Write episodes in the reference's fixed_test schema
     (``splits/gen_fixed_split.py:167-194``: per-episode support/query entry
     lists with ``class_bc`` and GLOBAL ``video_idx``), yaml when the path
-    ends .yaml/.yml — so files generated here replay in the reference
-    codebase. Exact inverse of :func:`load_reference_fixed_episodes`."""
+    ends .yaml/.yml. The YAML form replays in the reference codebase (its
+    shipped artifact format); the json form of the schema loads here only —
+    the released JSON reader double-decodes and then int-indexes the
+    string-keyed result (video_reader.py:81-82), so it cannot read ANY valid
+    json. Exact inverse of :func:`load_reference_fixed_episodes`."""
     offsets, off = {}, 0
     for c in index.classes():
         offsets[int(c)] = off

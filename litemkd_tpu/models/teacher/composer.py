@@ -108,9 +108,11 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     # model.py:2262 ThreeStrm — despite the name, no STRM blocks: just the
     # 3-stream encoder (ThreeTransforTemproal) into the TRX branch
     "ThreeStrm": (Branch("multi", (0, 1, 2)),),
-    # model.py:2335 FourStrm — FourTransforFusion: nhead=4, 2 layers fixed
-    # (and another missing-batch_first video-axis attention in the release —
-    # see the PARITY.md divergences note)
+    # model.py:2335 FourStrm — FourTransforFusion: nhead=4, 2 layers fixed.
+    # Documented divergences from the release (see PARITY.md): the released
+    # encoder omits batch_first (video-axis attention), and it applies
+    # positionEncoding3 to BOTH streams 3 and 4 (model.py:1218-1219 —
+    # positionEncoding4 is constructed but dead); we give stream 4 its own PE
     "FourStrm": (Branch("multi", (0, 1, 2, 3), depth=2, nhead=4),),
     # model.py:1588 ThreeTRXShiftLoopTime (MFM intent: m2 left, m3 right);
     # the released quirk version (identity third shift) is MFMTeacher
@@ -250,9 +252,10 @@ class ComposedFusionTeacher(nn.Module):
             k = (b.kind, b.share)
             prev = seen.setdefault(k, b)
             if (len(prev.idxs) != len(b.idxs)
-                    or (prev.depth or self.depth) != (b.depth or self.depth)):
+                    or (prev.depth or self.depth) != (b.depth or self.depth)
+                    or prev.nhead != b.nhead):
                 raise ValueError(
-                    f"branches sharing {k} disagree on arity/depth: "
+                    f"branches sharing {k} disagree on arity/depth/nhead: "
                     f"{prev} vs {b}")
         mods = []
         shared: Dict[Tuple[str, str], nn.Module] = {}
@@ -305,7 +308,11 @@ class ComposedFusionTeacher(nn.Module):
                 continue
             if b.kind == "multi":
                 picked = [streams[i] for i in b.idxs]
-                out = (module(*picked, train) if len(b.idxs) == 3
+                # dispatch must mirror setup: 3-stream WITHOUT an nhead
+                # override is the positional ThreeStreamFusion; everything
+                # else is the list-taking MultiStreamFusion
+                out = (module(*picked, train)
+                       if len(b.idxs) == 3 and not b.nhead
                        else module(picked, train))
             elif b.kind == "self":
                 out = module(streams[b.idxs[0]], train)

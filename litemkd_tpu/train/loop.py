@@ -104,10 +104,12 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     if teacher_vars_init is not None:
         t_vars = teacher_vars_init
     if student_vars_init is not None:
+        # merge over the freshly-initialized template: a backbone-only import
+        # (pretrained trunks, no TRX keys) keeps the template's classifier
         state = state.replace(
-            params=student_vars_init["params"],
-            batch_stats=student_vars_init.get("batch_stats",
-                                              state.batch_stats))
+            params={**state.params, **student_vars_init["params"]},
+            batch_stats={**state.batch_stats,
+                         **student_vars_init.get("batch_stats", {})})
 
     ckpt = None
     if cfg.train.checkpoint_dir:

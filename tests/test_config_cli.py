@@ -132,3 +132,36 @@ def test_cli_model_flags_survive_build_config():
     finally:
         common.preset = orig
     assert cfg.model.__dict__ == src.model.__dict__
+
+
+def test_backbone_only_warmstart_keeps_classifier(tmp_path):
+    """--init_checkpoint with a backbone-only torch file (pretrained trunks,
+    no TRX keys) merges over the initialized template instead of dropping
+    the classifier params."""
+    import torch
+    import sys, os as _os
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from torch_cpu_baseline import ResNet18Trunk
+    from test_torch_import import _baseline_to_torchvision_names
+    from litemkd_tpu.cli import train as cli_train
+
+    torch.manual_seed(0)
+    sd = {}
+    for k, v in _baseline_to_torchvision_names(ResNet18Trunk()).items():
+        sd[f"backbone.resnet.{k}"] = torch.tensor(v)
+    lin = torch.nn.Linear(512, 64)
+    for head in ("fc1", "fc2"):
+        sd[f"backbone.{head}.weight"] = lin.weight.detach()
+        sd[f"backbone.{head}.bias"] = lin.bias.detach()
+    path = str(tmp_path / "trunks.pt")
+    torch.save({"model_state_dict": sd}, path)
+
+    state = cli_train.main([
+        "--preset", "tiny", "--dataset", "synthetic",
+        "--model_backbone", "resnet18_2fc", "--trans_linear_in_dim", "64",
+        "--trans_linear_out_dim", "32", "--training_iterations", "2",
+        "--tasks_per_batch", "2", "-c", str(tmp_path / "ck"),
+        "--print_freq", "0", "--init_checkpoint", path])
+    # classifier params exist (template preserved) and training ran
+    assert "classifier" in state.params
+    assert int(state.episodes_seen) == 2
