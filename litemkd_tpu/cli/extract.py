@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--fusion", default="mfm",
                    help="fusion teacher kind for mfm mode: mfm | dga | dga2 | "
                         "two_road | a composer preset | otam:<preset>")
+    p.add_argument("--trans_num", type=int, default=None,
+                   help="fusion encoder depth of the checkpointed teacher")
+    p.add_argument("--shirt_num", type=int, default=None)
     p.add_argument("--extract_side", choices=["support", "query"],
                    default="support",
                    help="which fusion path side-asymmetric composer presets "
@@ -52,9 +55,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
-    if args.modalities:
-        cfg = cfg.replace(model=cfg.model.__class__(
-            **{**cfg.model.__dict__, "modalities": tuple(args.modalities)}))
+    m = cfg.model
+    cfg = cfg.replace(model=m.__class__(**{
+        **m.__dict__,
+        "modalities": tuple(args.modalities) if args.modalities else m.modalities,
+        "trans_num": args.trans_num if args.trans_num is not None else m.trans_num,
+        "shirt_num": args.shirt_num if args.shirt_num is not None else m.shirt_num,
+    }))
 
     if args.mode_extract == "expert":
         from ..data import VideoStore
@@ -100,7 +107,13 @@ def main(argv=None):
                              cfg.model.trans_linear_in_dim))
                for m in cfg.model.modalities}
         variables = model.init(jax.random.key(0), ctx, labels, tgt, False)
-        if args.test_model_path:
+        if args.test_model_path and args.test_model_path.endswith((".pt",
+                                                                   ".pth")):
+            # reference-trained ThreeTRXShiftLoopTime → our fast extraction
+            from ..tools.torch_import import load_mfm_checkpoint
+            variables = load_mfm_checkpoint(args.test_model_path, cfg)
+            print(f"imported torch MFM checkpoint {args.test_model_path}")
+        elif args.test_model_path:
             from ..train.checkpoint import CheckpointManager
             import orbax.checkpoint as ocp
             mngr = CheckpointManager(args.test_model_path)

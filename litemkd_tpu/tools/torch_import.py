@@ -216,6 +216,70 @@ def load_teacher_checkpoint(path: str, cfg: Config) -> dict:
     return {"params": {"classifier": {"transformers": tct}}}
 
 
+def _encoder_layer_params(sd: Dict[str, np.ndarray], prefix: str,
+                          d_model: int) -> dict:
+    """torch ``nn.TransformerEncoderLayer`` weights → our EncoderLayer params
+    (fused in_proj split into attn_q/k/v)."""
+    w = sd[f"{prefix}.self_attn.in_proj_weight"]        # (3d, d)
+    b = sd[f"{prefix}.self_attn.in_proj_bias"]
+    d = d_model
+    qkv = {}
+    for i, name in enumerate(("attn_q", "attn_k", "attn_v")):
+        qkv[name] = {"kernel": w[i * d:(i + 1) * d].T.copy(),
+                     "bias": b[i * d:(i + 1) * d].copy()}
+    return {
+        **qkv,
+        "attn_out": _lin(sd, f"{prefix}.self_attn.out_proj"),
+        "mlp_in": _lin(sd, f"{prefix}.linear1"),
+        "mlp_out": _lin(sd, f"{prefix}.linear2"),
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+    }
+
+
+def _trainable_pe_params(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """reference TrainablePositionalEncoding (Embedding + LayerNorm,
+    model.py:1135-1153) → TrainablePE params."""
+    return {"position_embeddings":
+            sd[f"{prefix}.position_embeddings.weight"].copy(),
+            "LayerNorm_0": _ln(sd, f"{prefix}.LayerNorm")}
+
+
+def import_stream_fusion(sd: Dict[str, np.ndarray], prefix: str,
+                         n_streams: int, d: int, depth: int) -> dict:
+    """Two/ThreeTransforFusion-style module (per-stream PEs + torch
+    TransformerEncoder + f1 projection) → Two/Three/MultiStreamFusion
+    params."""
+    p: dict = {}
+    for i in range(n_streams):
+        p[f"pe{i + 1}"] = _trainable_pe_params(
+            sd, f"{prefix}.positionEncoding{i + 1}")
+    p["encoder"] = {
+        f"layer{l}": _encoder_layer_params(
+            sd, f"{prefix}.transformer_encoder.layers.{l}", n_streams * d)
+        for l in range(depth)}
+    p["fuse_proj"] = _lin(sd, f"{prefix}.f1")
+    return p
+
+
+def load_mfm_checkpoint(path: str, cfg: Config) -> dict:
+    """Reference ``ThreeTRXShiftLoopTime`` checkpoint → MFMTeacher variables
+    (three_fusion + the shared pair fusion + the TrxBranch TCT stack), so a
+    reference-trained fusion teacher drives our extraction and evaluation."""
+    sd = load_state_dict(path)
+    d = cfg.model.trans_linear_in_dim
+    depth = cfg.model.trans_num
+    n = len(cfg.model.modalities)
+    params = {
+        "three_fusion": import_stream_fusion(sd, "three_fusion", n, d, depth),
+        "fusion": import_stream_fusion(sd, "fusion", 2, d, depth),
+        "branch": {"transformers": {
+            f"tct_{s}": import_tct(sd, f"bracnch.transformers.{i}")
+            for i, s in enumerate(cfg.model.temp_set)}},
+    }
+    return {"params": params}
+
+
 def import_backbone_2fc(sd: Dict[str, np.ndarray], depth: int = 18) -> dict:
     """Reference resnet*_2fc student backbone → ResNetBackbone variables."""
     trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")

@@ -402,3 +402,104 @@ def test_mobilenet_student_checkpoint_import(tmp_path):
     merged = np.asarray(out["logits"]["kl"])
     assert merged.shape == (1, ep.n_queries(True), ep.way)
     assert np.isfinite(merged).all()
+
+
+# ---------------------------------------------------------------------------
+# MFM fusion-teacher import: reference-named torch modules as weight source
+# ---------------------------------------------------------------------------
+
+class _TorchTrainablePE(torch.nn.Module):
+    """Reference TrainablePositionalEncoding (model.py:1135-1153)."""
+
+    def __init__(self, t, d):
+        super().__init__()
+        self.position_embeddings = torch.nn.Embedding(t, d)
+        self.LayerNorm = torch.nn.LayerNorm(d)
+
+    def forward(self, x):
+        ids = torch.arange(x.shape[1])
+        return self.LayerNorm(x + self.position_embeddings(ids)[None])
+
+
+class _TorchTwoFusion(torch.nn.Module):
+    """Reference TwoTransforFusion (model.py:1361-1393), eval-mode ops."""
+
+    def __init__(self, t, d, depth, n_streams=2, nhead=None):
+        super().__init__()
+        self.n = n_streams
+        for i in range(n_streams):
+            setattr(self, f"positionEncoding{i + 1}", _TorchTrainablePE(t, d))
+        layer = torch.nn.TransformerEncoderLayer(
+            n_streams * d, nhead or (3 if n_streams == 3 else 2),
+            batch_first=True)
+        self.transformer_encoder = torch.nn.TransformerEncoder(layer, depth)
+        self.f1 = torch.nn.Linear(n_streams * d, d)
+
+    def forward(self, *streams):
+        enc = [getattr(self, f"positionEncoding{i + 1}")(s)
+               for i, s in enumerate(streams)]
+        return self.f1(self.transformer_encoder(torch.cat(enc, -1)))
+
+
+def test_stream_fusion_import_matches_torch():
+    """import_stream_fusion: reference Two/ThreeTransforFusion weights →
+    our fusion modules, forward parity in eval mode."""
+    from litemkd_tpu.models.teacher import TwoStreamFusion, ThreeStreamFusion
+    from litemkd_tpu.tools.torch_import import import_stream_fusion
+    import jax
+
+    T_, D_, DEPTH = 4, 32, 2
+    torch.manual_seed(5)
+    for n, flax_cls in ((2, TwoStreamFusion), (3, ThreeStreamFusion)):
+        holder = torch.nn.Module()
+        holder.fusion = _TorchTwoFusion(T_, D_, DEPTH, n_streams=n)
+        holder.eval()
+        sd = {k: v.detach().numpy() for k, v in holder.state_dict().items()}
+        params = import_stream_fusion(sd, "fusion", n, D_, DEPTH)
+
+        rng = np.random.default_rng(n)
+        streams = [rng.standard_normal((5, T_, D_)).astype(np.float32)
+                   for _ in range(n)]
+        with torch.no_grad():
+            want = holder.fusion(*[torch.from_numpy(s) for s in streams]
+                                 ).numpy()
+        m = flax_cls(seq_len=T_, d=D_, depth=DEPTH)
+        got = m.apply({"params": params}, *[jnp.asarray(s) for s in streams],
+                      False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_load_mfm_checkpoint_runs_extraction(tmp_path):
+    """A reference-layout ThreeTRXShiftLoopTime .pt loads into MFMTeacher and
+    drives fused-feature extraction."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    T_, D_, DEPTH = 4, 32, 1
+    torch.manual_seed(6)
+    holder = torch.nn.Module()
+    holder.three_fusion = _TorchTwoFusion(T_, D_, DEPTH, n_streams=3)
+    holder.fusion = _TorchTwoFusion(T_, D_, DEPTH, n_streams=2)
+    sd = {k: v.detach() for k, v in holder.state_dict().items()}
+    for name, lin in (("k_linear", torch.nn.Linear(2 * D_, 16)),
+                      ("v_linear", torch.nn.Linear(2 * D_, 16)),
+                      ("norm_k", torch.nn.LayerNorm(16)),
+                      ("norm_v", torch.nn.LayerNorm(16))):
+        for p, v in lin.state_dict().items():
+            sd[f"bracnch.transformers.0.{name}.{p}"] = v
+    path = str(tmp_path / "mfm.pt")
+    torch.save({"model_state_dict": sd}, path)
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": D_,
+        "trans_linear_out_dim": 16, "trans_num": DEPTH}))
+    variables = load_mfm_checkpoint(path, cfg)
+    model = make_mfm(cfg, batched=False)
+    rng = np.random.default_rng(0)
+    feats = {m: jnp.asarray(rng.standard_normal((3, T_, D_)).astype(np.float32))
+             for m in cfg.model.modalities}
+    fused = model.apply(variables, feats, method=model.extract)
+    assert fused.shape == (3, T_, D_)
+    assert np.isfinite(np.asarray(fused)).all()
