@@ -4,7 +4,10 @@
     python -m litemkd_tpu.cli.export --ckpt ckpts/run1 --out student.pt
 
     # teacher head → load_teacher layout (bracnch.transformers.0.*)
-    python -m litemkd_tpu.cli.export --ckpt ckpts/mfm --out teacher.pt --teacher
+    python -m litemkd_tpu.cli.export --ckpt ckpts/run1 --out teacher.pt --teacher
+
+    # MFM fusion teacher → ThreeTRXShiftLoopTime layout (runs in the reference)
+    python -m litemkd_tpu.cli.export --ckpt ckpts/mfm --out mfm.pt --mfm
 """
 from __future__ import annotations
 
@@ -22,15 +25,22 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="output .pt path")
     p.add_argument("--teacher", action="store_true",
                    help="export the teacher-head layout instead of a student")
+    p.add_argument("--mfm", action="store_true",
+                   help="export an MFM fusion-teacher checkpoint to the "
+                        "ThreeTRXShiftLoopTime layout")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
     from ..train.checkpoint import restore_payload
     from ..tools.torch_export import (export_student_checkpoint,
-                                      export_teacher_checkpoint)
+                                      export_teacher_checkpoint,
+                                      export_mfm_checkpoint)
     payload = restore_payload(args.ckpt)
     it = int(np.asarray(payload.get("step", 0)))
-    if args.teacher:
+    if args.mfm:
+        sd = export_mfm_checkpoint({"params": payload["params"]}, cfg,
+                                   args.out, iteration=it)
+    elif args.teacher:
         sd = export_teacher_checkpoint({"params": payload["params"]}, cfg,
                                        args.out, iteration=it)
     else:

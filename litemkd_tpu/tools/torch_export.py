@@ -186,6 +186,65 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
     return sd
 
 
+def _put_encoder_layer(sd: Dict[str, np.ndarray], prefix: str, p: dict) -> None:
+    """Our EncoderLayer params → torch nn.TransformerEncoderLayer keys
+    (attn_q/k/v fused back into in_proj)."""
+    w = np.concatenate([_np(p[n]["kernel"]).T for n in
+                        ("attn_q", "attn_k", "attn_v")])
+    b = np.concatenate([_np(p[n]["bias"]) for n in
+                        ("attn_q", "attn_k", "attn_v")])
+    sd[f"{prefix}.self_attn.in_proj_weight"] = w
+    sd[f"{prefix}.self_attn.in_proj_bias"] = b
+    _put_lin(sd, f"{prefix}.self_attn.out_proj", p["attn_out"])
+    _put_lin(sd, f"{prefix}.linear1", p["mlp_in"])
+    _put_lin(sd, f"{prefix}.linear2", p["mlp_out"])
+    _put_ln(sd, f"{prefix}.norm1", p["norm1"])
+    _put_ln(sd, f"{prefix}.norm2", p["norm2"])
+
+
+def export_stream_fusion(p: dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Two/Three/MultiStreamFusion params → reference Two/ThreeTransforFusion
+    key layout (inverse of torch_import.import_stream_fusion)."""
+    sd: Dict[str, np.ndarray] = {}
+    i = 1
+    while f"pe{i}" in p:
+        pe = p[f"pe{i}"]
+        sd[f"{prefix}.positionEncoding{i}.position_embeddings.weight"] = \
+            _np(pe["position_embeddings"])
+        _put_ln(sd, f"{prefix}.positionEncoding{i}.LayerNorm",
+                pe["LayerNorm_0"])
+        i += 1
+    for name, lay in p["encoder"].items():
+        idx = name[len("layer"):]
+        _put_encoder_layer(sd, f"{prefix}.transformer_encoder.layers.{idx}",
+                           lay)
+    _put_lin(sd, f"{prefix}.f1", p["fuse_proj"])
+    return sd
+
+
+def export_mfm_checkpoint(variables: dict, cfg: Config, path: str,
+                          iteration: int = 0) -> Dict[str, np.ndarray]:
+    """MFMTeacher variables → a reference ``ThreeTRXShiftLoopTime``-layout
+    checkpoint (three_fusion + shared pair fusion + bracnch TCT stack), so a
+    TPU-trained fusion teacher runs in the reference codebase."""
+    import torch
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(export_stream_fusion(params["three_fusion"], "three_fusion"))
+    sd.update(export_stream_fusion(params["fusion"], "fusion"))
+    t = params["branch"]["transformers"]
+    sets = sorted(k for k in t if k.startswith("tct_")) if "k_linear" not in t \
+        else [None]
+    for i, s in enumerate(sets):
+        tct = t if s is None else t[s]
+        sd.update(export_tct(tct, f"bracnch.transformers.{i}",
+                             d_model=cfg.model.trans_linear_in_dim))
+    torch.save({"iteration": iteration,
+                "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               path)
+    return sd
+
+
 def export_teacher_checkpoint(teacher_vars: dict, cfg: Config, path: str,
                               iteration: int = 0) -> Dict[str, np.ndarray]:
     """Teacher head variables → the released teacher layout

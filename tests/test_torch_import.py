@@ -503,3 +503,45 @@ def test_load_mfm_checkpoint_runs_extraction(tmp_path):
     fused = model.apply(variables, feats, method=model.extract)
     assert fused.shape == (3, T_, D_)
     assert np.isfinite(np.asarray(fused)).all()
+
+
+def test_mfm_export_import_roundtrip(tmp_path):
+    """export_mfm_checkpoint → load_mfm_checkpoint preserves every MFMTeacher
+    parameter (the jax→torch→jax loop for the fusion teacher)."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.train.teacher_steps import make_mfm
+    from litemkd_tpu.tools.torch_export import export_mfm_checkpoint
+    from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
+
+    T_, D_ = 4, 32
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": D_,
+        "trans_linear_out_dim": 16, "trans_num": 1}))
+    model = make_mfm(cfg, batched=False)
+    rng = np.random.default_rng(0)
+    feats = lambda n: {m: jnp.asarray(rng.standard_normal(
+        (n, T_, D_)).astype(np.float32)) for m in cfg.model.modalities}
+    labels = jnp.zeros((cfg.episode.n_support,), jnp.int32)
+    variables = model.init(jax.random.key(0), feats(cfg.episode.n_support),
+                           labels, feats(cfg.episode.n_queries(True)), False)
+    path = str(tmp_path / "mfm.pt")
+    export_mfm_checkpoint(variables, cfg, path, iteration=9)
+    back = load_mfm_checkpoint(path, cfg)
+
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = np.asarray(v)
+        return out
+
+    want = flat(jax.tree_util.tree_map(np.asarray,
+                                       dict(variables["params"])))
+    got = flat(back["params"])
+    assert set(got) == set(want), set(got) ^ set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
