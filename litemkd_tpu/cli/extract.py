@@ -106,9 +106,11 @@ def main(argv=None):
         tgt = {m: jnp.zeros((cfg.episode.n_queries(False), cfg.episode.seq_len,
                              cfg.model.trans_linear_in_dim))
                for m in cfg.model.modalities}
-        variables = model.init(jax.random.key(0), ctx, labels, tgt, False)
         if args.test_model_path and args.test_model_path.endswith((".pt",
                                                                    ".pth")):
+            if args.fusion != "mfm":
+                p.error("torch checkpoint import supports --fusion mfm only "
+                        "(the reference trains ThreeTRXShiftLoopTime)")
             # reference-trained ThreeTRXShiftLoopTime → our fast extraction
             from ..tools.torch_import import load_mfm_checkpoint
             variables = load_mfm_checkpoint(args.test_model_path, cfg)
@@ -120,6 +122,10 @@ def main(argv=None):
             restored = mngr.mngr.restore(mngr.latest_step(),
                                          args=ocp.args.StandardRestore())
             variables = {"params": restored["params"]}
+        else:
+            # fresh weights only when no checkpoint was supplied — an init
+            # forward of the full teacher is wasted work otherwise
+            variables = model.init(jax.random.key(0), ctx, labels, tgt, False)
         n = extract_mfm_features(cfg, store, variables, args.out,
                                  store.class_names, batch_size=args.batch_size,
                                  fusion_kind=args.fusion,

@@ -204,7 +204,8 @@ def _put_encoder_layer(sd: Dict[str, np.ndarray], prefix: str, p: dict) -> None:
 
 def export_stream_fusion(p: dict, prefix: str) -> Dict[str, np.ndarray]:
     """Two/Three/MultiStreamFusion params → reference Two/ThreeTransforFusion
-    key layout (inverse of torch_import.import_stream_fusion)."""
+    key layout (model.py:1300-1331 / 1361-1393; inverse of
+    torch_import.import_stream_fusion)."""
     sd: Dict[str, np.ndarray] = {}
     i = 1
     while f"pe{i}" in p:
@@ -225,18 +226,21 @@ def export_stream_fusion(p: dict, prefix: str) -> Dict[str, np.ndarray]:
 def export_mfm_checkpoint(variables: dict, cfg: Config, path: str,
                           iteration: int = 0) -> Dict[str, np.ndarray]:
     """MFMTeacher variables → a reference ``ThreeTRXShiftLoopTime``-layout
-    checkpoint (three_fusion + shared pair fusion + bracnch TCT stack), so a
-    TPU-trained fusion teacher runs in the reference codebase."""
+    checkpoint (model.py:1588-1607: three_fusion + shared pair fusion +
+    bracnch TCT stack), so a TPU-trained fusion teacher runs in the
+    reference codebase."""
     import torch
     params = variables["params"]
     sd: Dict[str, np.ndarray] = {}
     sd.update(export_stream_fusion(params["three_fusion"], "three_fusion"))
     sd.update(export_stream_fusion(params["fusion"], "fusion"))
     t = params["branch"]["transformers"]
-    sets = sorted(k for k in t if k.startswith("tct_")) if "k_linear" not in t \
-        else [None]
-    for i, s in enumerate(sets):
-        tct = t if s is None else t[s]
+    # ModuleList order follows cfg.model.temp_set (reference TrxBranch builds
+    # transformers per temp_set entry, model.py:1094-1128) — sorting param
+    # names would swap sets for temp_set like (3, 2)
+    tcts = [t] if "k_linear" in t else [t[f"tct_{s}"]
+                                        for s in cfg.model.temp_set]
+    for i, tct in enumerate(tcts):
         sd.update(export_tct(tct, f"bracnch.transformers.{i}",
                              d_model=cfg.model.trans_linear_in_dim))
     torch.save({"iteration": iteration,

@@ -248,8 +248,8 @@ def _trainable_pe_params(sd: Dict[str, np.ndarray], prefix: str) -> dict:
 def import_stream_fusion(sd: Dict[str, np.ndarray], prefix: str,
                          n_streams: int, d: int, depth: int) -> dict:
     """Two/ThreeTransforFusion-style module (per-stream PEs + torch
-    TransformerEncoder + f1 projection) → Two/Three/MultiStreamFusion
-    params."""
+    TransformerEncoder + f1 projection; reference model.py:1300-1331 /
+    1361-1393) → Two/Three/MultiStreamFusion params."""
     p: dict = {}
     for i in range(n_streams):
         p[f"pe{i + 1}"] = _trainable_pe_params(
@@ -263,13 +263,38 @@ def import_stream_fusion(sd: Dict[str, np.ndarray], prefix: str,
 
 
 def load_mfm_checkpoint(path: str, cfg: Config) -> dict:
-    """Reference ``ThreeTRXShiftLoopTime`` checkpoint → MFMTeacher variables
-    (three_fusion + the shared pair fusion + the TrxBranch TCT stack), so a
-    reference-trained fusion teacher drives our extraction and evaluation."""
+    """Reference ``ThreeTRXShiftLoopTime`` checkpoint (model.py:1588-1663:
+    three_fusion = ThreeTransforTemproal l.1300-1331, fusion =
+    TwoTransforFusion l.1361-1393, bracnch = TrxBranch l.1094-1128) →
+    MFMTeacher variables, so a reference-trained fusion teacher drives our
+    extraction and evaluation.
+
+    Divergence guards: config geometry (trans_num, temp_set, seq_len) must
+    match what the checkpoint was trained with — silently truncating encoder
+    layers or TCT sets would compute wrong features."""
     sd = load_state_dict(path)
     d = cfg.model.trans_linear_in_dim
     depth = cfg.model.trans_num
     n = len(cfg.model.modalities)
+    for prefix in ("three_fusion", "fusion"):
+        extra = (f"{prefix}.transformer_encoder.layers.{depth}."
+                 "self_attn.in_proj_weight")
+        if extra in sd:
+            raise ValueError(
+                f"{path}: {prefix} has more encoder layers than "
+                f"trans_num={depth} — pass --trans_num matching the trained "
+                "teacher")
+        pe = sd[f"{prefix}.positionEncoding1.position_embeddings.weight"]
+        if pe.shape[0] != cfg.episode.seq_len:
+            raise ValueError(
+                f"{path}: {prefix} positional table has {pe.shape[0]} frames "
+                f"but seq_len={cfg.episode.seq_len}")
+    n_sets = len(cfg.model.temp_set)
+    if f"bracnch.transformers.{n_sets}.k_linear.weight" in sd:
+        raise ValueError(
+            f"{path}: checkpoint has more TCT sets than temp_set="
+            f"{cfg.model.temp_set} — pass --temp_set matching the trained "
+            "teacher")
     params = {
         "three_fusion": import_stream_fusion(sd, "three_fusion", n, d, depth),
         "fusion": import_stream_fusion(sd, "fusion", 2, d, depth),

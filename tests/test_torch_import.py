@@ -545,3 +545,41 @@ def test_mfm_export_import_roundtrip(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_load_mfm_checkpoint_guards_geometry(tmp_path):
+    """A trans_num/temp_set mismatch between cfg and the checkpoint raises
+    instead of silently truncating encoder layers (wrong features)."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
+
+    T_, D_ = 4, 32
+    torch.manual_seed(7)
+    holder = torch.nn.Module()
+    holder.three_fusion = _TorchTwoFusion(T_, D_, 2, n_streams=3)
+    holder.fusion = _TorchTwoFusion(T_, D_, 2, n_streams=2)
+    sd = {k: v.detach() for k, v in holder.state_dict().items()}
+    for name, lin in (("k_linear", torch.nn.Linear(2 * D_, 16)),
+                      ("v_linear", torch.nn.Linear(2 * D_, 16)),
+                      ("norm_k", torch.nn.LayerNorm(16))):
+        for p, v in lin.state_dict().items():
+            sd[f"bracnch.transformers.0.{name}.{p}"] = v
+    path = str(tmp_path / "mfm2.pt")
+    torch.save({"model_state_dict": sd}, path)
+
+    base = preset("tiny")
+    mk = lambda **kw: base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": D_,
+        "trans_linear_out_dim": 16, **kw}))
+    # depth-2 checkpoint with trans_num=1 config → loud error
+    with pytest.raises(ValueError, match="more encoder layers"):
+        load_mfm_checkpoint(path, mk(trans_num=1))
+    # matching depth loads
+    v = load_mfm_checkpoint(path, mk(trans_num=2))
+    assert "three_fusion" in v["params"]
+    # seq_len mismatch → loud error
+    cfg = mk(trans_num=2)
+    cfg = cfg.replace(episode=cfg.episode.__class__(**{
+        **cfg.episode.__dict__, "seq_len": 8}))
+    with pytest.raises(ValueError, match="positional table"):
+        load_mfm_checkpoint(path, cfg)
