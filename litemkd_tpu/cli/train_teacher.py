@@ -88,6 +88,13 @@ def main(argv=None):
                    help="graft a separately-trained expert's episodic head "
                         "into a TSF branch (reference score_fusion_run.py "
                         "--rgb/skeleton/flow_test_model_path); repeatable")
+    p.add_argument("--test_only", action="store_true",
+                   help="evaluate a trained fusion teacher and exit "
+                        "(reference multi_fusion.py --test_model_only / "
+                        "test_only.py; honors --fixed_episode_file)")
+    p.add_argument("--test_model_path", "-m", default=None,
+                   help="checkpoint to evaluate with --test_only: orbax dir "
+                        "or reference ThreeTRXShiftLoopTime .pt")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -130,6 +137,54 @@ def main(argv=None):
         pairs = dict(s.split("=", 1) for s in args.branch_ckpt)
         state = state.replace(params=load_tsf_branches(state.params, pairs))
         logger.info(f"grafted TSF branches from {sorted(pairs)}")
+
+    if args.test_model_path:
+        if args.test_model_path.endswith((".pt", ".pth")):
+            if args.fusion != "mfm":
+                p.error("torch checkpoint import supports --fusion mfm only")
+            from ..tools.torch_import import load_mfm_checkpoint
+            state = state.replace(
+                params=load_mfm_checkpoint(args.test_model_path, cfg)["params"])
+            logger.info(f"imported torch MFM {args.test_model_path}")
+        else:
+            state, _ = CheckpointManager(args.test_model_path).restore(state)
+            logger.info(f"restored {args.test_model_path} "
+                        f"@{int(state.episodes_seen)} episodes")
+
+    if args.test_only:
+        # standalone evaluation (reference multi_fusion.py --test_model_only
+        # / test_only.py:358-374), honoring fixed-episode replay
+        eval_step = jax.jit(make_mfm_eval_step(
+            cfg, kind=args.fusion, score_weights=args.score_weights))
+        specs = None
+        if cfg.data.fixed_episode_file:
+            from ..data import (load_fixed_episodes,
+                                load_reference_fixed_episodes)
+            path = cfg.data.fixed_episode_file
+            if path.endswith((".yaml", ".yml")):
+                specs = load_reference_fixed_episodes(
+                    path, sampler.store.split(False))
+            else:
+                try:
+                    specs = load_fixed_episodes(path)
+                except (KeyError, TypeError, AttributeError):
+                    specs = load_reference_fixed_episodes(
+                        path, sampler.store.split(False))
+            logger.info(f"replaying {len(specs)} fixed episodes")
+        n_tasks = len(specs) if specs else cfg.train.num_test_tasks
+        acc = TestAccuracies()
+        ev_rng = np.random.default_rng(cfg.train.seed)
+        done = 0
+        while done < n_tasks:
+            k = min(8, n_tasks - done)
+            chunk = None if specs is None else specs[done:done + k]
+            b = sampler.sample_batch(ev_rng, k, train=False, specs=chunk)
+            acc.extend(np.asarray(eval_step({"params": state.params}, b)))
+            done += k
+        s = acc.summary()
+        print(f"{cfg.data.dataset}: {s['accuracy']:.2f} ± "
+              f"{s['confidence']:.2f} over {s['n_tasks']} tasks")
+        return s
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None

@@ -258,3 +258,25 @@ def test_all_fusion_presets_trace(cfg):
         step = make_mfm_train_step(cfg, kind=kind)
         out = jax.eval_shape(step, state, batch)
         assert out[1]["task_loss"].shape == (), kind
+
+
+def test_teacher_cli_test_only(cfg, feature_root, tmp_path):
+    """train_teacher --test_only evaluates a saved fusion teacher standalone
+    (reference multi_fusion.py --test_model_only / test_only.py)."""
+    from litemkd_tpu.cli import train_teacher as cli_tt
+
+    ck = str(tmp_path / "ck_mfm")
+    common = ["--way", str(WAY), "--shot", str(SHOT),
+              "--query_per_class", str(QPC), "--query_per_class_test", "1",
+              "--seq_len", str(T), "--img_size", "32",
+              "--trans_linear_in_dim", str(D), "--trans_linear_out_dim", "16",
+              "--dataset", "hmdb", "--split", "3",
+              "--traintestlist", str(feature_root / "splits"),
+              "--feature_root", str(feature_root),
+              "--modalities", *MODS, "--trans_num", "1", "--print_freq", "0"]
+    cli_tt.main(common + ["--training_iterations", "4",
+                          "--tasks_per_batch", "2", "-c", ck])
+    s = cli_tt.main(common + ["--test_only", "-m", ck,
+                              "--num_test_tasks", "4"])
+    assert s["n_tasks"] == 4
+    assert 0.0 <= s["accuracy"] <= 100.0
