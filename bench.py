@@ -1,13 +1,21 @@
-"""Benchmark: flagship distillation training throughput on one TPU chip.
+"""Benchmark: Lite-MKD throughput on one TPU chip.
 
-Measures steady-state episodes/sec of the full Lite-MKD student training step
-(resnet18_2fc backbone + TRX_2fcsup head + fc_2_sup_dist loss, 5-way 5-shot,
-8×224×224 frames) over device-resident episode batches, and compares against
-the PyTorch-CPU baseline in BASELINE_LOCAL.json (produced by
-``tools/torch_cpu_baseline.py`` — the same computation written in torch, run
-one episode at a time like the reference's training loop).
+Default (``BENCH_MODE=train``) measures steady-state episodes/sec of the full
+flagship distillation training step (resnet18_2fc backbone + TRX_2fcsup head +
+fc_2_sup_dist loss, 5-way 5-shot, 8×224×224 frames) over device-resident
+episode batches, and compares against the PyTorch-CPU baseline in
+BASELINE_LOCAL.json (produced by ``tools/torch_cpu_baseline.py`` — the same
+computation written in torch, run one episode at a time like the reference's
+training loop).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``BENCH_MODE=eval`` measures the episodic evaluation forward (the 10k-task
+protocol's hot path); ``BENCH_MODE=teacher`` the MFM fusion-teacher training
+step over synthetic multi-modal feature episodes (defaults to the
+``mfm_teacher`` preset).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; every run
+also appends a full record to BENCH_HISTORY.jsonl so future rounds can regress
+against eval/teacher numbers, not just the driver-captured train line.
 """
 from __future__ import annotations
 
@@ -18,24 +26,21 @@ import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import jax
-    from litemkd_tpu.cli.common import enable_compilation_cache
-    enable_compilation_cache()
+
+def _bench_config(mode: str):
     from litemkd_tpu import preset
-    from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
-    from litemkd_tpu.train import create_train_state, make_train_step
 
     episodes_per_step = int(os.environ.get("BENCH_EPISODES_PER_STEP", "16"))
     micro = int(os.environ.get("BENCH_MICRO_BATCH", "4"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
-    bench_preset = os.environ.get("BENCH_PRESET", "student_fc2sup_dist")
+    default_preset = "mfm_teacher" if mode == "teacher" else "student_fc2sup_dist"
+    bench_preset = os.environ.get("BENCH_PRESET", default_preset)
     cfg = preset(bench_preset)
     # dict-splat: only override the knobs, never reset preset fields
     cfg = cfg.replace(model=cfg.model.__class__(**{**cfg.model.__dict__,
@@ -47,19 +52,22 @@ def main():
                           **cfg.train.__dict__,
                           "tasks_per_batch": episodes_per_step,
                           "micro_batch": micro}))
+    return cfg, bench_preset, episodes_per_step
+
+
+def bench_train(cfg, episodes_per_step, n_steps):
+    import jax
+    from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
+    from litemkd_tpu.train import create_train_state, make_train_step
 
     src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
-    rng = np.random.default_rng(0)
-    host_batch = src.sample_batch(rng, episodes_per_step)
-    batch = device_put_batch(host_batch)
-
+    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
+                                              episodes_per_step))
     state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
 
-    # compile + warmup
-    state, metrics = step(state, t_vars, batch)
+    state, metrics = step(state, t_vars, batch)      # compile + warmup
     _ = float(metrics["task_loss"])
-
     # per-step host read = hard sync; the axon tunnel makes trailing
     # block_until_ready unreliable for timing
     t0 = time.time()
@@ -67,27 +75,98 @@ def main():
         state, metrics = step(state, t_vars, batch)
         _ = float(metrics["task_loss"])
     dt = time.time() - t0
-    eps = n_steps * episodes_per_step / dt
+    return n_steps * episodes_per_step / dt, "train_episodes_per_sec_per_chip"
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_LOCAL.json")
+
+def bench_eval(cfg, episodes_per_step, n_steps):
+    import jax
+    from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
+    from litemkd_tpu.train import create_train_state, make_eval_step
+
+    src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
+    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
+                                              episodes_per_step, train=False))
+    state, _ = create_train_state(cfg, jax.random.key(0), batch)
+    variables = state.variables
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    _ = np.asarray(eval_step(variables, batch)).sum()   # compile + warmup
+    t0 = time.time()
+    for _ in range(n_steps):
+        _ = np.asarray(eval_step(variables, batch)).sum()
+    dt = time.time() - t0
+    return n_steps * episodes_per_step / dt, "eval_episodes_per_sec_per_chip"
+
+
+def bench_teacher(cfg, episodes_per_step, n_steps):
+    import jax
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.data import device_put_batch
+    from litemkd_tpu.train import create_mfm_train_state, make_mfm_train_step
+
+    src = SyntheticMultiModalSource(cfg, n_classes=16, seed=0)
+    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
+                                              episodes_per_step))
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+    step = jax.jit(make_mfm_train_step(cfg), donate_argnums=0)
+
+    state, metrics = step(state, batch)              # compile + warmup
+    _ = float(metrics["task_loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+        _ = float(metrics["task_loss"])
+    dt = time.time() - t0
+    return (n_steps * episodes_per_step / dt,
+            "teacher_train_episodes_per_sec_per_chip")
+
+
+def main():
+    from litemkd_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+
+    mode = os.environ.get("BENCH_MODE", "train")
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    cfg, bench_preset, episodes_per_step = _bench_config(mode)
+
+    runner = {"train": bench_train, "eval": bench_eval,
+              "teacher": bench_teacher}[mode]
+    eps, metric = runner(cfg, episodes_per_step, n_steps)
+
     vs = None
-    # the torch-CPU baseline is the flagship computation — the ratio is
-    # meaningless for other presets
-    if bench_preset == "student_fc2sup_dist" and os.path.exists(baseline_path):
+    baseline_path = os.path.join(ROOT, "BASELINE_LOCAL.json")
+    # the torch-CPU baseline is the flagship TRAIN computation — the ratio is
+    # meaningless for other presets/modes
+    if (mode == "train" and bench_preset == "student_fc2sup_dist"
+            and os.path.exists(baseline_path)):
         with open(baseline_path) as f:
             base = json.load(f).get("torch_cpu_episodes_per_sec")
         if base:
             vs = eps / base
 
-    print(json.dumps({
-        "metric": "train_episodes_per_sec_per_chip",
-        "value": round(eps, 3),
-        "unit": (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot, "
-                 f"{cfg.model.backbone}+{cfg.model.classifier}+"
-                 f"{cfg.distill.name}, {cfg.episode.img_size}px)"),
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    if mode == "teacher":
+        desc = (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot "
+                f"MFM fusion teacher, {len(cfg.model.modalities)} modalities, "
+                f"d={cfg.model.trans_linear_in_dim})")
+    else:
+        desc = (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot, "
+                f"{cfg.model.backbone}+{cfg.model.classifier}+"
+                f"{cfg.distill.name}, {cfg.episode.img_size}px)")
+    line = {"metric": metric, "value": round(eps, 3), "unit": desc,
+            "vs_baseline": round(vs, 2) if vs is not None else None}
+    print(json.dumps(line))
+
+    record = {"ts": round(time.time(), 1), "mode": mode,
+              "preset": bench_preset,
+              "episodes_per_step": episodes_per_step,
+              "micro_batch": cfg.train.micro_batch,
+              "remat": cfg.model.remat, "pallas": cfg.model.use_pallas,
+              "freeze_bn": cfg.model.freeze_bn, "steps": n_steps, **line}
+    try:
+        with open(os.path.join(ROOT, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError as e:
+        print(f"[bench] history append failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

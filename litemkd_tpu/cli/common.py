@@ -98,12 +98,21 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--teacher_checkpoint", default=None,
                    help="teacher checkpoint (orbax dir or torch .pt)")
+    p.add_argument("--watch", action="store_true", default=None,
+                   help="log per-module gradient/parameter norms with the "
+                        "step metrics (the wandb.watch analog, "
+                        "trainwandb.py:52)")
 
 
 def add_test_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--test_model_path", "-m", default=None)
     p.add_argument("--test_model", choices=["teacher", "student"],
                    default="student")
+    p.add_argument("--per_task_log", default=None, metavar="PATH",
+                   help="write one JSON line per task (accuracy, episode "
+                        "classes, real-class labels/predictions) — the "
+                        "reference's per-task analysis stream (test.py:232, "
+                        "utils.py task_confusion)")
 
 
 def dataset_paths(dataset: str, root: str = "data") -> dict:
@@ -200,23 +209,28 @@ def build_config(args: argparse.Namespace) -> Config:
 
     t = cfg.train
     if hasattr(args, "learning_rate"):
-        cfg = cfg.replace(train=TrainConfig(
-            tasks_per_batch=pick(t.tasks_per_batch, args.tasks_per_batch),
-            micro_batch=pick(t.micro_batch, args.micro_batch),
-            training_iterations=pick(t.training_iterations, args.training_iterations),
-            learning_rate=pick(t.learning_rate, args.learning_rate),
-            optimizer=pick(t.optimizer, args.opt),
-            sch=tuple(args.sch) if args.sch else t.sch,
-            sch_gamma=t.sch_gamma,
-            save_freq=pick(t.save_freq, args.save_freq),
-            print_freq=pick(t.print_freq, args.print_freq),
-            test_iters=tuple(args.test_iters) if args.test_iters else t.test_iters,
-            num_test_tasks=pick(t.num_test_tasks, args.num_test_tasks),
-            seed=pick(t.seed, args.seed),
-            checkpoint_dir=None if args.debug else pick(t.checkpoint_dir,
-                                                        args.checkpoint_dir),
-            resume_from_checkpoint=bool(getattr(args, "resume_from_checkpoint",
-                                                False))))
+        # dict-splat like ModelConfig above: fields without flags survive
+        cfg = cfg.replace(train=TrainConfig(**{
+            **t.__dict__,
+            "tasks_per_batch": pick(t.tasks_per_batch, args.tasks_per_batch),
+            "micro_batch": pick(t.micro_batch, args.micro_batch),
+            "training_iterations": pick(t.training_iterations,
+                                        args.training_iterations),
+            "learning_rate": pick(t.learning_rate, args.learning_rate),
+            "optimizer": pick(t.optimizer, args.opt),
+            "sch": tuple(args.sch) if args.sch else t.sch,
+            "save_freq": pick(t.save_freq, args.save_freq),
+            "print_freq": pick(t.print_freq, args.print_freq),
+            "test_iters": (tuple(args.test_iters) if args.test_iters
+                           else t.test_iters),
+            "num_test_tasks": pick(t.num_test_tasks, args.num_test_tasks),
+            "seed": pick(t.seed, args.seed),
+            "checkpoint_dir": None if args.debug else pick(t.checkpoint_dir,
+                                                           args.checkpoint_dir),
+            "resume_from_checkpoint": bool(getattr(
+                args, "resume_from_checkpoint", False)),
+            "watch": pick(t.watch, getattr(args, "watch", None)),
+        }))
     elif args.num_test_tasks is not None:
         cfg = cfg.replace(train=t.__class__(
             **{**t.__dict__, "num_test_tasks": args.num_test_tasks}))

@@ -43,13 +43,14 @@ def main(argv=None):
             t_vars = load_teacher_checkpoint(args.test_model_path, cfg)
         else:
             from ..tools.torch_import import load_student_checkpoint
+            from ..utils import deep_merge_variables
             v = load_student_checkpoint(args.test_model_path, cfg)
-            # merge over the template: a headless (backbone-only) checkpoint
-            # keeps the initialized classifier instead of dropping its params
+            # deep-merge over the template: a partial (backbone-only or raw
+            # torchvision-trunk) checkpoint keeps the initialized subtrees
             state = state.replace(
-                params={**state.params, **v["params"]},
-                batch_stats={**state.batch_stats,
-                             **v.get("batch_stats", {})})
+                params=deep_merge_variables(state.params, v["params"]),
+                batch_stats=deep_merge_variables(state.batch_stats,
+                                                 v.get("batch_stats", {})))
         print(f"imported torch checkpoint {args.test_model_path}")
     elif args.test_model_path:
         ckpt = CheckpointManager(args.test_model_path)
@@ -77,11 +78,12 @@ def main(argv=None):
                 specs = _reference_specs()
         print(f"replaying {len(specs)} fixed episodes")
 
+    with_preds = args.per_task_log is not None
     if need_teacher:
-        eval_step = jax.jit(make_teacher_eval_step(cfg))
+        eval_step = jax.jit(make_teacher_eval_step(cfg, with_preds=with_preds))
         variables = t_vars
     else:
-        eval_step = jax.jit(make_eval_step(cfg))
+        eval_step = jax.jit(make_eval_step(cfg, with_preds=with_preds))
         variables = state.variables
 
     mesh = None
@@ -92,10 +94,25 @@ def main(argv=None):
             mesh = m
             print(f"eval sharded over mesh {dict(m.shape)}")
 
-    summary = run_eval(cfg, variables, sampler,
-                       n_tasks=len(specs) if specs else cfg.train.num_test_tasks,
-                       eval_step=eval_step, seed=cfg.train.seed, specs=specs,
-                       mesh=mesh)
+    task_log = None
+    log_file = None
+    if with_preds:
+        import json
+        log_file = open(args.per_task_log, "w")
+
+        def task_log(record):
+            log_file.write(json.dumps(record) + "\n")
+
+    try:
+        summary = run_eval(cfg, variables, sampler,
+                           n_tasks=len(specs) if specs else cfg.train.num_test_tasks,
+                           eval_step=eval_step, seed=cfg.train.seed, specs=specs,
+                           mesh=mesh, task_log=task_log)
+    finally:
+        if log_file is not None:
+            log_file.close()
+    if with_preds:
+        print(f"per-task records written to {args.per_task_log}")
     print(f"{cfg.data.dataset}: {summary['accuracy']:.2f} ± "
           f"{summary['confidence']:.2f} over {summary['n_tasks']} tasks")
     return summary

@@ -96,6 +96,9 @@ class TrainConfig:
     seed: int = 3483                    # the reference's fixed seed (TRX.py:18-21)
     checkpoint_dir: Optional[str] = None
     resume_from_checkpoint: bool = False
+    watch: bool = False                 # per-module grad/param norms in the
+                                        # metrics stream (wandb.watch analog,
+                                        # trainwandb.py:52)
 
 
 @dataclass(frozen=True)

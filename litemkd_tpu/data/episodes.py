@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -21,6 +21,16 @@ from ..train.steps import EpisodeBatch
 from .features import FeatureStore
 from .splits import SplitIndex
 from .video import VideoStore
+
+
+class EpisodeMeta(NamedTuple):
+    """Real-class bookkeeping for an episode batch (the reference's
+    ``batch_class_list`` / ``real_target_labels``, ``test.py:352-353``):
+    ``classes[e, w]`` is the REAL class id behind episode-local label ``w``;
+    ``real_query_labels[e, q]`` the real class of each query video."""
+
+    classes: np.ndarray            # (E, way) int32
+    real_query_labels: np.ndarray  # (E, Q) int32
 
 
 class EpisodeSpec:
@@ -256,7 +266,8 @@ class EpisodeSampler:
 
     def sample_batch(self, rng: np.random.Generator, n_episodes: int,
                      train: bool = True,
-                     specs: Optional[List[EpisodeSpec]] = None) -> EpisodeBatch:
+                     specs: Optional[List[EpisodeSpec]] = None,
+                     return_meta: bool = False):
         ep = self.cfg.episode
         queries = ep.query_per_class if train else ep.query_per_class_test
         index = self._index(train)
@@ -268,7 +279,7 @@ class EpisodeSampler:
         s_feats = _maybe_stack([p[0][1] for p in parts])
         q_clips = _maybe_stack([p[1][0] for p in parts])
         q_feats = _maybe_stack([p[1][1] for p in parts])
-        return EpisodeBatch(
+        batch = EpisodeBatch(
             support_clips=s_clips if s_clips is not None else s_feats,
             support_labels=np.stack([p[0][2] for p in parts]),
             query_clips=q_clips if q_clips is not None else q_feats,
@@ -276,6 +287,13 @@ class EpisodeSampler:
             support_feats=s_feats,
             query_feats=q_feats,
         )
+        if not return_meta:
+            return batch
+        meta = EpisodeMeta(
+            classes=np.asarray([s.classes for s in specs], np.int32),
+            real_query_labels=np.stack([p[1][3] for p in parts]),
+        )
+        return batch, meta
 
 
 def _maybe_stack(xs):

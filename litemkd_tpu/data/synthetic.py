@@ -14,6 +14,7 @@ import numpy as np
 
 from ..config import Config
 from ..train.steps import EpisodeBatch
+from .episodes import EpisodeMeta
 
 
 class SyntheticEpisodeSource:
@@ -36,11 +37,11 @@ class SyntheticEpisodeSource:
         ).astype(np.float32)
 
     def sample_batch(self, rng: np.random.Generator, n_episodes: int,
-                     train: bool = True) -> EpisodeBatch:
+                     train: bool = True, return_meta: bool = False):
         ep = self.cfg.episode
         qpc = ep.query_per_class if train else ep.query_per_class_test
         s_clips, s_labels, q_clips, q_labels = [], [], [], []
-        s_feats, q_feats = [], []
+        s_feats, q_feats, ep_classes = [], [], []
         for _ in range(n_episodes):
             classes = rng.choice(self.n_classes, size=ep.way, replace=False)
             sl = rng.permutation(np.repeat(np.arange(ep.way), ep.shot))
@@ -49,6 +50,7 @@ class SyntheticEpisodeSource:
             q_clips.append(self._draw_frames(rng, classes[ql]))
             s_labels.append(sl)
             q_labels.append(ql)
+            ep_classes.append(classes)
             if self.with_teacher:
                 s_feats.append(self._draw_feats(rng, classes[sl]))
                 q_feats.append(self._draw_feats(rng, classes[ql]))
@@ -56,13 +58,22 @@ class SyntheticEpisodeSource:
         if self.with_teacher:
             kw = dict(support_feats=np.stack(s_feats),
                       query_feats=np.stack(q_feats))
-        return EpisodeBatch(
+        batch = EpisodeBatch(
             support_clips=np.stack(s_clips),
             support_labels=np.stack(s_labels).astype(np.int32),
             query_clips=np.stack(q_clips),
             query_labels=np.stack(q_labels).astype(np.int32),
             **kw,
         )
+        if not return_meta:
+            return batch
+        classes_arr = np.stack(ep_classes).astype(np.int32)
+        meta = EpisodeMeta(
+            classes=classes_arr,
+            real_query_labels=np.take_along_axis(
+                classes_arr, np.stack(q_labels).astype(np.int32), axis=-1),
+        )
+        return batch, meta
 
     def _draw_frames(self, rng, class_ids):
         base = self.frame_protos[class_ids]

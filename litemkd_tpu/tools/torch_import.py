@@ -312,11 +312,78 @@ def import_backbone_2fc(sd: Dict[str, np.ndarray], depth: int = 18) -> dict:
     return {"params": params, "batch_stats": {"trunk": trunk_s}}
 
 
+def detect_torchvision_zoo(sd: Dict[str, np.ndarray]) -> Optional[str]:
+    """Classify a RAW torchvision model-zoo state dict (as downloaded, no
+    wrapper prefixes): 'resnet' (resnet18/34/50), 'mobilenet'
+    (mobilenet_v3_large/small), or None (a reference-layout checkpoint).
+
+    The reference consumes exactly these artifacts via ``pretrained=True``
+    (``model/backbone/resnet18_2fc.py:29``, ``moblienetv3.py`` /
+    ``teacher/code/model.py:553``); detecting them here makes pretrained
+    weight arrival a file-copy + ``--init_checkpoint`` away."""
+    if "conv1.weight" in sd and "layer1.0.conv1.weight" in sd:
+        return "resnet"
+    if "features.0.0.weight" in sd and "features.1.block.0.0.weight" in sd:
+        return "mobilenet"
+    return None
+
+
+def load_torchvision_trunk(path: str, cfg: Config) -> dict:
+    """A raw torchvision zoo checkpoint → PARTIAL student variables: the conv
+    trunk only, under ``params.backbone.trunk`` / ``batch_stats.backbone.trunk``.
+    The caller deep-merges over an initialized template so fc heads and the
+    classifier keep their fresh init — exactly the reference's
+    ``models.resnet18(pretrained=True)`` + new Linear heads recipe
+    (``resnet18_2fc.py:29-34``). Classification heads (``fc.*`` /
+    ``classifier.*``) and ``num_batches_tracked`` entries are ignored.
+
+    The checkpoint's architecture is validated against ``cfg.model.backbone``
+    (zoo files carry no metadata; silently loading resnet18 weights into a
+    resnet50 trunk must be impossible)."""
+    sd = load_state_dict(path)
+    kind = detect_torchvision_zoo(sd)
+    if kind is None:
+        raise ValueError(f"{path} is not a raw torchvision zoo checkpoint")
+    backbone = cfg.model.backbone
+    if kind == "resnet":
+        if "layer1.0.conv3.weight" in sd:
+            depth = 50
+        elif "layer1.2.conv1.weight" in sd:
+            depth = 34
+        else:
+            depth = 18
+        want = 50 if backbone.startswith(("resnet50", "meta_baseline")) else \
+            34 if backbone.startswith("resnet34") else 18
+        if not backbone.startswith(("resnet", "meta_baseline", "strm", "cnn_strm")):
+            raise ValueError(f"resnet zoo checkpoint {path} cannot warm-start "
+                             f"backbone '{backbone}'")
+        if depth != want:
+            raise ValueError(f"{path} is a resnet{depth} zoo checkpoint but "
+                             f"backbone '{backbone}' needs resnet{want}")
+        trunk_p, trunk_s = import_resnet_trunk(sd, depth)
+    else:
+        variant = "large" if "features.16.0.weight" in sd else "small"
+        if not backbone.startswith("mobilenetv3"):
+            raise ValueError(f"mobilenet zoo checkpoint {path} cannot "
+                             f"warm-start backbone '{backbone}'")
+        want_v = "small" if "small" in backbone else "large"
+        if variant != want_v:
+            raise ValueError(f"{path} is mobilenet_v3_{variant} but backbone "
+                             f"'{backbone}' needs mobilenet_v3_{want_v}")
+        trunk_p, trunk_s = import_mobilenet_trunk(sd, variant)
+    return {"params": {"backbone": {"trunk": trunk_p}},
+            "batch_stats": {"backbone": {"trunk": trunk_s}}}
+
+
 def load_student_checkpoint(path: str, cfg: Config) -> dict:
     """Full reference student checkpoint (Student = backbone + classifier) →
     BatchedStudent variables. Key prefixes per model_select.py:17-36:
-    ``backbone.*`` and ``classifier.*``."""
+    ``backbone.*`` and ``classifier.*``. Raw torchvision zoo files (the
+    ``pretrained=True`` artifacts) are detected and imported as partial
+    trunk-only variables via :func:`load_torchvision_trunk`."""
     sd = load_state_dict(path)
+    if detect_torchvision_zoo(sd) is not None:
+        return load_torchvision_trunk(path, cfg)
     backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
                    if k.startswith("backbone.")}
     if cfg.model.backbone.startswith("mobilenetv3"):

@@ -25,7 +25,8 @@ from .steps import (EpisodeBatch, create_train_state, make_eval_step,
 def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
              batch_size: int = 8, seed: int = 0,
              eval_step: Optional[Callable] = None,
-             specs=None, prefetch_depth: int = 1, mesh=None) -> dict:
+             specs=None, prefetch_depth: int = 1, mesh=None,
+             task_log: Optional[Callable] = None) -> dict:
     """Episodic evaluation: mean accuracy ×100 with the 196·std/√n CI.
 
     Episode assembly and host→device transfer overlap the forward pass
@@ -37,9 +38,17 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
     With a multi-device ``mesh``, parameters replicate/shard per the mesh
     rules and each full chunk shards its episode axis over 'data' (the
     reference's 10k-episode protocol then scales ~linearly with chips); a
-    remainder chunk that doesn't divide the data axis runs replicated."""
+    remainder chunk that doesn't divide the data axis runs replicated.
+
+    ``task_log``: callable invoked once per episode with a record dict
+    ``{task, accuracy, classes, real_labels, real_preds}`` — the reference's
+    per-task analysis stream (``test.py:232`` accuracy line + the
+    ``task_confusion`` real-class prediction mapping, ``utils.py:123-127``).
+    Requires an ``eval_step`` built with ``with_preds=True`` (the default
+    step is upgraded automatically)."""
     n_tasks = n_tasks or cfg.train.num_test_tasks
-    eval_step = eval_step or jax.jit(make_eval_step(cfg))
+    eval_step = eval_step or jax.jit(make_eval_step(cfg,
+                                                    with_preds=task_log is not None))
     rng = np.random.default_rng(seed)
     sizes = [batch_size] * (n_tasks // batch_size)
     if n_tasks % batch_size:
@@ -61,21 +70,43 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
                 return device_put_batch(b, bs_sharding)
             return device_put_batch(b)
 
+    metas: dict = {}
+
     def produce(i):
         e, off = sizes[i], offsets[i]
         batch_specs = None if specs is None else specs[off:off + e]
-        return sampler.sample_batch(rng, e, train=False, **(
-            {"specs": batch_specs} if batch_specs is not None else {}))
+        kw = {"specs": batch_specs} if batch_specs is not None else {}
+        if task_log is None:
+            return sampler.sample_batch(rng, e, train=False, **kw)
+        batch, meta = sampler.sample_batch(rng, e, train=False,
+                                           return_meta=True, **kw)
+        metas[i] = meta
+        return batch
 
     acc = TestAccuracies()
-    for batch in Prefetcher(produce, n_batches=len(sizes),
-                            depth=prefetch_depth, transfer=transfer):
+    for i, batch in enumerate(Prefetcher(produce, n_batches=len(sizes),
+                                         depth=prefetch_depth,
+                                         transfer=transfer)):
         if use_mesh:
             with jax.set_mesh(mesh):
-                accs = eval_step(variables, batch)
+                out = eval_step(variables, batch)
         else:
-            accs = eval_step(variables, batch)
-        acc.extend(np.asarray(accs))
+            out = eval_step(variables, batch)
+        accs, preds = out if task_log is not None else (out, None)
+        accs = np.asarray(accs)
+        acc.extend(accs)
+        if task_log is not None:
+            meta = metas.pop(i)
+            real_preds = np.take_along_axis(meta.classes, np.asarray(preds),
+                                            axis=-1)
+            for e in range(accs.shape[0]):
+                task_log({
+                    "task": offsets[i] + e,
+                    "accuracy": float(accs[e]),
+                    "classes": meta.classes[e].tolist(),
+                    "real_labels": meta.real_query_labels[e].tolist(),
+                    "real_preds": real_preds[e].tolist(),
+                })
     return acc.summary()
 
 
@@ -104,12 +135,15 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     if teacher_vars_init is not None:
         t_vars = teacher_vars_init
     if student_vars_init is not None:
-        # merge over the freshly-initialized template: a backbone-only import
-        # (pretrained trunks, no TRX keys) keeps the template's classifier
+        # deep-merge over the freshly-initialized template: a PARTIAL import
+        # (backbone-only reference checkpoint, or a raw torchvision zoo trunk
+        # with no fc heads) keeps every template subtree it doesn't mention
+        from ..utils import deep_merge_variables
         state = state.replace(
-            params={**state.params, **student_vars_init["params"]},
-            batch_stats={**state.batch_stats,
-                         **student_vars_init.get("batch_stats", {})})
+            params=deep_merge_variables(state.params,
+                                        student_vars_init["params"]),
+            batch_stats=deep_merge_variables(
+                state.batch_stats, student_vars_init.get("batch_stats", {})))
 
     ckpt = None
     if cfg.train.checkpoint_dir:

@@ -174,10 +174,21 @@ def make_train_step(cfg: Config) -> Callable:
                    for k, v in metrics.items()}
         return grads, (new_stats, metrics)
 
+    watch = cfg.train.watch
+
     def train_step(state: TrainState, teacher_vars, batch: EpisodeBatch):
         rng, step_rng = jax.random.split(state.rng)
         grads, (new_stats, metrics) = _accumulated_grads(
             state, teacher_vars, batch, step_rng)
+        if watch:
+            # wandb.watch analog (trainwandb.py:52): global + per-top-module
+            # gradient/parameter norms, computed in-graph (fused, ~free)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(state.params)
+            for top in grads:
+                metrics[f"grad_norm/{top}"] = optax.global_norm(grads[top])
+                metrics[f"param_norm/{top}"] = optax.global_norm(
+                    state.params[top])
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         e = batch.support_labels.shape[0]
@@ -194,10 +205,12 @@ def make_train_step(cfg: Config) -> Callable:
     return train_step
 
 
-def make_eval_step(cfg: Config) -> Callable:
+def make_eval_step(cfg: Config, with_preds: bool = False) -> Callable:
     """Jit-able eval step: per-episode accuracy for a batch of episodes.
 
-    signature: eval_step(variables, batch) → (E,) accuracies
+    signature: eval_step(variables, batch) → (E,) accuracies, or with
+    ``with_preds`` → ((E,) accuracies, (E, Q) episode-local predictions) for
+    the per-task confusion analysis (reference ``test.py:160-201``).
     """
     student = BatchedStudent(cfg)
 
@@ -206,12 +219,15 @@ def make_eval_step(cfg: Config) -> Callable:
                             batch.support_labels, batch.query_clips,
                             train=False)
         merged = merge_logits(cfg.distill.name, out["logits"])
-        return per_episode_accuracy(merged, batch.query_labels)
+        acc = per_episode_accuracy(merged, batch.query_labels)
+        if with_preds:
+            return acc, jnp.argmax(merged, axis=-1)
+        return acc
 
     return eval_step
 
 
-def make_teacher_eval_step(cfg: Config) -> Callable:
+def make_teacher_eval_step(cfg: Config, with_preds: bool = False) -> Callable:
     """Eval the (frozen) teacher itself on feature episodes — the reference's
     ``test.py`` 'teacher' mode (test.py:107-110)."""
     teacher = BatchedTeacher(cfg)
@@ -223,6 +239,9 @@ def make_teacher_eval_step(cfg: Config) -> Callable:
         logits = out["logits"]
         if isinstance(logits, dict):
             logits = logits["kl"] if "kl" in logits else next(iter(logits.values()))
-        return per_episode_accuracy(logits, batch.query_labels)
+        acc = per_episode_accuracy(logits, batch.query_labels)
+        if with_preds:
+            return acc, jnp.argmax(logits, axis=-1)
+        return acc
 
     return eval_step

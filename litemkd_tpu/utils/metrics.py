@@ -22,6 +22,20 @@ def per_episode_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarra
                     axis=-1)
 
 
+def task_confusion(logits: jnp.ndarray, batch_class_list: jnp.ndarray) -> jnp.ndarray:
+    """Map episode-local predictions to REAL class ids (``utils.py:123-127``).
+
+    The reference logsumexps over a leading sample axis (always size 1 in its
+    pipeline), argmaxes, and indexes the episode's class list — with one
+    sample that is argmax + gather. Accepts (Q, way) logits with a (way,)
+    class list, or batched (E, Q, way) with (E, way); returns the real class
+    id of each query prediction, enabling the per-task confusion analysis of
+    ``test.py:160-201``.
+    """
+    preds = jnp.argmax(logits, axis=-1)
+    return jnp.take_along_axis(jnp.asarray(batch_class_list), preds, axis=-1)
+
+
 def confidence_interval(accuracies: np.ndarray) -> Dict[str, float]:
     """The reference's eval statistic: accuracy ×100 with 196·std/√n CI."""
     acc = np.asarray(accuracies, dtype=np.float64)

@@ -136,3 +136,37 @@ def test_pipeline_bench_tool(capsys):
                 "--frames", "2"])
     out = capsys.readouterr().out
     assert "PIL decode" in out
+
+
+def test_task_confusion_maps_real_classes():
+    """task_confusion == reference utils.py:123-127: argmax over logits,
+    indexed into the episode's real-class list; unbatched and batched."""
+    from litemkd_tpu.utils.metrics import task_confusion
+
+    logits = np.array([[0.1, 0.9, 0.0],
+                       [2.0, 0.0, 0.0],
+                       [0.0, 0.1, 0.7]], np.float32)       # preds 1, 0, 2
+    classes = np.array([17, 4, 99], np.int32)
+    np.testing.assert_array_equal(np.asarray(task_confusion(logits, classes)),
+                                  [4, 17, 99])
+    # batched: (E, Q, way) with per-episode class lists
+    blogits = np.stack([logits, logits[::-1]])             # preds e1: 2, 0, 1
+    bclasses = np.array([[17, 4, 99], [5, 6, 7]], np.int32)
+    got = np.asarray(task_confusion(blogits, bclasses))
+    np.testing.assert_array_equal(got, [[4, 17, 99], [7, 5, 6]])
+
+
+def test_episode_meta_real_labels_consistent():
+    """Sampler meta: real_query_labels == classes[query_labels] and classes
+    hold exactly `way` distinct real ids per episode."""
+    from litemkd_tpu.data import SyntheticEpisodeSource
+
+    cfg = preset("tiny")
+    src = SyntheticEpisodeSource(cfg, n_classes=9, seed=0)
+    batch, meta = src.sample_batch(np.random.default_rng(0), 3, train=False,
+                                   return_meta=True)
+    assert meta.classes.shape == (3, cfg.episode.way)
+    want = np.take_along_axis(meta.classes, batch.query_labels, axis=-1)
+    np.testing.assert_array_equal(meta.real_query_labels, want)
+    for row in meta.classes:
+        assert len(set(row.tolist())) == cfg.episode.way

@@ -165,3 +165,27 @@ def test_backbone_only_warmstart_keeps_classifier(tmp_path):
     # classifier params exist (template preserved) and training ran
     assert "classifier" in state.params
     assert int(state.episodes_seen) == 2
+
+
+def test_cli_test_per_task_log(tmp_path):
+    """--per_task_log emits one JSON record per task with the real-class
+    prediction mapping (reference test.py:232 + utils.py task_confusion):
+    the per-record accuracy must equal the fraction of real_preds matching
+    real_labels, and every prediction must be one of the episode's classes."""
+    import json
+    from litemkd_tpu.cli import test as cli_test
+
+    log = tmp_path / "tasks.jsonl"
+    summary = cli_test.main([
+        "--preset", "tiny", "--dataset", "synthetic",
+        "--num_test_tasks", "5", "--per_task_log", str(log)])
+    records = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(records) == 5 == summary["n_tasks"]
+    assert [r["task"] for r in records] == list(range(5))
+    for r in records:
+        classes = set(r["classes"])
+        assert set(r["real_preds"]) <= classes
+        assert set(r["real_labels"]) <= classes
+        hits = np.mean([p == l for p, l in
+                        zip(r["real_preds"], r["real_labels"])])
+        np.testing.assert_allclose(r["accuracy"], hits, atol=1e-6)

@@ -436,3 +436,20 @@ def test_reference_fixed_episode_save_roundtrip(dataset_dir, tmp_path):
         save_reference_fixed_episodes(specs, index, path)
         back = load_reference_fixed_episodes(path, index)
         assert [s.to_json() for s in back] == [s.to_json() for s in specs], name
+
+
+def test_episode_sampler_meta(dataset_dir, cfg):
+    """return_meta: classes are the spec's real ids in label order and
+    real_query_labels == classes[query_labels] after the query shuffle."""
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)
+    sampler = EpisodeSampler(cfg, vs, None, num_workers=0)
+    rng = np.random.default_rng(7)
+    specs = [draw_episode_spec(vs.test_split, WAY, SHOT, 1, rng)
+             for _ in range(2)]
+    batch, meta = sampler.sample_batch(rng, 2, train=False, specs=specs,
+                                       return_meta=True)
+    np.testing.assert_array_equal(meta.classes,
+                                  [s.classes for s in specs])
+    want = np.take_along_axis(meta.classes, batch.query_labels, axis=-1)
+    np.testing.assert_array_equal(meta.real_query_labels, want)

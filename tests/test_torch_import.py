@@ -583,3 +583,151 @@ def test_load_mfm_checkpoint_guards_geometry(tmp_path):
         **cfg.episode.__dict__, "seq_len": 8}))
     with pytest.raises(ValueError, match="positional table"):
         load_mfm_checkpoint(path, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Raw torchvision model-zoo layouts: the pretrained=True artifacts the
+# reference downloads (resnet18_2fc.py:29, moblienetv3.py). Weight arrival
+# must be a file-copy + --init_checkpoint away.
+# ---------------------------------------------------------------------------
+
+def _rand_bn(sd, prefix, c, rng):
+    sd[f"{prefix}.weight"] = rng.standard_normal(c).astype(np.float32)
+    sd[f"{prefix}.bias"] = rng.standard_normal(c).astype(np.float32)
+    sd[f"{prefix}.running_mean"] = rng.standard_normal(c).astype(np.float32)
+    sd[f"{prefix}.running_var"] = (np.abs(rng.standard_normal(c)) + 0.5
+                                   ).astype(np.float32)
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(7, np.int64)
+
+
+def _resnet_zoo_sd(depth):
+    """A state dict with torchvision resnet{18,34,50}'s exact downloaded key
+    layout (incl. fc head and num_batches_tracked) and random values."""
+    rng = np.random.default_rng(depth)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)
+    sd = {"conv1.weight": r(64, 3, 7, 7)}
+    _rand_bn(sd, "bn1", 64, rng)
+    stages = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[depth]
+    widths = (64, 128, 256, 512)
+    exp = 4 if depth == 50 else 1
+    cin = 64
+    for i, (n, w) in enumerate(zip(stages, widths)):
+        for b in range(n):
+            p = f"layer{i + 1}.{b}"
+            stride_block = b == 0 and i > 0
+            if depth == 50:
+                sd[f"{p}.conv1.weight"] = r(w, cin, 1, 1)
+                _rand_bn(sd, f"{p}.bn1", w, rng)
+                sd[f"{p}.conv2.weight"] = r(w, w, 3, 3)
+                _rand_bn(sd, f"{p}.bn2", w, rng)
+                sd[f"{p}.conv3.weight"] = r(w * exp, w, 1, 1)
+                _rand_bn(sd, f"{p}.bn3", w * exp, rng)
+            else:
+                sd[f"{p}.conv1.weight"] = r(w, cin, 3, 3)
+                _rand_bn(sd, f"{p}.bn1", w, rng)
+                sd[f"{p}.conv2.weight"] = r(w, w, 3, 3)
+                _rand_bn(sd, f"{p}.bn2", w, rng)
+            if b == 0 and (stride_block or cin != w * exp):
+                sd[f"{p}.downsample.0.weight"] = r(w * exp, cin, 1, 1)
+                _rand_bn(sd, f"{p}.downsample.1", w * exp, rng)
+            cin = w * exp
+    sd["fc.weight"] = r(1000, 512 * exp)
+    sd["fc.bias"] = r(1000)
+    return sd
+
+
+def _mobilenet_zoo_sd(variant):
+    """torchvision mobilenet_v3_{large,small} downloaded layout: the
+    transcription's features.* names + the classifier head."""
+    torch.manual_seed(hash(variant) % 2 ** 31)
+    tm = TorchMobileNetV3(variant)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    rng = np.random.default_rng(0)
+    width = {"large": (960, 1280), "small": (576, 1024)}[variant]
+    sd["classifier.0.weight"] = rng.standard_normal(
+        (width[1], width[0])).astype(np.float32)
+    sd["classifier.0.bias"] = rng.standard_normal(width[1]).astype(np.float32)
+    sd["classifier.3.weight"] = rng.standard_normal(
+        (1000, width[1])).astype(np.float32)
+    sd["classifier.3.bias"] = rng.standard_normal(1000).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("name,backbone", [
+    ("resnet18", "resnet18_2fc"),
+    ("resnet50", "resnet50_2fc"),
+    ("mobilenet_v3_large", "mobilenetv3_large_2fc"),
+    ("mobilenet_v3_small", "mobilenetv3_small_2fc"),
+])
+def test_torchvision_zoo_layout_ingests(tmp_path, name, backbone):
+    """load_student_checkpoint on a raw zoo file (bare state dict, fc/classifier
+    heads, num_batches_tracked) yields trunk-only partial variables whose
+    leaves match the source arrays."""
+    from litemkd_tpu.tools import detect_torchvision_zoo
+
+    if name.startswith("resnet"):
+        sd = _resnet_zoo_sd(int(name[6:]))
+        kind = "resnet"
+    else:
+        sd = _mobilenet_zoo_sd(name.split("_")[-1])
+        kind = "mobilenet"
+    assert detect_torchvision_zoo(sd) == kind
+    path = str(tmp_path / f"{name}.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+
+    from litemkd_tpu.tools import load_student_checkpoint
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "backbone": backbone}))
+    v = load_student_checkpoint(path, cfg)
+    trunk = v["params"]["backbone"]["trunk"]
+    # partial: no fc heads, no classifier — the template keeps its init
+    assert "fc1" not in v["params"]["backbone"]
+    assert "classifier" not in v["params"]
+    if kind == "resnet":
+        np.testing.assert_allclose(
+            trunk["conv1"]["kernel"],
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+        np.testing.assert_allclose(
+            v["batch_stats"]["backbone"]["trunk"]["bn1"]["var"],
+            sd["bn1.running_var"])
+    else:
+        np.testing.assert_allclose(
+            trunk["stem"]["kernel"],
+            np.transpose(sd["features.0.0.weight"], (2, 3, 1, 0)))
+
+
+def test_torchvision_zoo_depth_mismatch_raises(tmp_path):
+    sd = _resnet_zoo_sd(18)
+    path = str(tmp_path / "resnet18.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    from litemkd_tpu.tools import load_torchvision_trunk
+    base = preset("tiny")
+    cfg50 = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "backbone": "resnet50_2fc"}))
+    with pytest.raises(ValueError, match="resnet50"):
+        load_torchvision_trunk(path, cfg50)
+    cfg_mb = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "backbone": "mobilenetv3_large_2fc"}))
+    with pytest.raises(ValueError, match="cannot warm-start"):
+        load_torchvision_trunk(path, cfg_mb)
+
+
+def test_cli_train_warmstarts_from_zoo_file(tmp_path):
+    """--init_checkpoint with a raw torchvision resnet18 zoo file: trunk
+    weights arrive, fc heads + classifier keep their fresh init (the
+    reference's pretrained=True + new Linear heads recipe)."""
+    from litemkd_tpu.cli import train as cli_train
+
+    sd = _resnet_zoo_sd(18)
+    path = str(tmp_path / "resnet18-zoo.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    state = cli_train.main([
+        "--preset", "tiny", "--dataset", "synthetic",
+        "--model_backbone", "resnet18_2fc", "--trans_linear_in_dim", "64",
+        "--trans_linear_out_dim", "32", "--training_iterations", "2",
+        "--tasks_per_batch", "2", "-c", str(tmp_path / "ck"),
+        "--print_freq", "0", "--init_checkpoint", path])
+    assert "fc1" in state.params["backbone"]
+    assert "classifier" in state.params
+    assert int(state.episodes_seen) == 2

@@ -86,3 +86,38 @@ def test_lr_schedule_decays():
     assert np.isclose(float(sched(0)), 1e-4)
     assert np.isclose(float(sched(2000 // 16 + 1)), 1e-5)
     assert np.isclose(float(sched(4000 // 16 + 1)), 1e-6)
+
+
+def test_watch_metrics():
+    """cfg.train.watch adds global and per-module grad/param norms to the
+    step metrics (the wandb.watch analog, trainwandb.py:52)."""
+    base = preset("tiny")
+    cfg = base.replace(train=base.train.__class__(**{
+        **base.train.__dict__, "watch": True}))
+    src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0)
+    rng = np.random.default_rng(0)
+    batch = src.sample_batch(rng, 2)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(cfg))
+    _, metrics = step(state, t_vars, batch)
+    for key in ("grad_norm", "param_norm", "grad_norm/backbone",
+                "grad_norm/classifier", "param_norm/backbone",
+                "param_norm/classifier"):
+        assert key in metrics, sorted(metrics)
+        v = float(metrics[key])
+        assert np.isfinite(v) and v > 0, (key, v)
+
+
+def test_watch_flag_maps_to_config():
+    import argparse
+    from litemkd_tpu.cli.common import (add_common_args, add_train_args,
+                                        build_config)
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_train_args(p)
+    cfg = build_config(p.parse_args(["--preset", "tiny", "--dataset",
+                                     "synthetic", "--watch"]))
+    assert cfg.train.watch is True
+    cfg = build_config(p.parse_args(["--preset", "tiny", "--dataset",
+                                     "synthetic"]))
+    assert cfg.train.watch is False

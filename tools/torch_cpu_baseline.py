@@ -62,29 +62,32 @@ class ResNet18Trunk(nn.Module):
 
 
 class StudentBackbone2FC(nn.Module):
-    def __init__(self):
+    def __init__(self, dim=DIM, seq_len=T):
         super().__init__()
+        self.dim, self.seq_len = dim, seq_len
         self.trunk = ResNet18Trunk()
         self.pool = nn.AdaptiveMaxPool2d((4, 4))
-        self.fc1 = nn.Linear(512, DIM)
-        self.fc2 = nn.Linear(512, DIM)
+        self.fc1 = nn.Linear(512, dim)
+        self.fc2 = nn.Linear(512, dim)
 
     def forward(self, x):  # (N*T, 3, H, W)
         f = self.pool(self.trunk(x)).flatten(2).mean(-1)  # (N*T, 512)
-        return (self.fc1(f).view(-1, T, DIM), self.fc2(f).view(-1, T, DIM))
+        return (self.fc1(f).view(-1, self.seq_len, self.dim),
+                self.fc2(f).view(-1, self.seq_len, self.dim))
 
 
 class TCT(nn.Module):
-    def __init__(self):
+    def __init__(self, way=WAY, shot=SHOT, seq_len=T, dim=DIM, dk=DK):
         super().__init__()
-        pairs = list(combinations(range(T), 2))
+        self.way, self.shot, self.dk = way, shot, dk
+        pairs = list(combinations(range(seq_len), 2))
         self.register_buffer("idx", torch.tensor(pairs))
-        self.k = nn.Linear(2 * DIM, DK)
-        self.v = nn.Linear(2 * DIM, DK)
-        self.ln = nn.LayerNorm(DK)
-        pe = torch.zeros(T, DIM)
-        pos = torch.arange(T).unsqueeze(1).float()
-        div = torch.exp(torch.arange(0, DIM, 2).float() * -(math.log(1e4) / DIM))
+        self.k = nn.Linear(2 * dim, dk)
+        self.v = nn.Linear(2 * dim, dk)
+        self.ln = nn.LayerNorm(dk)
+        pe = torch.zeros(seq_len, dim)
+        pos = torch.arange(seq_len).unsqueeze(1).float()
+        div = torch.exp(torch.arange(0, dim, 2).float() * -(math.log(1e4) / dim))
         pe[:, 0::2] = torch.sin(pos * div) * 0.1
         pe[:, 1::2] = torch.cos(pos * div) * 0.1
         self.register_buffer("pe", pe)
@@ -101,9 +104,9 @@ class TCT(nn.Module):
         s_v, q_v = self.v(s_t), self.v(q_t)
         U = s_t.shape[1]
         order = torch.argsort(labels, stable=True)
-        ck = s_k[order].view(WAY, SHOT, U, DK)
-        cv = s_v[order].view(WAY, SHOT, U, DK)
-        scores = torch.einsum("qud,wsvd->qwusv", q_k, ck) / math.sqrt(DK)
+        ck = s_k[order].view(self.way, self.shot, U, self.dk)
+        cv = s_v[order].view(self.way, self.shot, U, self.dk)
+        scores = torch.einsum("qud,wsvd->qwusv", q_k, ck) / math.sqrt(self.dk)
         attn = scores.reshape(*scores.shape[:3], -1).softmax(-1)
         attn = attn.view_as(scores)
         proto = torch.einsum("qwusv,wsvd->qwud", attn, cv)
@@ -112,11 +115,14 @@ class TCT(nn.Module):
 
 
 def support_dk(support, labels):
+    way = int(labels.max()) + 1
+    shot = support.shape[0] // way
+    t = support.shape[1]
     order = torch.argsort(labels, stable=True)
-    proto = support[order].view(WAY, SHOT, T, DIM).mean(1)
-    d = -((proto.unsqueeze(1) - proto.unsqueeze(0)) ** 2).sum((-2, -1)) / T
-    keep = ~torch.eye(WAY, dtype=torch.bool)
-    return d[keep].view(WAY, WAY - 1)
+    proto = support[order].view(way, shot, t, support.shape[-1]).mean(1)
+    d = -((proto.unsqueeze(1) - proto.unsqueeze(0)) ** 2).sum((-2, -1)) / t
+    keep = ~torch.eye(way, dtype=torch.bool)
+    return d[keep].view(way, way - 1)
 
 
 def kd_loss(s, t, temp=4.0):
