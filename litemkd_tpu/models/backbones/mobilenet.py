@@ -96,7 +96,9 @@ class InvertedResidual(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
+        # train is POSITIONAL (like resnet.BasicBlock) so nn.remat can mark it
+        # static (static_argnums=(2,)); keyword-only args can't be static
         act = hard_swish if self.use_hs else nn.relu
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
@@ -124,11 +126,17 @@ class MobileNetV3Trunk(nn.Module):
     variant: str = "large"
     compute_dtype: jnp.dtype = jnp.bfloat16
     freeze_bn: bool = False   # finetune mode: BN uses running stats in train
+    remat: bool = False       # rematerialize each inverted-residual block:
+                              # the 224px early-stage activations otherwise cap
+                              # the fused fwd/bwd at micro_batch=4 in HBM
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         train = train and not self.freeze_bn   # train only gates BN here
         specs = _LARGE if self.variant == "large" else _SMALL
+        block_cls = InvertedResidual
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         conv = partial(nn.Conv, use_bias=False, dtype=self.compute_dtype,
                        kernel_init=torch_conv_kernel_init())
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.99,
@@ -136,8 +144,8 @@ class MobileNetV3Trunk(nn.Module):
         x = hard_swish(bn(name="stem_bn")(
             conv(16, (3, 3), (2, 2), padding=1, name="stem")(x)))
         for i, (k, e, o, se, hs, s) in enumerate(specs):
-            x = InvertedResidual(k, e, o, se, hs, s, self.compute_dtype,
-                                 name=f"block{i}")(x, train=train)
+            x = block_cls(k, e, o, se, hs, s, self.compute_dtype,
+                          name=f"block{i}")(x, train)
         last = _LAST_CH[self.variant]
         x = hard_swish(bn(name="head_bn")(conv(last, (1, 1), name="head")(x)))
         return x
@@ -152,6 +160,7 @@ class MobileNetV3Backbone(nn.Module):
     pool_hw: Tuple[int, int] = (4, 4)
     compute_dtype: jnp.dtype = jnp.bfloat16
     freeze_bn: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool):
@@ -160,7 +169,8 @@ class MobileNetV3Backbone(nn.Module):
         if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
             x = x / 255.0
         x = MobileNetV3Trunk(self.variant, self.compute_dtype,
-                             self.freeze_bn, name="trunk")(x, train=train)
+                             self.freeze_bn, self.remat,
+                             name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x, self.pool_hw)
         x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
         trunk_dim = x.shape[-1]

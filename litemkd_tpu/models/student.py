@@ -167,7 +167,8 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
     kw = dict(out_dim=cfg.model.trans_linear_in_dim,
               compute_dtype=jnp.dtype(cfg.model.compute_dtype),
               name=module_name)
-    if name.startswith(("resnet", "meta_baseline", "strm", "cnn_strm")):
+    if name.startswith(("resnet", "meta_baseline", "strm", "cnn_strm",
+                        "mobilenetv3")):
         kw["remat"] = cfg.model.remat
     if name.startswith(("resnet", "meta_baseline")):
         kw["pallas_bn"] = cfg.model.pallas_bn

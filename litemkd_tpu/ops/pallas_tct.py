@@ -13,9 +13,20 @@ in ONE kernel program per class — the (Q, W, U, dk) prototype tensor and the
 materializes both). Numerics match ``tct.py``'s einsum path (see
 tests/test_pallas.py); the module falls back to that path off-TPU.
 
-VMEM budget at the flagship shapes (Q=25, U=28, dk=1152, S=5):
-q_k/q_v 700×1152×4 ≈ 3.2 MB each, class_k/v 140×1152×4 ≈ 0.65 MB each,
-scores 700×140×4 ≈ 0.4 MB — comfortably under the ~16 MB/core limit.
+Honest perf note (on-chip device-loop A/B, 2026-08-17): at the flagship
+shapes the fused forward is a WASH with the XLA einsum path (~0.8-1.0 ms for
+a 4-8 episode vmap; round 1's "3x XLA" claim was a host-loop timing artifact
+— the ~30 ms axon-tunnel round trip dominated both sides). The kernel's value
+is its memory profile: the attention/proto intermediates stay in VMEM, which
+is what lets the fully-fused train step compile at ``micro_batch>=8``.
+
+VMEM discipline: the grid tiles (query-chunk × class), so per-program blocks
+are a qk/qv chunk (≤8 queries × U rows) plus ONE class's k/v — ~3.5 MB at the
+flagship shapes (Q=25, U=28, dk=1152, S=5) regardless of how many episodes the
+caller vmaps over (vmap prepends an episode grid axis). The first version kept
+whole per-episode operands resident (12.9 MB) and blew the 16 MB scoped-VMEM
+limit once ``nn.vmap`` batched ≥8 episodes into one call — the real cause of
+the round-1 ``micro_batch≥8`` remote-compile failures.
 """
 from __future__ import annotations
 
@@ -33,29 +44,44 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
-def _kernel(qk_ref, qv_ref, ck_ref, cv_ref, out_ref, *, n_way: int,
-            n_queries: int, n_tuples: int, dk: int):
-    """Single program; static unrolled loop over the (small) class axis.
-    refs: qk/qv (Q*U, dk); ck/cv (W, S*U, dk); out (Q, W) distances."""
-    qk = qk_ref[:]                                       # (QU, dk)
+_LANES = 128   # TPU lane width: the class axis of the output is padded to one
+               # full lane tile so the out block satisfies the (8, 128) layout
+               # constraint; real classes occupy the first W lanes
+
+
+def _kernel(qk_ref, qv_ref, ck_ref, cv_ref, out_ref, *, n_tuples: int,
+            chunk_q: int, dk: int):
+    """One program = (query-chunk, class) grid cell.
+    refs: qk/qv (chunk_q*U, dk); ck/cv (1, S*U, dk); out (chunk_q, 128) —
+    revisited across the class axis, each step accumulating its class's
+    distance column through a one-hot lane mask (a dynamic lane index store
+    is not expressible; a 128-lane masked add is free)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qk = qk_ref[:]                                       # (CQ·U, dk)
     qv = qv_ref[:]
-    inv_sqrt = 1.0 / np.sqrt(dk)
-    for w in range(n_way):
-        ck = ck_ref[w]                                   # (SU, dk)
-        scores = jnp.dot(qk, ck.T,
-                         preferred_element_type=jnp.float32) * inv_sqrt
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True)    # (QU, SU)
-        proto = jnp.dot(attn, cv_ref[w],
-                        preferred_element_type=jnp.float32)
-        diff = qv - proto                                # (QU, dk)
-        sq = jnp.sum(diff * diff, axis=-1)               # (QU,)
-        out_ref[:, w] = sq.reshape(n_queries, n_tuples).sum(axis=-1) / n_tuples
+    ck = ck_ref[0]                                       # (SU, dk)
+    scores = jnp.dot(qk, ck.T,
+                     preferred_element_type=jnp.float32) / np.sqrt(dk)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)        # (CQ·U, SU)
+    proto = jnp.dot(attn, cv_ref[0],
+                    preferred_element_type=jnp.float32)
+    diff = qv - proto                                    # (CQ·U, dk)
+    sq = jnp.sum(diff * diff, axis=-1)                   # (CQ·U,)
+    d = sq.reshape(chunk_q, n_tuples).sum(axis=-1) / n_tuples
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk_q, _LANES), 1)
+    out_ref[:] += jnp.where(lane == j, d[:, None], 0.0)
 
 
 def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
-                         class_k: jnp.ndarray, class_v: jnp.ndarray) -> jnp.ndarray:
+                         class_k: jnp.ndarray, class_v: jnp.ndarray,
+                         chunk_q: int | None = None) -> jnp.ndarray:
     """q_k/q_v (Q, U, dk); class_k/class_v (W, S, U, dk) → logits (Q, W)."""
     q, u, dk = q_k.shape
     w, s = class_k.shape[0], class_k.shape[1]
@@ -64,18 +90,31 @@ def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
     ck = class_k.reshape(w, s * u, dk).astype(jnp.float32)
     cv = class_v.reshape(w, s * u, dk).astype(jnp.float32)
 
+    if chunk_q is None:
+        chunk_q = min(q, 32)         # ≤32·U rows ≈ 4.1 MB/block at dk=1152;
+                                     # on-chip A/B (2026-08-17): cq 8/16/25
+                                     # within noise of each other and of XLA
+    grid_q = pl.cdiv(q, chunk_q)     # ragged tail handled by block padding
     dist = pl.pallas_call(
-        partial(_kernel, n_way=w, n_queries=q, n_tuples=u, dk=dk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q, w), jnp.float32),
+        partial(_kernel, n_tuples=u, chunk_q=chunk_q, dk=dk),
+        # class axis innermost: qk/qv/out index maps are constant across it,
+        # so the query chunk stays VMEM-resident while classes stream through
+        grid=(grid_q, w),
+        in_specs=[
+            pl.BlockSpec((chunk_q * u, dk), lambda i, j: (i, 0)),
+            pl.BlockSpec((chunk_q * u, dk), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, s * u, dk), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, s * u, dk), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk_q, _LANES), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((q, _LANES), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * w * (q * u) * (s * u) * dk * 2,
             bytes_accessed=(2 * q * u * dk + 2 * w * s * u * dk + w * q) * 4,
             transcendentals=w * q * u * s * u,
         ),
     )(qk, qv, ck, cv)
-    return -dist                                         # (Q, W) logits
+    return -dist[:, :w]                                  # (Q, W) logits
 
 
 def tct_attention_xla(q_k, q_v, class_k, class_v, return_proto: bool = False):

@@ -98,3 +98,30 @@ def test_classifier_registry_builds(tiny_cfg):
     for name in ["TRX", "TRX_sup", "TRX_2fcsup", "TRX_2fcsup_fixed",
                  "e_dist", "cos", "e_dist_fc2_sup", "e_dist_1fc_sup"]:
         make_classifier(name, cfg)
+
+
+def test_mobilenet_remat_matches_plain():
+    """remat=True must be a pure scheduling change: identical forward values
+    AND identical gradients to the plain trunk (it unlocks micro_batch>=8 on
+    chip by rematerializing each inverted-residual block's activations)."""
+    from litemkd_tpu.models.backbones.mobilenet import MobileNetV3Backbone
+    clips = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 2, 32, 32, 3)).astype(np.float32))
+    outs, grads = [], []
+    for remat in (False, True):
+        m = MobileNetV3Backbone(variant="small", num_fc=1, out_dim=8,
+                                compute_dtype=jnp.float32, remat=remat)
+        v = m.init(jax.random.key(0), clips, train=False)
+
+        def loss(params):
+            out, _ = m.apply({**v, "params": params}, clips, train=True,
+                             mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        outs.append(m.apply(v, clips, train=False))
+        grads.append(jax.grad(loss)(v["params"]))
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               rtol=1e-6, atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        grads[0], grads[1])

@@ -70,3 +70,24 @@ def test_tct_module_pallas_flag_matches(monkeypatch, inputs):
     out2 = m2.apply(v, support, labels, queries, train=False)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("q", [3, 11, 25])
+def test_pallas_ragged_query_counts(monkeypatch, q):
+    """Grid tiling pads the last query chunk (q % 8 != 0) without corrupting
+    real rows, and a vmapped episode batch (the nn.vmap path that blew the
+    VMEM budget at micro_batch>=8) matches the XLA path per episode."""
+    import functools
+    orig = pt.pl.pallas_call
+    monkeypatch.setattr(pt.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    rng = np.random.default_rng(q)
+    E = 3
+    q_k = jnp.asarray(rng.normal(size=(E, q, U, DK)).astype(np.float32))
+    q_v = jnp.asarray(rng.normal(size=(E, q, U, DK)).astype(np.float32))
+    c_k = jnp.asarray(rng.normal(size=(E, W, S, U, DK)).astype(np.float32))
+    c_v = jnp.asarray(rng.normal(size=(E, W, S, U, DK)).astype(np.float32))
+    got = jax.vmap(pt.tct_attention_pallas)(q_k, q_v, c_k, c_v)
+    want = jax.vmap(pt.tct_attention_xla)(q_k, q_v, c_k, c_v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
