@@ -91,9 +91,13 @@ def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
     cv = class_v.reshape(w, s * u, dk).astype(jnp.float32)
 
     if chunk_q is None:
-        chunk_q = min(q, 32)         # ≤32·U rows ≈ 4.1 MB/block at dk=1152;
-                                     # on-chip A/B (2026-08-17): cq 8/16/25
-                                     # within noise of each other and of XLA
+        chunk_q = min(q, 8)          # ≤8·U rows ≈ 1 MB/block at dk=1152.
+                                     # On-chip A/B (2026-08-17): cq 8/16/25
+                                     # within noise of each other and of XLA,
+                                     # but ≥25 re-blows scoped VMEM (17.6M)
+                                     # under a vmapped episode grid axis —
+                                     # every block then varies across the
+                                     # episode axis and gets double-buffered
     grid_q = pl.cdiv(q, chunk_q)     # ragged tail handled by block padding
     dist = pl.pallas_call(
         partial(_kernel, n_tuples=u, chunk_q=chunk_q, dk=dk),
