@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--arch", default="resnet50",
                    help="resnet18|resnet34|resnet50 (Action_Recognition_"
                         "Resnet50) or deit_small (model_distillation ViT)")
+    p.add_argument("--init_checkpoint", default=None,
+                   help="warm-start trunk from a torch checkpoint: a raw "
+                        "torchvision resnet zoo file, a timm "
+                        "deit_small_distilled_patch16_224 zoo file, or a "
+                        "saved model_distillation (the reference's "
+                        "pretrained=True path, model.py:2146)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -46,9 +52,16 @@ def main(argv=None):
 
     rng = np.random.default_rng(cfg.train.seed)
     sample = np.stack([vs.load(records[0][0], True, rng)])
+    init_vars = None
+    if args.init_checkpoint:
+        from ..tools.torch_import import load_pretrain_init
+        init_vars = load_pretrain_init(args.init_checkpoint, cfg, args.arch)
+        logger.info(f"warm-started {args.arch} trunk from "
+                    f"{args.init_checkpoint}")
     state, model = create_pretrain_state(cfg, jax.random.key(cfg.train.seed),
                                          n_classes, jnp.asarray(sample),
-                                         arch=args.arch)
+                                         arch=args.arch,
+                                         init_variables=init_vars)
     step = jax.jit(make_pretrain_step(cfg, model), donate_argnums=0)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None

@@ -312,6 +312,77 @@ def import_backbone_2fc(sd: Dict[str, np.ndarray], depth: int = 18) -> dict:
     return {"params": params, "batch_stats": {"trunk": trunk_s}}
 
 
+def import_deit_trunk(sd: Dict[str, np.ndarray], prefix: str = "",
+                      heads: int = 6) -> dict:
+    """timm ``deit_small_distilled_patch16_224`` state dict (the downloaded
+    zoo layout, incl. the ``convnet.``-prefixed copy inside a saved
+    ``model_distillation``) → ``ViTClassifier`` params, MINUS the ``fc`` head.
+
+    The reference resets timm's classifier and adds its own Linear
+    (``teacher/code/model.py:2142-2157``: ``reset_classifier(0)`` + fresh
+    ``nn.Linear(384, num_classes)``), so ``head.*``/``head_dist.*`` are
+    dropped here and the caller deep-merges over a fresh init to keep its own
+    ``fc``. qkv fusion is split into flax MHA's per-projection (in, heads,
+    head_dim) kernels."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    dim = sd["cls_token"].shape[-1]
+    hd = dim // heads
+    depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    pw = sd["patch_embed.proj.weight"]
+    params: dict = {
+        "cls_token": sd["cls_token"].copy(),
+        "dist_token": sd["dist_token"].copy(),
+        "pos_embed": sd["pos_embed"].copy(),
+        "patch_embed": {"kernel": np.transpose(pw, (2, 3, 1, 0)).copy(),
+                        "bias": sd["patch_embed.proj.bias"].copy()},
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        qkv_w = sd[f"{b}.attn.qkv.weight"]           # (3*dim, dim) rows q;k;v
+        qkv_b = sd[f"{b}.attn.qkv.bias"]
+        attn = {}
+        for j, name in enumerate(("query", "key", "value")):
+            w = qkv_w[j * dim:(j + 1) * dim]         # (dim, dim) out,in
+            attn[name] = {"kernel": w.T.reshape(dim, heads, hd).copy(),
+                          "bias": qkv_b[j * dim:(j + 1) * dim]
+                          .reshape(heads, hd).copy()}
+        attn["out"] = {
+            "kernel": sd[f"{b}.attn.proj.weight"].T.reshape(heads, hd, dim).copy(),
+            "bias": sd[f"{b}.attn.proj.bias"].copy()}
+        params[f"attn_{i}"] = attn
+        params[f"norm1_{i}"] = _ln(sd, f"{b}.norm1")
+        params[f"norm2_{i}"] = _ln(sd, f"{b}.norm2")
+        params[f"mlp_in_{i}"] = _lin(sd, f"{b}.mlp.fc1")
+        params[f"mlp_out_{i}"] = _lin(sd, f"{b}.mlp.fc2")
+    return params
+
+
+def load_pretrain_init(path: str, cfg: Config, arch: str) -> dict:
+    """Warm-start variables for the pretraining model (``cli.pretrain
+    --init_checkpoint``): the ``pretrained=True`` parity path of the
+    reference's supervised stage (``pretrain/pretrain.py`` resnet50,
+    ``model.py:2146`` timm DeiT). Returns PARTIAL variables (trunk only, no
+    classifier head) for deep-merge over a fresh init."""
+    sd = load_state_dict(path)
+    if arch == "deit_small":
+        if "cls_token" not in sd:                    # saved model_distillation
+            if not any(k.startswith("convnet.") for k in sd):
+                raise ValueError(f"{path} is not a timm DeiT checkpoint")
+            return {"params": import_deit_trunk(sd, prefix="convnet.")}
+        return {"params": import_deit_trunk(sd)}
+    depth = int(arch.replace("resnet", ""))
+    kind = detect_torchvision_zoo(sd)
+    if kind == "resnet":
+        trunk_p, trunk_s = import_resnet_trunk(sd, depth)
+    elif any(k.startswith("trunk.") for k in sd):    # our exported layout
+        trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="trunk.")
+    else:
+        raise ValueError(f"{path} is not a resnet zoo / pretrain checkpoint")
+    return {"params": {"trunk": trunk_p}, "batch_stats": {"trunk": trunk_s}}
+
+
 def detect_torchvision_zoo(sd: Dict[str, np.ndarray]) -> Optional[str]:
     """Classify a RAW torchvision model-zoo state dict (as downloaded, no
     wrapper prefixes): 'resnet' (resnet18/34/50), 'mobilenet'

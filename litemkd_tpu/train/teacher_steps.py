@@ -199,9 +199,17 @@ def make_pretrain_model(cfg: Config, num_classes: int,
 
 def create_pretrain_state(cfg: Config, rng, num_classes: int,
                           sample_clips, arch: str = "resnet50",
-                          ) -> Tuple[TrainState, nn.Module]:
+                          init_variables=None) -> Tuple[TrainState, nn.Module]:
+    """``init_variables``: PARTIAL variables (e.g. a zoo trunk from
+    ``tools.torch_import.load_pretrain_init``) deep-merged over the fresh
+    init — the ``pretrained=True`` warm-start of the reference's supervised
+    stage (``pretrain/pretrain.py``, ``model.py:2146``)."""
     model = make_pretrain_model(cfg, num_classes, arch)
     variables = model.init(rng, sample_clips[:1], train=False)
+    if init_variables is not None:
+        from ..utils.tree import deep_merge_variables
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, deep_merge_variables(variables, init_variables))
     tx = optax.sgd(cfg.train.learning_rate, momentum=0.9)
     params = variables["params"]
     state = TrainState(step=jnp.zeros((), jnp.int32),

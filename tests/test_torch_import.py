@@ -731,3 +731,153 @@ def test_cli_train_warmstarts_from_zoo_file(tmp_path):
     assert "fc1" in state.params["backbone"]
     assert "classifier" in state.params
     assert int(state.episodes_seen) == 2
+
+
+# ---------------------------------------------------------------------------
+# timm DeiT zoo layout (model_distillation's pretrained=True path,
+# teacher/code/model.py:2142-2157)
+
+class _TorchDeiTAttn(torch.nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.qkv = torch.nn.Linear(dim, dim * 3)
+        self.proj = torch.nn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h = self.heads
+        qkv = self.qkv(x).reshape(b, n, 3, h, d // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax(q @ k.transpose(-2, -1) / (d // h) ** 0.5, dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, n, d)
+        return self.proj(out)
+
+
+class _TorchDeiTMlp(torch.nn.Module):
+    def __init__(self, dim, ratio):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(dim, dim * ratio)
+        self.fc2 = torch.nn.Linear(dim * ratio, dim)
+
+    def forward(self, x):
+        return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+
+class _TorchDeiTBlock(torch.nn.Module):
+    def __init__(self, dim, heads, ratio):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TorchDeiTAttn(dim, heads)
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _TorchDeiTMlp(dim, ratio)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _TorchPatchEmbed(torch.nn.Module):
+    def __init__(self, dim, patch):
+        super().__init__()
+        self.proj = torch.nn.Conv2d(3, dim, patch, patch)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+class TorchDeiT(torch.nn.Module):
+    """timm ``deit_small_distilled_patch16_224`` transcription with timm's
+    exact state-dict key layout (cls_token/dist_token/pos_embed,
+    patch_embed.proj, blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,
+    mlp.fc2}, norm); eval forward = mean of cls+dist tokens."""
+
+    def __init__(self, img=224, patch=16, dim=384, depth=12, heads=6):
+        super().__init__()
+        self.patch_embed = _TorchPatchEmbed(dim, patch)
+        n_tok = (img // patch) ** 2
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.dist_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = torch.nn.Parameter(torch.randn(1, n_tok + 2, dim) * 0.02)
+        self.blocks = torch.nn.ModuleList(
+            [_TorchDeiTBlock(dim, heads, 4) for _ in range(depth)])
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        b = x.shape[0]
+        x = torch.cat([self.cls_token.expand(b, -1, -1),
+                       self.dist_token.expand(b, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return (x[:, 0] + x[:, 1]) / 2
+
+
+def test_deit_zoo_layout_import_matches_torch_forward():
+    """import_deit_trunk ingests the timm deit_small zoo layout and the
+    resulting ViTClassifier matches the torch eval forward (reference's
+    model_distillation trunk, model.py:2142-2157)."""
+    from litemkd_tpu.models.backbones.classifier_net import ViTClassifier
+    from litemkd_tpu.tools.torch_import import import_deit_trunk
+
+    torch.manual_seed(0)
+    tm = TorchDeiT().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # zoo files also carry the distilled heads the importer must ignore
+    sd["head.weight"] = np.zeros((1000, 384), np.float32)
+    sd["head.bias"] = np.zeros((1000,), np.float32)
+    sd["head_dist.weight"] = np.zeros((1000, 384), np.float32)
+    sd["head_dist.bias"] = np.zeros((1000,), np.float32)
+    trunk = import_deit_trunk(sd)
+
+    m = ViTClassifier(num_classes=7, compute_dtype=jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 224, 224, 3)).astype(np.float32)
+    variables = m.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params = {**variables["params"], **trunk}     # keep the fresh fc
+
+    feat_t = tm(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+    fc = params["fc"]
+    want = feat_t @ np.asarray(fc["kernel"]) + np.asarray(fc["bias"])
+
+    got = m.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_load_pretrain_init_deit_and_resnet(tmp_path):
+    """load_pretrain_init handles a saved model_distillation (convnet.*
+    prefix) and a raw resnet zoo file, returning head-free partials."""
+    from litemkd_tpu.tools.torch_import import load_pretrain_init
+    from litemkd_tpu.train.teacher_steps import create_pretrain_state
+
+    cfg = preset("tiny")
+    torch.manual_seed(1)
+    tm = TorchDeiT(img=cfg.episode.img_size)
+    sd = {f"convnet.{k}": v for k, v in tm.state_dict().items()}
+    sd["fc.weight"] = torch.zeros(3, 384)   # model_distillation's own head
+    sd["fc.bias"] = torch.zeros(3)
+    p = tmp_path / "model_distillation.pt"
+    torch.save({"model_state_dict": sd}, p)
+
+    init = load_pretrain_init(str(p), cfg, "deit_small")
+    assert "fc" not in init["params"]
+    clips = jnp.zeros((1, 2, cfg.episode.img_size, cfg.episode.img_size, 3))
+    state, model = create_pretrain_state(cfg, jax.random.key(0), 3, clips,
+                                         arch="deit_small",
+                                         init_variables=init)
+    got = np.asarray(state.params["cls_token"])
+    np.testing.assert_allclose(got, tm.cls_token.detach().numpy(), rtol=1e-6)
+
+    from torch_cpu_baseline import ResNet18Trunk
+    tv = {k: torch.tensor(v) for k, v in
+          _baseline_to_torchvision_names(ResNet18Trunk()).items()}
+    p2 = tmp_path / "resnet18_zoo.pth"
+    torch.save(tv, p2)
+    init2 = load_pretrain_init(str(p2), cfg, "resnet18")
+    assert set(init2) == {"params", "batch_stats"}
+    state2, _ = create_pretrain_state(cfg, jax.random.key(0), 3, clips,
+                                      arch="resnet18", init_variables=init2)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["trunk"]["conv1"]["kernel"]),
+        np.transpose(tv["conv1.weight"].numpy(), (2, 3, 1, 0)), rtol=1e-6)
