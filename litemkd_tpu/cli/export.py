@@ -8,6 +8,11 @@
 
     # MFM fusion teacher → ThreeTRXShiftLoopTime layout (runs in the reference)
     python -m litemkd_tpu.cli.export --ckpt ckpts/mfm --out mfm.pt --mfm
+
+    # AOT serving artifact (StableHLO + weights + manifest in one file; a
+    # serving host runs it with jax alone — no model code)
+    python -m litemkd_tpu.cli.export --ckpt ckpts/run1 --out model.litemkd \
+        --aot [--aot_platforms tpu,cpu] [--aot_episodes 1] [--aot_check]
 """
 from __future__ import annotations
 
@@ -28,6 +33,16 @@ def main(argv=None):
     p.add_argument("--mfm", action="store_true",
                    help="export an MFM fusion-teacher checkpoint to the "
                         "ThreeTRXShiftLoopTime layout")
+    p.add_argument("--aot", action="store_true",
+                   help="emit a jax.export AOT serving artifact instead of "
+                        "a torch checkpoint")
+    p.add_argument("--aot_platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.add_argument("--aot_episodes", type=int, default=1,
+                   help="episode batch size baked into the artifact")
+    p.add_argument("--aot_check", action="store_true",
+                   help="reload the artifact and score a synthetic episode "
+                        "as a smoke test")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -37,6 +52,29 @@ def main(argv=None):
                                       export_mfm_checkpoint)
     payload = restore_payload(args.ckpt)
     it = int(np.asarray(payload.get("step", 0)))
+    if args.aot:
+        from ..tools.aot import export_serving_artifact, load_serving_artifact
+        variables = {"params": payload["params"],
+                     "batch_stats": payload.get("batch_stats", {})}
+        platforms = tuple(s for s in args.aot_platforms.split(",") if s)
+        manifest = export_serving_artifact(cfg, variables, args.out,
+                                           platforms=platforms,
+                                           episodes=args.aot_episodes)
+        print(f"wrote AOT artifact → {args.out} "
+              f"(platforms={manifest['platforms']}, "
+              f"{manifest['way']}-way {manifest['shot']}-shot)")
+        if args.aot_check:
+            scorer, m = load_serving_artifact(args.out)
+            rng = np.random.default_rng(0)
+            sh = m["input_shapes"]
+            logits = scorer(
+                rng.integers(0, 255, sh["support_clips"], dtype=np.uint8),
+                np.tile(np.arange(m["way"], dtype=np.int32),
+                        (m["episodes"], m["shot"]))[:, :sh["support_labels"][1]],
+                rng.integers(0, 255, sh["query_clips"], dtype=np.uint8))
+            assert np.isfinite(np.asarray(logits)).all()
+            print(f"smoke check OK: logits {np.asarray(logits).shape}")
+        return
     if args.mfm:
         sd = export_mfm_checkpoint({"params": payload["params"]}, cfg,
                                    args.out, iteration=it)

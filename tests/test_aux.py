@@ -170,3 +170,40 @@ def test_episode_meta_real_labels_consistent():
     np.testing.assert_array_equal(meta.real_query_labels, want)
     for row in meta.classes:
         assert len(set(row.tolist())) == cfg.episode.way
+
+
+def test_aot_serving_artifact_roundtrip(tmp_path):
+    """export_serving_artifact → load_serving_artifact: the deserialized
+    StableHLO scorer (no model code) matches a direct BatchedStudent apply,
+    and the manifest records the serving geometry."""
+    from litemkd_tpu.tools.aot import (export_serving_artifact,
+                                       load_serving_artifact, make_serving_fn)
+
+    cfg = preset("tiny")
+    ep = cfg.episode
+    rng = np.random.default_rng(0)
+    E, s, q = 2, ep.n_support, ep.n_queries(False)
+    sup = rng.integers(0, 255, (E, s, ep.seq_len, ep.img_size, ep.img_size, 3),
+                       dtype=np.uint8)
+    lab = np.stack([rng.permutation(np.repeat(np.arange(ep.way), ep.shot))
+                    for _ in range(E)]).astype(np.int32)
+    qry = rng.integers(0, 255, (E, q, ep.seq_len, ep.img_size, ep.img_size, 3),
+                       dtype=np.uint8)
+
+    serve = make_serving_fn(cfg)
+    from litemkd_tpu.models import BatchedStudent
+    variables = BatchedStudent(cfg).init(jax.random.key(0), jnp.asarray(sup),
+                                         jnp.asarray(lab), jnp.asarray(qry),
+                                         train=False)
+    want = np.asarray(serve(variables, sup, lab, qry))
+
+    path = str(tmp_path / "model.litemkd")
+    manifest = export_serving_artifact(cfg, variables, path,
+                                       platforms=("cpu",), episodes=E)
+    assert manifest["way"] == ep.way and manifest["episodes"] == E
+
+    scorer, m = load_serving_artifact(path)
+    got = np.asarray(scorer(sup, lab, qry))
+    assert got.shape == (E, q, ep.way)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert m["input_shapes"]["support_clips"][0] == E
