@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1)
     p.add_argument("--tasks_per_batch", type=int, default=16)
     p.add_argument("--micro_batch", type=int, default=4)
+    p.add_argument("--path", choices=("train", "eval", "teacher"),
+                   default="train",
+                   help="which hot path to trace: the student distillation "
+                        "train step, the episodic eval forward, or the MFM "
+                        "fusion-teacher train step (bench.py's three modes; "
+                        "--mode is taken by the reference's experiment tag)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -57,20 +63,51 @@ def main(argv=None):
            "micro_batch": args.micro_batch}))
 
     from ..data import SyntheticEpisodeSource, device_put_batch
-    from ..train import create_train_state, make_train_step
 
-    src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
-    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
-                                              cfg.train.tasks_per_batch))
-    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
-    state, m = step(state, t_vars, batch)
-    _ = float(m["task_loss"])  # compile + warmup
+    if args.path == "teacher":
+        from .train_teacher import SyntheticMultiModalSource
+        from ..train import create_mfm_train_state, make_mfm_train_step
 
-    with trace(args.out):
-        for _ in range(args.steps):
+        src = SyntheticMultiModalSource(cfg, n_classes=16, seed=0)
+        batch = device_put_batch(src.sample_batch(
+            np.random.default_rng(0), cfg.train.tasks_per_batch))
+        state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+        step = jax.jit(make_mfm_train_step(cfg), donate_argnums=0)
+
+        def run_once():
+            nonlocal state
+            state, m = step(state, batch)
+            _ = float(m["task_loss"])
+    elif args.path == "eval":
+        from ..train import create_train_state, make_eval_step
+
+        src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
+        batch = device_put_batch(src.sample_batch(
+            np.random.default_rng(0), cfg.train.tasks_per_batch, train=False))
+        st, _ = create_train_state(cfg, jax.random.key(0), batch)
+        variables = st.variables
+        eval_step = jax.jit(make_eval_step(cfg))
+
+        def run_once():
+            _ = np.asarray(eval_step(variables, batch)).sum()
+    else:
+        from ..train import create_train_state, make_train_step
+
+        src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
+        batch = device_put_batch(src.sample_batch(
+            np.random.default_rng(0), cfg.train.tasks_per_batch))
+        state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+        def run_once():
+            nonlocal state
             state, m = step(state, t_vars, batch)
             _ = float(m["task_loss"])
+
+    run_once()  # compile + warmup
+    with trace(args.out):
+        for _ in range(args.steps):
+            run_once()
     summarize(args.out)
 
 
