@@ -33,7 +33,9 @@ def summarize(trace_dir: str, top: int = 15) -> None:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         n = e.get("name", "?")
-        if n.startswith(("jit_", "while", "$", "np.asarray", "0")):
+        # skip host-side frames and module/step-level spans (inclusive of the
+        # HLO ops below them: jit_<fn>(...) and bare step numbers)
+        if n.startswith(("jit_", "while", "$", "np.asarray")) or n.isdigit():
             continue
         buckets[re.sub(r"[.\d]+$", "", n)] += e["dur"]
     total = sum(buckets.values())
