@@ -13,6 +13,11 @@
     # serving host runs it with jax alone — no model code)
     python -m litemkd_tpu.cli.export --ckpt ckpts/run1 --out model.litemkd \
         --aot [--aot_platforms tpu,cpu] [--aot_episodes 1] [--aot_check]
+
+    # AOT fused-feature extractor (the MFM teacher's extract_feature
+    # production path as a standalone servable)
+    python -m litemkd_tpu.cli.export --ckpt ckpts/mfm --out extract.litemkd \
+        --aot --mfm [--aot_batch 8] [--aot_check]
 """
 from __future__ import annotations
 
@@ -40,6 +45,8 @@ def main(argv=None):
                    help="comma-separated lowering platforms")
     p.add_argument("--aot_episodes", type=int, default=1,
                    help="episode batch size baked into the artifact")
+    p.add_argument("--aot_batch", type=int, default=8,
+                   help="video batch size for --aot --mfm extract artifacts")
     p.add_argument("--aot_check", action="store_true",
                    help="reload the artifact and score a synthetic episode "
                         "as a smoke test")
@@ -53,10 +60,30 @@ def main(argv=None):
     payload = restore_payload(args.ckpt)
     it = int(np.asarray(payload.get("step", 0)))
     if args.aot:
-        from ..tools.aot import export_serving_artifact, load_serving_artifact
+        from ..tools.aot import (export_serving_artifact,
+                                 export_extract_artifact,
+                                 load_serving_artifact)
+        platforms = tuple(s for s in args.aot_platforms.split(",") if s)
+        if args.mfm:
+            variables = {"params": payload["params"]}
+            manifest = export_extract_artifact(cfg, variables, args.out,
+                                               platforms=platforms,
+                                               batch=args.aot_batch)
+            print(f"wrote AOT extract artifact → {args.out} "
+                  f"(platforms={manifest['platforms']}, "
+                  f"modalities={manifest['modalities']}, "
+                  f"batch={manifest['batch']})")
+            if args.aot_check:
+                extractor, m = load_serving_artifact(args.out)
+                rng = np.random.default_rng(0)
+                feats = {mod: rng.standard_normal(sh).astype(np.float32)
+                         for mod, sh in m["input_shapes"].items()}
+                fused = np.asarray(extractor(feats))
+                assert np.isfinite(fused).all()
+                print(f"smoke check OK: fused {fused.shape}")
+            return
         variables = {"params": payload["params"],
                      "batch_stats": payload.get("batch_stats", {})}
-        platforms = tuple(s for s in args.aot_platforms.split(",") if s)
         manifest = export_serving_artifact(cfg, variables, args.out,
                                            platforms=platforms,
                                            episodes=args.aot_episodes)

@@ -55,6 +55,21 @@ def make_serving_fn(cfg: Config) -> Callable:
     return serve
 
 
+def make_extract_fn(cfg: Config) -> Callable:
+    """Pure fused-feature extractor: the MFM teacher's ``extract_feature``
+    production path (``teacher/code/model.py:1648-1663`` behind
+    ``extract_multi_feature.py``) as a servable function —
+    ``(variables, {modality: (N, T, D)}) → (N, T, D)`` fused features."""
+    from ..train.teacher_steps import make_mfm
+
+    model = make_mfm(cfg, batched=False)
+
+    def extract(variables, feats):
+        return model.apply(variables, feats, method=model.extract)
+
+    return extract
+
+
 def _flatten_variables(variables) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
@@ -97,7 +112,7 @@ def export_serving_artifact(cfg: Config, variables, out_path: str,
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
 
     manifest = {
-        "format": 1,
+        "format": 1, "kind": "scorer",
         "way": ep.way, "shot": ep.shot, "queries": q, "seq_len": ep.seq_len,
         "img_size": ep.img_size, "episodes": episodes,
         "backbone": cfg.model.backbone, "classifier": cfg.model.classifier,
@@ -105,27 +120,68 @@ def export_serving_artifact(cfg: Config, variables, out_path: str,
         "platforms": list(platforms), "jax_version": jax.__version__,
         "input_shapes": {k: list(v) for k, v in shapes.items()},
     }
+    _write_artifact(out_path, exported, variables, manifest)
+    return manifest
+
+
+def export_extract_artifact(cfg: Config, variables, out_path: str,
+                            platforms: Tuple[str, ...] = ("tpu", "cpu"),
+                            batch: int = 8) -> dict:
+    """Lower + serialize the MFM fused-feature extractor (the teacher's
+    production feature-plane: ``extract_multi_feature.py``) into
+    ``out_path``; the serving host maps it over per-modality feature trees
+    with jax alone."""
+    d = cfg.model.trans_linear_in_dim
+    t = cfg.episode.seq_len
+    shapes = {m: (batch, t, d) for m in cfg.model.modalities}
+    fn = make_extract_fn(cfg)
+    var_specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        variables)
+    args = (var_specs,
+            {m: jax.ShapeDtypeStruct(s, jnp.float32)
+             for m, s in shapes.items()})
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
+    manifest = {
+        "format": 1, "kind": "extract_mfm",
+        "modalities": list(cfg.model.modalities), "seq_len": t, "dim": d,
+        "batch": batch, "trans_num": cfg.model.trans_num,
+        "shirt_num": cfg.model.shirt_num,
+        "platforms": list(platforms), "jax_version": jax.__version__,
+        "input_shapes": {k: list(v) for k, v in shapes.items()},
+    }
+    _write_artifact(out_path, exported, variables, manifest)
+    return manifest
+
+
+def _write_artifact(out_path: str, exported, variables, manifest: dict) -> None:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_FN_NAME, exported.serialize())
         buf = io.BytesIO()
         np.savez(buf, **_flatten_variables(variables))
         z.writestr(_PARAMS_NAME, buf.getvalue())
         z.writestr(_MANIFEST_NAME, json.dumps(manifest, indent=1))
-    return manifest
 
 
 def load_serving_artifact(path: str) -> Tuple[Callable, dict]:
-    """Load a ``.litemkd`` artifact → (scorer, manifest).
+    """Load a ``.litemkd`` artifact → (callable, manifest).
 
-    The scorer closes over the bundled weights:
-    ``scorer(support_clips, support_labels, query_clips) → logits``.
-    Needs only jax — no litemkd_tpu model code.
+    The callable closes over the bundled weights and needs only jax — no
+    litemkd_tpu model code. Signature by ``manifest["kind"]``:
+    - ``scorer`` (default): ``(support_clips, support_labels, query_clips)
+      → logits``
+    - ``extract_mfm``: ``({modality: (N, T, D)}) → (N, T, D)`` fused feats
     """
     with zipfile.ZipFile(path) as z:
         exported = jax_export.deserialize(bytearray(z.read(_FN_NAME)))
         with np.load(io.BytesIO(z.read(_PARAMS_NAME))) as npz:
             variables = _unflatten_variables({k: npz[k] for k in npz.files})
         manifest = json.loads(z.read(_MANIFEST_NAME))
+
+    if manifest.get("kind", "scorer") == "extract_mfm":
+        def extractor(feats):
+            return exported.call(variables, feats)
+        return extractor, manifest
 
     def scorer(support_clips, support_labels, query_clips):
         return exported.call(variables, support_clips, support_labels,

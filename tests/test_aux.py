@@ -207,3 +207,41 @@ def test_aot_serving_artifact_roundtrip(tmp_path):
     assert got.shape == (E, q, ep.way)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert m["input_shapes"]["support_clips"][0] == E
+
+
+def test_aot_extract_artifact_roundtrip(tmp_path):
+    """export_extract_artifact → load_serving_artifact: the deserialized
+    fused-feature extractor (kind=extract_mfm) matches MFMTeacher.extract."""
+    from litemkd_tpu.tools.aot import (export_extract_artifact,
+                                       load_serving_artifact, make_extract_fn)
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": 32,
+        "trans_linear_out_dim": 24, "trans_num": 1}))
+    N, T_, D_ = 3, cfg.episode.seq_len, 32
+    rng = np.random.default_rng(1)
+    feats = {m: rng.standard_normal((N, T_, D_)).astype(np.float32)
+             for m in cfg.model.modalities}
+
+    model = make_mfm(cfg, batched=False)
+    ep = cfg.episode
+    sup = {m: jnp.asarray(rng.standard_normal(
+        (ep.n_support, T_, D_)).astype(np.float32)) for m in feats}
+    qry = {m: jnp.asarray(rng.standard_normal(
+        (ep.n_queries(True), T_, D_)).astype(np.float32)) for m in feats}
+    labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot).astype(np.int32))
+    variables = model.init(jax.random.key(0), sup, labels, qry, False)
+    want = np.asarray(make_extract_fn(cfg)(variables, feats))
+
+    path = str(tmp_path / "extract.litemkd")
+    manifest = export_extract_artifact(cfg, variables, path,
+                                       platforms=("cpu",), batch=N)
+    assert manifest["kind"] == "extract_mfm" and manifest["batch"] == N
+
+    extractor, m = load_serving_artifact(path)
+    got = np.asarray(extractor(feats))
+    assert got.shape == (N, T_, D_)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert sorted(m["input_shapes"]) == sorted(cfg.model.modalities)
