@@ -135,12 +135,17 @@ def main():
 
     vs = None
     baseline_path = os.path.join(ROOT, "BASELINE_LOCAL.json")
-    # the torch-CPU baseline is the flagship TRAIN computation — the ratio is
+    # torch-CPU baselines exist for the flagship TRAIN computation and the
+    # MFM teacher step (tools/torch_cpu_{,teacher_}baseline.py); the ratio is
     # meaningless for other presets/modes
-    if (mode == "train" and bench_preset == "student_fc2sup_dist"
-            and os.path.exists(baseline_path)):
+    baseline_key = None
+    if mode == "train" and bench_preset == "student_fc2sup_dist":
+        baseline_key = "torch_cpu_episodes_per_sec"
+    elif mode == "teacher" and bench_preset == "mfm_teacher":
+        baseline_key = "torch_cpu_teacher_episodes_per_sec"
+    if baseline_key and os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f).get("torch_cpu_episodes_per_sec")
+            base = json.load(f).get(baseline_key)
         if base:
             vs = eps / base
 
