@@ -11,7 +11,8 @@ training loop).
 ``BENCH_MODE=eval`` measures the episodic evaluation forward (the 10k-task
 protocol's hot path); ``BENCH_MODE=teacher`` the MFM fusion-teacher training
 step over synthetic multi-modal feature episodes (defaults to the
-``mfm_teacher`` preset).
+``mfm_teacher`` preset); ``BENCH_MODE=teacher_eval`` the teacher's episodic
+test forward.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; every run
 also appends a full record to BENCH_HISTORY.jsonl so future rounds can regress
@@ -39,7 +40,8 @@ def _bench_config(mode: str):
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
-    default_preset = "mfm_teacher" if mode == "teacher" else "student_fc2sup_dist"
+    default_preset = ("mfm_teacher" if mode.startswith("teacher")
+                      else "student_fc2sup_dist")
     bench_preset = os.environ.get("BENCH_PRESET", default_preset)
     cfg = preset(bench_preset)
     # dict-splat: only override the knobs, never reset preset fields
@@ -121,6 +123,30 @@ def bench_teacher(cfg, episodes_per_step, n_steps):
             "teacher_train_episodes_per_sec_per_chip")
 
 
+def bench_teacher_eval(cfg, episodes_per_step, n_steps):
+    """The teacher's episodic test protocol (multi_fusion.py test loop) —
+    eval-mode MFM forward over multi-modal feature episodes."""
+    import jax
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.data import device_put_batch
+    from litemkd_tpu.train import create_mfm_train_state, make_mfm_eval_step
+
+    src = SyntheticMultiModalSource(cfg, n_classes=16, seed=0)
+    batch = device_put_batch(src.sample_batch(np.random.default_rng(0),
+                                              episodes_per_step, train=False))
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+    variables = {"params": state.params}
+    eval_step = jax.jit(make_mfm_eval_step(cfg))
+
+    _ = np.asarray(eval_step(variables, batch)).sum()   # compile + warmup
+    t0 = time.time()
+    for _ in range(n_steps):
+        _ = np.asarray(eval_step(variables, batch)).sum()
+    dt = time.time() - t0
+    return (n_steps * episodes_per_step / dt,
+            "teacher_eval_episodes_per_sec_per_chip")
+
+
 def main():
     from litemkd_tpu.cli.common import enable_compilation_cache
     enable_compilation_cache()
@@ -130,7 +156,8 @@ def main():
     cfg, bench_preset, episodes_per_step = _bench_config(mode)
 
     runner = {"train": bench_train, "eval": bench_eval,
-              "teacher": bench_teacher}[mode]
+              "teacher": bench_teacher,
+              "teacher_eval": bench_teacher_eval}[mode]
     eps, metric = runner(cfg, episodes_per_step, n_steps)
 
     vs = None
@@ -149,7 +176,7 @@ def main():
         if base:
             vs = eps / base
 
-    if mode == "teacher":
+    if mode.startswith("teacher"):
         desc = (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot "
                 f"MFM fusion teacher, {len(cfg.model.modalities)} modalities, "
                 f"d={cfg.model.trans_linear_in_dim})")

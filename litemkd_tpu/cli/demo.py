@@ -20,33 +20,63 @@ from .common import enable_compilation_cache, add_common_args, build_config, bui
 
 
 def build_runner(cfg, checkpoint_dir=None):
-    from ..train import create_train_state, CheckpointManager
-    from ..distill import merge_logits
-    from ..models import BatchedStudent
+    import sys
 
     sampler = build_sampler(cfg, need_teacher=False)
-    rng = np.random.default_rng(cfg.train.seed)
-    sample = sampler.sample_batch(rng, 1, train=False)
-    state, _ = create_train_state(cfg, jax.random.key(0), sample)
-    import sys
-    if checkpoint_dir:
-        # the reference demo serves a trained model (multi_fusion.py:676-680);
-        # status goes to stderr — `--once` stdout must stay pure JSON
-        state, _ = CheckpointManager(checkpoint_dir).restore(state)
-        print(f"restored checkpoint @{int(state.episodes_seen)} episodes",
-              file=sys.stderr)
+
+    if checkpoint_dir and checkpoint_dir.endswith(".litemkd"):
+        # serve an AOT artifact (cli.export --aot): the StableHLO scorer +
+        # bundled weights — the production serving path, no model build at all
+        from ..tools.aot import load_serving_artifact
+        scorer, m = load_serving_artifact(checkpoint_dir)
+        if m.get("kind", "scorer") != "scorer":
+            raise ValueError(f"{checkpoint_dir} is a {m['kind']!r} artifact — "
+                             "the demo serves episodic scorers")
+        for key, want in (("way", cfg.episode.way), ("shot", cfg.episode.shot),
+                          ("img_size", cfg.episode.img_size),
+                          ("seq_len", cfg.episode.seq_len), ("episodes", 1)):
+            if m.get(key) != want:
+                raise ValueError(
+                    f"artifact geometry mismatch: {key}={m.get(key)} but the "
+                    f"demo config needs {want} (re-export with matching "
+                    "--preset/--aot_episodes 1)")
+        print(f"serving AOT artifact {checkpoint_dir} "
+              f"(platforms={m['platforms']})", file=sys.stderr)
+
+        def score(batch):
+            return np.asarray(scorer(batch.support_clips,
+                                     batch.support_labels,
+                                     batch.query_clips))[0]
     else:
-        print("WARNING: no --test_model_path given — serving RANDOM weights",
-              file=sys.stderr)
-    student = BatchedStudent(cfg)
+        from ..train import create_train_state, CheckpointManager
+        from ..distill import merge_logits
+        from ..models import BatchedStudent
+
+        rng = np.random.default_rng(cfg.train.seed)
+        sample = sampler.sample_batch(rng, 1, train=False)
+        state, _ = create_train_state(cfg, jax.random.key(0), sample)
+        if checkpoint_dir:
+            # the reference demo serves a trained model
+            # (multi_fusion.py:676-680); status goes to stderr — `--once`
+            # stdout must stay pure JSON
+            state, _ = CheckpointManager(checkpoint_dir).restore(state)
+            print(f"restored checkpoint @{int(state.episodes_seen)} episodes",
+                  file=sys.stderr)
+        else:
+            print("WARNING: no --test_model_path given — serving RANDOM "
+                  "weights", file=sys.stderr)
+        student = BatchedStudent(cfg)
+
+        def score(batch):
+            out = student.apply(state.variables, batch.support_clips,
+                                batch.support_labels, batch.query_clips,
+                                train=False)
+            return np.asarray(merge_logits(cfg.distill.name, out["logits"]))[0]
 
     def run_episode(seed: int):
         r = np.random.default_rng(seed)
         batch = sampler.sample_batch(r, 1, train=False)
-        out = student.apply(state.variables, batch.support_clips,
-                            batch.support_labels, batch.query_clips,
-                            train=False)
-        logits = np.asarray(merge_logits(cfg.distill.name, out["logits"]))[0]
+        logits = score(batch)
         preds = logits.argmax(-1)
         truth = np.asarray(batch.query_labels)[0]
         return [{"query": int(i), "predicted": int(p), "true": int(t),
@@ -62,7 +92,8 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--port", type=int, default=8089)
     p.add_argument("--test_model_path", "-m", default=None,
-                   help="checkpoint dir to serve (random weights otherwise)")
+                   help="checkpoint dir or .litemkd AOT artifact to serve "
+                        "(random weights otherwise)")
     p.add_argument("--once", action="store_true",
                    help="print one episode's results as JSON and exit (no server)")
     args = p.parse_args(argv)

@@ -245,3 +245,55 @@ def test_aot_extract_artifact_roundtrip(tmp_path):
     assert got.shape == (N, T_, D_)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert sorted(m["input_shapes"]) == sorted(cfg.model.modalities)
+
+
+def test_demo_serves_aot_artifact(tmp_path):
+    """cli.demo -m x.litemkd: the demo runner scores episodes through the
+    deserialized StableHLO artifact (the model-code-free serving path)."""
+    from litemkd_tpu.cli.demo import build_runner
+    from litemkd_tpu.models import BatchedStudent
+    from litemkd_tpu.tools.aot import export_serving_artifact
+
+    cfg = preset("tiny")
+    ep = cfg.episode
+    rng = np.random.default_rng(0)
+    s, q = ep.n_support, ep.n_queries(False)
+    sup = jnp.asarray(rng.integers(
+        0, 255, (1, s, ep.seq_len, ep.img_size, ep.img_size, 3),
+        dtype=np.uint8))
+    lab = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot)[None].astype(np.int32))
+    qry = jnp.asarray(rng.integers(
+        0, 255, (1, q, ep.seq_len, ep.img_size, ep.img_size, 3),
+        dtype=np.uint8))
+    variables = BatchedStudent(cfg).init(jax.random.key(0), sup, lab, qry,
+                                         train=False)
+    path = str(tmp_path / "demo.litemkd")
+    export_serving_artifact(cfg, variables, path, platforms=("cpu",),
+                            episodes=1)
+
+    rows = build_runner(cfg, checkpoint_dir=path)(seed=3)
+    assert len(rows) == q
+    assert all(np.isfinite(r["logits"]).all() for r in rows)
+    assert all(0 <= r["predicted"] < ep.way for r in rows)
+
+    # a wrong-kind artifact is rejected with a clear error
+    import pytest as _pytest
+    from litemkd_tpu.tools.aot import export_extract_artifact
+    from litemkd_tpu.train.teacher_steps import make_mfm
+    base = preset("tiny")
+    mcfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": 16,
+        "trans_linear_out_dim": 8, "trans_num": 1}))
+    model = make_mfm(mcfg, batched=False)
+    feats = {m: jnp.asarray(rng.standard_normal(
+        (mcfg.episode.n_support, mcfg.episode.seq_len, 16)).astype(np.float32))
+        for m in mcfg.model.modalities}
+    qfeats = {m: v[:mcfg.episode.n_queries(True)] for m, v in feats.items()}
+    mvars = model.init(jax.random.key(1), feats,
+                       jnp.asarray(np.repeat(np.arange(mcfg.episode.way),
+                                             mcfg.episode.shot).astype(np.int32)),
+                       qfeats, False)
+    epath = str(tmp_path / "extract.litemkd")
+    export_extract_artifact(mcfg, mvars, epath, platforms=("cpu",), batch=2)
+    with _pytest.raises(ValueError, match="extract_mfm"):
+        build_runner(cfg, checkpoint_dir=epath)
