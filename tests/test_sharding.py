@@ -54,6 +54,42 @@ def test_dp_tp_train_step_matches_single_device():
                                atol=1e-5)
 
 
+def test_mfm_dp_tp_step_matches_single_device():
+    """The MFM fusion-teacher train step (Adam over encoder stacks) produces
+    the same loss/params on a dp4×tp2 mesh as on one device — the teacher
+    CLI's cfg.mesh path (train/teacher_steps.py + parallel/mesh.py)."""
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.train import create_mfm_train_state, make_mfm_train_step
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "trans_linear_in_dim": 32,
+        "trans_linear_out_dim": 16, "trans_num": 1}))
+    src = SyntheticMultiModalSource(cfg, n_classes=8, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0), 8)
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+    step = make_mfm_train_step(cfg)
+
+    s1, m1 = jax.jit(step)(state, batch)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    sh_state = state.replace(
+        params=shard_variables(state.params, mesh),
+        opt_state=shard_variables(state.opt_state, mesh),
+    )
+    sh_batch = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        s2, m2 = jax.jit(step)(sh_state, sh_batch)
+
+    assert np.isfinite(float(m2["task_loss"]))
+    np.testing.assert_allclose(float(m1["task_loss"]), float(m2["task_loss"]),
+                               rtol=2e-3)
+    for p1, p2 in zip(jax.tree_util.tree_leaves(s1.params)[:3],
+                      jax.tree_util.tree_leaves(s2.params)[:3]):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-3,
+                                   atol=1e-5)
+
+
 def test_tp_shards_wide_projections():
     cfg = preset("tiny")
     src = SyntheticEpisodeSource(cfg, n_classes=8, seed=0)
