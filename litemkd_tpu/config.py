@@ -185,6 +185,14 @@ def preset(name: str, **overrides) -> Config:
         "student_mobilenet": Config(
             model=ModelConfig(backbone="mobilenetv3_large_2fc", classifier="TRX_2fcsup"),
         ),
+        # per-modality TRX expert stage (teacher/code/run.py via
+        # scripts/*/run/*_trx_run.sh: resnet50, qpc 4, lr 1e-4 SGD, dk 1152)
+        "expert_trx": Config(
+            episode=EpisodeConfig(query_per_class=4),
+            model=ModelConfig(backbone="resnet50_student", classifier="TRX"),
+            distill=DistillConfig(name="ce"),
+            train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
+        ),
         # tiny geometry for tests / dryruns
         "tiny": Config(
             episode=EpisodeConfig(way=3, shot=2, query_per_class=2,
