@@ -12,16 +12,20 @@ from ..config import (Config, DataConfig, DistillConfig, EpisodeConfig,
                       MeshConfig, ModelConfig, TrainConfig, preset)
 
 
-def enable_compilation_cache(path: str = "/tmp/litemkd_jax_cache") -> None:
+def enable_compilation_cache(path: str = "/tmp/litemkd_jax_cache",
+                             min_compile_secs: float = 5.0) -> None:
     """Persistent XLA compilation cache — first compiles of the flagship step
     take minutes on remote-compile TPU setups; cached reruns are instant.
-    Honors JAX_COMPILATION_CACHE_DIR if the user already set one."""
+    Honors JAX_COMPILATION_CACHE_DIR if the user already set one. The test
+    suite calls this with a lower ``min_compile_secs``: its many small CPU
+    compiles individually sit under the CLI default."""
     import os as _os
     import jax
     cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
     except Exception:
         pass
 
@@ -29,7 +33,9 @@ def enable_compilation_cache(path: str = "/tmp/litemkd_jax_cache") -> None:
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default=None,
                    help="named preset (student_fc2sup_dist, student_plain, "
-                        "mfm_teacher, student_mobilenet, tiny)")
+                        "mfm_teacher, student_mobilenet, expert_trx, "
+                        "expert_strm, expert_baseline, expert_skeleton_trx, "
+                        "tiny)")
     # episode geometry (options.py:12-25)
     p.add_argument("--way", type=int, default=None)
     p.add_argument("--shot", type=int, default=None)
@@ -69,6 +75,18 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--teacher_path", default=None)
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--fixed_episode_file", default=None)
+    # multi-camera datasets (reference run.py:142-146)
+    p.add_argument("--cross_view", action="store_true", default=None,
+                   help="support clips from a random camera view, queries "
+                        "from --view")
+    p.add_argument("--view", type=int, default=None,
+                   help="query camera index into sorted(view_root) for "
+                        "--cross_view")
+    p.add_argument("--fixed_view", default=None,
+                   help="pin every clip to one named camera view")
+    p.add_argument("--view_root", default=None,
+                   help="all_view_rgb_l8-style tree (default: sibling of "
+                        "rgb_path)")
     # misc
     p.add_argument("--mode", default=None, help="experiment description tag")
     p.add_argument("--num_test_tasks", type=int, default=None)
@@ -197,7 +215,11 @@ def build_config(args: argparse.Namespace) -> Config:
         teacher_path=args.teacher_path or dc.teacher_path or paths["teacher_path"],
         num_workers=pick(dc.num_workers, args.num_workers),
         prefetch=dc.prefetch,
-        fixed_episode_file=pick(dc.fixed_episode_file, args.fixed_episode_file)))
+        fixed_episode_file=pick(dc.fixed_episode_file, args.fixed_episode_file),
+        cross_view=pick(dc.cross_view, args.cross_view),
+        query_view=pick(dc.query_view, args.view),
+        fixed_view=pick(dc.fixed_view, args.fixed_view),
+        view_root=pick(dc.view_root, args.view_root)))
 
     if args.mesh_data is not None or args.mesh_model is not None:
         cfg = cfg.replace(mesh=MeshConfig(
@@ -262,9 +284,15 @@ def build_sampler(cfg: Config, need_teacher: bool = True):
     video_store = None
     feature_store = None
     if cfg.data.rgb_path:
+        view_root = cfg.data.view_root
+        if view_root is None and (cfg.data.cross_view or cfg.data.fixed_view):
+            # reference derivation: sibling of the modality tree
+            # (video_reader.py:265 — dirname(path)/all_view_rgb_l8)
+            view_root = os.path.join(os.path.dirname(
+                cfg.data.rgb_path.rstrip("/")), "all_view_rgb_l8")
         video_store = VideoStore(cfg.data.rgb_path, cfg.data.traintestlist,
                                  cfg.data.split, cfg.episode.seq_len,
-                                 cfg.episode.img_size)
+                                 cfg.episode.img_size, view_root=view_root)
     if need_teacher and cfg.data.teacher_path:
         feature_store = FeatureStore(cfg.data.teacher_path,
                                      cfg.data.traintestlist, cfg.data.split,

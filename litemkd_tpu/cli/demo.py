@@ -33,6 +33,7 @@ def build_runner(cfg, checkpoint_dir=None):
             raise ValueError(f"{checkpoint_dir} is a {m['kind']!r} artifact — "
                              "the demo serves episodic scorers")
         for key, want in (("way", cfg.episode.way), ("shot", cfg.episode.shot),
+                          ("queries", cfg.episode.n_queries(False)),
                           ("img_size", cfg.episode.img_size),
                           ("seq_len", cfg.episode.seq_len), ("episodes", 1)):
             if m.get(key) != want:

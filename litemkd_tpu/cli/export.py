@@ -63,7 +63,8 @@ def main(argv=None):
         from ..tools.aot import (export_serving_artifact,
                                  export_extract_artifact,
                                  load_serving_artifact)
-        platforms = tuple(s for s in args.aot_platforms.split(",") if s)
+        platforms = tuple(s.strip() for s in args.aot_platforms.split(",")
+                          if s.strip())
         if args.mfm:
             variables = {"params": payload["params"]}
             manifest = export_extract_artifact(cfg, variables, args.out,

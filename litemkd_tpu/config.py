@@ -113,6 +113,17 @@ class DataConfig:
     num_workers: int = 4
     prefetch: int = 2
     fixed_episode_file: Optional[str] = None  # JSON replay of fixed test episodes
+    # multi-camera (dance-style) datasets with an ``all_view_rgb_l8/<view>/
+    # <class>/<video>`` sibling tree (reference run.py --cross_view/--view/
+    # --fixed_view, video_reader.py:255-343): cross_view draws each SUPPORT
+    # clip from a random camera and every QUERY clip from views[query_view];
+    # fixed_view pins every clip to one named view (the commented-out intent
+    # of get_fixed_view_modality_seq — as released that path degenerates to
+    # the primary tree)
+    cross_view: bool = False
+    query_view: int = 3
+    fixed_view: Optional[str] = None
+    view_root: Optional[str] = None      # defaults to <rgb_path>/../all_view_rgb_l8
 
 
 @dataclass(frozen=True)
@@ -190,6 +201,31 @@ def preset(name: str, **overrides) -> Config:
         "expert_trx": Config(
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="resnet50_student", classifier="TRX"),
+            distill=DistillConfig(name="ce"),
+            train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
+        ),
+        # per-modality CNN_STRM expert (scripts/*/trx/{rgb,flow,depth}_strm.sh:
+        # resnet50 STRM trunk, run.py:330-337's task_loss + 0.1·pat joint CE,
+        # lr 3e-4, qpc 4, 70010 iters)
+        "expert_strm": Config(
+            episode=EpisodeConfig(query_per_class=4),
+            model=ModelConfig(backbone="cnn_strm", classifier="strmclassifiers"),
+            distill=DistillConfig(name="strm"),
+            train=TrainConfig(learning_rate=3e-4, training_iterations=70010),
+        ),
+        # per-modality Baseline expert (scripts/*/run/5-shot/*_Baseline_50.sh:
+        # resnet50 GAP + euclidean class-mean prototypes, CELoss, lr 3e-4)
+        "expert_baseline": Config(
+            episode=EpisodeConfig(query_per_class=4),
+            model=ModelConfig(backbone="resnet50_gap", classifier="e_dist"),
+            distill=DistillConfig(name="ce"),
+            train=TrainConfig(learning_rate=3e-4, training_iterations=70020),
+        ),
+        # skeleton-modality TRX expert (scripts/*/run/5-shot/
+        # skeleton_trx_run.sh: skeleton encoder + TRX head, lr 1e-4)
+        "expert_skeleton_trx": Config(
+            episode=EpisodeConfig(query_per_class=4),
+            model=ModelConfig(backbone="s3d", classifier="TRX"),
             distill=DistillConfig(name="ce"),
             train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
         ),

@@ -196,11 +196,13 @@ class EpisodeSampler:
         store = self.videos if self.videos is not None else self.features
         return store.split(train)
 
-    def _load_one(self, rec, train: bool, seed: int):
+    def _load_one(self, rec, train: bool, seed: int, support: bool = True):
         rng = np.random.default_rng(seed)
         clip = feats = None
         if self.videos is not None:
-            clip = self.videos.load(rec, train, rng)
+            view = self._pick_view(support, rng)
+            clip = (self.videos.load(rec, train, rng) if view is None
+                    else self.videos.load_view(rec, view, train, rng))
         if self.features is not None:
             # feature tree is keyed identically (class, video); records from the
             # video index carry the ids needed for the lookup
@@ -223,6 +225,25 @@ class EpisodeSampler:
                                  np.float32)
         return clip, feats
 
+    def _pick_view(self, support: bool, rng: np.random.Generator):
+        """Camera selection for multi-view datasets (reference
+        video_reader.py:266-272 / run.py --cross_view/--fixed_view): supports
+        come from a random camera, queries from ``views[query_view]``.
+        Bug-faithful detail: the released support-view choice draws from ALL
+        views (the ``view_list[:qv] + view_list[qv:]`` slice-concat is a
+        no-op), so the query camera is NOT excluded."""
+        d = self.cfg.data
+        if d.fixed_view is not None:
+            return d.fixed_view
+        if not d.cross_view:
+            return None
+        views = self.videos.views
+        if not views:
+            raise ValueError("cross_view needs a scanned view_root tree")
+        if support:
+            return views[int(rng.integers(len(views)))]
+        return views[d.query_view]
+
     def _feature_record(self, rec, train: bool):
         if self.videos is None:
             return rec
@@ -242,10 +263,12 @@ class EpisodeSampler:
         seeds = rng.integers(0, 2 ** 31, size=len(jobs))
         if self.pool is not None:
             loaded = list(self.pool.map(
-                lambda jz: self._load_one(jz[0][0], train, jz[1]),
+                lambda jz: self._load_one(jz[0][0], train, jz[1],
+                                          support=jz[0][1]),
                 zip(jobs, seeds)))
         else:
-            loaded = [self._load_one(j[0], train, s) for j, s in zip(jobs, seeds)]
+            loaded = [self._load_one(j[0], train, s, support=j[1])
+                      for j, s in zip(jobs, seeds)]
 
         sup, qry = [], []
         for (rec, is_sup, label, real_c), (clip, feats) in zip(jobs, loaded):

@@ -227,10 +227,16 @@ class VideoStore:
 
     def __init__(self, rgb_path: str, annotation_dir: str, split: int,
                  seq_len: int, img_size: int, use_native: bool = True,
-                 resize_to: Optional[int] = None):
+                 resize_to: Optional[int] = None,
+                 view_root: Optional[str] = None):
         self.seq_len = seq_len
         self.img_size = img_size
         self.use_native = use_native
+        # multi-camera tree all_view_rgb_l8/<view>/<class>/<video> for the
+        # cross-view sampling mode (reference video_reader.py:255-274)
+        self.view_root = view_root
+        self.views: List[str] = (sorted(os.listdir(view_root))
+                                 if view_root else [])
         # the reference's shorter-side resize follows the crop size
         # (video_reader.py:96-101: 96 for img_size 84, 256 for 224 — both are
         # img_size·256/224); a fixed 256 would give wrong-scale crops at other
@@ -263,3 +269,25 @@ class VideoStore:
         return load_clip(rec.frame_paths, idxs, img_size=self.img_size,
                          train=train, rng=rng, zip_store=self.zip_store,
                          resize_to=self.resize_to)
+
+    def load_view(self, rec: VideoRecord, view: str, train: bool,
+                  rng: np.random.Generator) -> np.ndarray:
+        """Load ``rec``'s clip from a specific camera of the multi-view tree
+        (reference ``get_cross_view_rgb_seq``, video_reader.py:255-313): the
+        view directory is re-listed, so per-view frame counts may differ from
+        the primary tree's."""
+        if self.view_root is None:
+            raise ValueError("cross/fixed-view sampling needs a view_root "
+                             "(all_view_rgb_l8-style tree)")
+        vdir = os.path.join(self.view_root, view,
+                            self.class_names[rec.class_id], rec.video_id)
+        paths = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))]
+        idxs = sample_frame_indices(len(paths), self.seq_len, train, rng)
+        if self.use_native:
+            clip = load_clip_native(paths, idxs, img_size=self.img_size,
+                                    train=train, rng=rng,
+                                    resize_to=self.resize_to, zip_store=None)
+            if clip is not None:
+                return clip
+        return load_clip(paths, idxs, img_size=self.img_size, train=train,
+                         rng=rng, zip_store=None, resize_to=self.resize_to)

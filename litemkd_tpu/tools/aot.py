@@ -70,6 +70,21 @@ def make_extract_fn(cfg: Config) -> Callable:
     return extract
 
 
+def _prune_empty(tree):
+    """Drop leafless subtrees (e.g. an empty ``batch_stats`` collection from
+    a BN-free trunk). The flat ``params.npz`` cannot represent an empty dict,
+    so exporting with one would bake a calling convention the round-tripped
+    weights can never match — prune before lowering instead."""
+    if hasattr(tree, "items"):
+        out = {}
+        for k, v in tree.items():
+            p = _prune_empty(v)
+            if not (isinstance(p, dict) and not p):
+                out[k] = p
+        return out
+    return tree
+
+
 def _flatten_variables(variables) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
@@ -102,6 +117,7 @@ def export_serving_artifact(cfg: Config, variables, out_path: str,
         "query_clips": (episodes, q, ep.seq_len, ep.img_size, ep.img_size, 3),
     }
     serve = make_serving_fn(cfg)
+    variables = _prune_empty(variables)
     var_specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         variables)
@@ -135,6 +151,7 @@ def export_extract_artifact(cfg: Config, variables, out_path: str,
     t = cfg.episode.seq_len
     shapes = {m: (batch, t, d) for m in cfg.model.modalities}
     fn = make_extract_fn(cfg)
+    variables = _prune_empty(variables)
     var_specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         variables)

@@ -375,12 +375,34 @@ def load_pretrain_init(path: str, cfg: Config, arch: str) -> dict:
     depth = int(arch.replace("resnet", ""))
     kind = detect_torchvision_zoo(sd)
     if kind == "resnet":
-        trunk_p, trunk_s = import_resnet_trunk(sd, depth)
+        prefix = ""
+    elif kind == "mobilenet":
+        raise ValueError(f"{path} is a mobilenet zoo checkpoint; the "
+                         f"pretraining stage warm-starts resnet/deit trunks "
+                         f"only (--arch {arch})")
     elif any(k.startswith("trunk.") for k in sd):    # our exported layout
-        trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="trunk.")
+        prefix = "trunk."
     else:
         raise ValueError(f"{path} is not a resnet zoo / pretrain checkpoint")
+    have = _resnet_sd_depth(sd, prefix)
+    if have != depth:
+        # resnet34 basic blocks truncate shape-compatibly into resnet18, so a
+        # silent mismatch would train from wrong weights — same guard as
+        # load_torchvision_trunk
+        raise ValueError(f"{path} holds resnet{have} weights but --arch "
+                         f"requested resnet{depth}")
+    trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix=prefix)
     return {"params": {"trunk": trunk_p}, "batch_stats": {"trunk": trunk_s}}
+
+
+def _resnet_sd_depth(sd: Dict[str, np.ndarray], prefix: str = "") -> int:
+    """Depth of a resnet state dict from its block structure: bottleneck
+    conv3 ⇒ 50, a third basic block in layer1 ⇒ 34, else 18."""
+    if f"{prefix}layer1.0.conv3.weight" in sd:
+        return 50
+    if f"{prefix}layer1.2.conv1.weight" in sd:
+        return 34
+    return 18
 
 
 def detect_torchvision_zoo(sd: Dict[str, np.ndarray]) -> Optional[str]:
@@ -417,12 +439,7 @@ def load_torchvision_trunk(path: str, cfg: Config) -> dict:
         raise ValueError(f"{path} is not a raw torchvision zoo checkpoint")
     backbone = cfg.model.backbone
     if kind == "resnet":
-        if "layer1.0.conv3.weight" in sd:
-            depth = 50
-        elif "layer1.2.conv1.weight" in sd:
-            depth = 34
-        else:
-            depth = 18
+        depth = _resnet_sd_depth(sd)
         want = 50 if backbone.startswith(("resnet50", "meta_baseline")) else \
             34 if backbone.startswith("resnet34") else 18
         if not backbone.startswith(("resnet", "meta_baseline", "strm", "cnn_strm")):

@@ -97,8 +97,9 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
         acc.extend(accs)
         if task_log is not None:
             meta = metas.pop(i)
-            real_preds = np.take_along_axis(meta.classes, np.asarray(preds),
-                                            axis=-1)
+            from ..utils.metrics import real_class_preds
+            real_preds = np.asarray(real_class_preds(np.asarray(preds),
+                                                     meta.classes))
             for e in range(accs.shape[0]):
                 task_log({
                     "task": offsets[i] + e,

@@ -32,8 +32,14 @@ def task_confusion(logits: jnp.ndarray, batch_class_list: jnp.ndarray) -> jnp.nd
     id of each query prediction, enabling the per-task confusion analysis of
     ``test.py:160-201``.
     """
-    preds = jnp.argmax(logits, axis=-1)
-    return jnp.take_along_axis(jnp.asarray(batch_class_list), preds, axis=-1)
+    return real_class_preds(jnp.argmax(logits, axis=-1), batch_class_list)
+
+
+def real_class_preds(preds: jnp.ndarray, batch_class_list: jnp.ndarray) -> jnp.ndarray:
+    """Episode-local argmax predictions → real class ids (the gather half of
+    :func:`task_confusion`, for callers that already hold device argmaxes)."""
+    return jnp.take_along_axis(jnp.asarray(batch_class_list),
+                               jnp.asarray(preds), axis=-1)
 
 
 def confidence_interval(accuracies: np.ndarray) -> Dict[str, float]:

@@ -23,6 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: a cold suite on this 1-core box spends most
+# of its wall time in XLA compiles (>30 min cold vs ~8 min warm). Entries are
+# keyed by platform/topology, so sharing the CLIs' cache dir is safe.
+from litemkd_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(min_compile_secs=1.0)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

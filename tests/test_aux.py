@@ -233,6 +233,10 @@ def test_aot_extract_artifact_roundtrip(tmp_path):
         (ep.n_queries(True), T_, D_)).astype(np.float32)) for m in feats}
     labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot).astype(np.int32))
     variables = model.init(jax.random.key(0), sup, labels, qry, False)
+    # cli.export bundles possibly-EMPTY collections (an LN-only model has no
+    # batch_stats); the flat params.npz cannot represent an empty dict, so
+    # export must prune it or the artifact can never be called after loading
+    variables = {**variables, "batch_stats": {}}
     want = np.asarray(make_extract_fn(cfg)(variables, feats))
 
     path = str(tmp_path / "extract.litemkd")
@@ -297,3 +301,30 @@ def test_demo_serves_aot_artifact(tmp_path):
     export_extract_artifact(mcfg, mvars, epath, platforms=("cpu",), batch=2)
     with _pytest.raises(ValueError, match="extract_mfm"):
         build_runner(cfg, checkpoint_dir=epath)
+
+
+def test_prune_empty_collections():
+    """aot._prune_empty drops leafless subtrees at any depth (they cannot
+    survive the params.npz round trip) and keeps every real leaf."""
+    from litemkd_tpu.tools.aot import _prune_empty
+
+    tree = {"params": {"w": 1, "inner": {"deeper": {}}},
+            "batch_stats": {}, "x": 0}
+    assert _prune_empty(tree) == {"params": {"w": 1}, "x": 0}
+
+
+def test_deep_merge_variables_strict():
+    """deep_merge_variables keeps unmentioned template subtrees, applies
+    override leaves, and REFUSES override keys the template doesn't have —
+    flax would silently ignore the stray subtree and the warm start would be
+    a logged no-op."""
+    from litemkd_tpu.utils import deep_merge_variables
+
+    template = {"params": {"backbone": {"w": 1}, "head": {"b": 2}}}
+    out = deep_merge_variables(template, {"params": {"backbone": {"w": 5}}})
+    assert out == {"params": {"backbone": {"w": 5}, "head": {"b": 2}}}
+
+    with pytest.raises(KeyError, match="params/bakbone"):
+        deep_merge_variables(template, {"params": {"bakbone": {"w": 5}}})
+    with pytest.raises(KeyError, match="subtree"):
+        deep_merge_variables(template, {"params": {"backbone": 3}})

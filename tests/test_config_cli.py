@@ -19,8 +19,14 @@ def test_config_json_roundtrip():
 
 def test_presets_exist():
     for name in ["student_fc2sup_dist", "student_plain", "mfm_teacher",
-                 "student_mobilenet", "tiny"]:
-        preset(name)
+                 "student_mobilenet", "expert_trx", "expert_strm",
+                 "expert_baseline", "expert_skeleton_trx", "tiny"]:
+        cfg = preset(name)
+        if name.startswith("expert_"):
+            # the expert stage trains without a fused teacher: plain episodic
+            # loss (run.py's CE / the STRM joint loss), qpc 4
+            assert cfg.distill.name in ("ce", "strm")
+            assert cfg.episode.query_per_class == 4
 
 
 def test_cli_flag_mapping():

@@ -13,6 +13,7 @@ from litemkd_tpu.data import (VideoStore, FeatureStore, EpisodeSampler,
 WAY, SHOT, QPC, T, D, IMG = 3, 2, 2, 4, 64, 32
 N_CLASSES, VIDS_PER_CLASS = 5, 10
 N_TRAIN = 7  # per class; rest are test
+VIEW_VALUES = (20, 60, 100, 140)  # constant pixel value per camera view
 
 
 @pytest.fixture(scope="module")
@@ -42,6 +43,19 @@ def dataset_dir(tmp_path_factory):
             (train_lines if v < N_TRAIN else test_lines).append(line)
     (ann / "trainlist03.txt").write_text("\n".join(train_lines) + "\n")
     (ann / "testlist03.txt").write_text("\n".join(test_lines) + "\n")
+    # multi-camera sibling tree (all_view_rgb_l8/<view>/<class>/<video>): each
+    # camera's frames are a constant, camera-unique pixel value so a decoded
+    # clip identifies its source view
+    for k in range(4):
+        for c in range(N_CLASSES):
+            cname = f"class{c:02d}"
+            for v in range(VIDS_PER_CLASS):
+                vdir = (root / "all_view_rgb_l8" / f"Camera_{k}" / cname /
+                        f"vid_{c:02d}_{v:02d}")
+                vdir.mkdir(parents=True)
+                arr = np.full((40, 48, 3), VIEW_VALUES[k], np.uint8)
+                for fidx in range(T):
+                    Image.fromarray(arr).save(vdir / f"{fidx:05d}.jpg")
     return root
 
 
@@ -453,3 +467,42 @@ def test_episode_sampler_meta(dataset_dir, cfg):
                                   [s.classes for s in specs])
     want = np.take_along_axis(meta.classes, batch.query_labels, axis=-1)
     np.testing.assert_array_equal(meta.real_query_labels, want)
+
+
+def test_cross_view_sampling(dataset_dir, cfg):
+    """--cross_view (reference run.py:142-146, video_reader.py:255-313):
+    every QUERY clip comes from views[query_view]; SUPPORT clips come from
+    random cameras over ALL views (the released slice-concat at l.268 is a
+    no-op, so the query camera is not excluded)."""
+    import dataclasses
+    ccfg = cfg.replace(data=dataclasses.replace(cfg.data, cross_view=True,
+                                                query_view=1))
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG, view_root=str(dataset_dir / "all_view_rgb_l8"))
+    assert vs.views == [f"Camera_{k}" for k in range(4)]
+    sampler = EpisodeSampler(ccfg, vs, None, num_workers=0)
+    batch = sampler.sample_batch(np.random.default_rng(5), 2, train=True)
+
+    def clip_views(clips):
+        # constant-color JPEGs decode to (nearly) their source value
+        means = clips.reshape(clips.shape[0], clips.shape[1], -1).mean((1, 2))
+        out = []
+        for m in means:
+            dist = [abs(m - v) for v in VIEW_VALUES]
+            assert min(dist) < 5.0, f"clip mean {m} matches no view"
+            out.append(int(np.argmin(dist)))
+        return out
+
+    for e in range(2):
+        assert clip_views(batch.query_clips[e]) == [1] * (WAY * QPC)
+    support_views = [v for e in range(2)
+                     for v in clip_views(batch.support_clips[e])]
+    assert len(set(support_views)) >= 2   # random cameras, not one pin
+
+    # --fixed_view pins EVERY clip to the named camera
+    fcfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                fixed_view="Camera_2"))
+    sampler = EpisodeSampler(fcfg, vs, None, num_workers=0)
+    batch = sampler.sample_batch(np.random.default_rng(6), 1, train=False)
+    assert clip_views(batch.support_clips[0]) == [2] * (WAY * SHOT)
+    assert clip_views(batch.query_clips[0]) == [2] * WAY

@@ -881,3 +881,12 @@ def test_load_pretrain_init_deit_and_resnet(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state2.params["trunk"]["conv1"]["kernel"]),
         np.transpose(tv["conv1.weight"].numpy(), (2, 3, 1, 0)), rtol=1e-6)
+
+    # depth mismatch must raise, not warm-start the wrong architecture:
+    # resnet34 basic blocks truncate shape-compatibly into resnet18, so a
+    # silent load would train from wrong weights (same guard as
+    # load_torchvision_trunk)
+    with pytest.raises(ValueError, match="resnet18"):
+        load_pretrain_init(str(p2), cfg, "resnet34")
+    with pytest.raises(ValueError, match="resnet18"):
+        load_pretrain_init(str(p2), cfg, "resnet50")

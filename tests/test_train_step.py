@@ -80,6 +80,31 @@ def test_ce_only_training_without_teacher():
     assert np.isfinite(float(metrics["task_loss"]))
 
 
+def test_expert_strm_training_without_teacher():
+    """The CNN_STRM expert stage (run.py:330-337 joint CE: fr + 0.1·pat,
+    scripts/*/trx/*_strm.sh) trains at tiny geometry with no teacher — the
+    combo behind the expert_strm preset."""
+    base = preset("tiny")
+    cfg = base.replace(
+        distill=base.distill.__class__(name="strm"),
+        model=base.model.__class__(
+            backbone="cnn_strm", classifier="strmclassifiers",
+            trans_linear_in_dim=base.model.trans_linear_in_dim,
+            trans_linear_out_dim=base.model.trans_linear_out_dim,
+            trans_num=1),
+    )
+    source = SyntheticEpisodeSource(cfg, n_classes=8, seed=0,
+                                    with_teacher_feats=False)
+    rng = np.random.default_rng(0)
+    batch = source.sample_batch(rng, 2)
+    state, t_vars = create_train_state(cfg, jax.random.key(0), batch)
+    assert t_vars is None
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, t_vars, batch)
+    assert np.isfinite(float(metrics["task_loss"]))
+    assert np.isfinite(float(metrics["pat_loss"]))
+
+
 def test_lr_schedule_decays():
     from litemkd_tpu.train import multistep_lr
     sched = multistep_lr(1e-4, (2000, 4000), 0.1, episodes_per_step=16)
