@@ -6,7 +6,7 @@ fc_2_sup_dist loss, 5-way 5-shot, 8×224×224 frames) over device-resident
 episode batches, and compares against the PyTorch-CPU baseline in
 BASELINE_LOCAL.json (produced by ``tools/torch_cpu_baseline.py`` — the same
 computation written in torch, run one episode at a time like the reference's
-training loop).
+training loop; ``--eval`` measures the forward-only eval protocol).
 
 ``BENCH_MODE=eval`` measures the episodic evaluation forward (the 10k-task
 protocol's hot path); ``BENCH_MODE=teacher`` the MFM fusion-teacher training
@@ -168,6 +168,8 @@ def main():
     baseline_key = None
     if mode == "train" and bench_preset == "student_fc2sup_dist":
         baseline_key = "torch_cpu_episodes_per_sec"
+    elif mode == "eval" and bench_preset == "student_fc2sup_dist":
+        baseline_key = "torch_cpu_eval_episodes_per_sec"
     elif mode == "teacher" and bench_preset == "mfm_teacher":
         baseline_key = "torch_cpu_teacher_episodes_per_sec"
     if baseline_key and os.path.exists(baseline_path):

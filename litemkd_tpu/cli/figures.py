@@ -10,6 +10,11 @@ and ``teacher/code/scripts/3d_visualization.py`` (H36M skeleton render).
 
     # one skeleton .npy → 3D bone plot (first frame, or --frame / --clip)
     python -m litemkd_tpu.cli.figures skeleton --npy <S3D.npy> --out pose.jpg
+
+    # real-class confusion matrix from an eval's per-task log
+    # (the reference test.py:115-316 analysis path)
+    python -m litemkd_tpu.cli.figures confusion --log tasks.jsonl \
+        --out confusion.csv --png confusion.png
 """
 from __future__ import annotations
 
@@ -32,6 +37,15 @@ def main(argv=None):
     g.add_argument("--out", default="multi_modality.pdf")
     g.add_argument("--img_size", type=int, default=224)
 
+    c = sub.add_parser("confusion", help="real-class confusion matrix from a "
+                       "cli.test --per_task_log JSONL (test.py:115-316 "
+                       "analysis path)")
+    c.add_argument("--log", required=True, help="per-task JSONL from cli.test")
+    c.add_argument("--out", default="confusion.csv")
+    c.add_argument("--png", default=None, help="optional heatmap output")
+    c.add_argument("--top", type=int, default=10,
+                   help="print the N most-confused class pairs")
+
     s = sub.add_parser("skeleton", help="3D skeleton plot (3d_visualization.py)")
     s.add_argument("--npy", required=True, help="(V,3) or (T,V,3) skeleton .npy")
     s.add_argument("--out", default="skeleton.jpg")
@@ -40,6 +54,24 @@ def main(argv=None):
                    help="render every frame of a (T,V,3) clip as a strip")
 
     args = p.parse_args(argv)
+    if args.cmd == "confusion":
+        from ..tools.confusion import (read_task_log, confusion_from_records,
+                                       per_class_accuracy, most_confused,
+                                       write_csv, render_png)
+        records = read_task_log(args.log)
+        m, ids = confusion_from_records(records)
+        write_csv(m, ids, args.out)
+        acc = per_class_accuracy(m)
+        print(f"{len(records)} tasks, {len(ids)} real classes → {args.out}")
+        worst = np.argsort(acc)[:5]
+        for i in worst:
+            print(f"  class {ids[i]}: acc {acc[i]:.3f} over {int(m[i].sum())}")
+        for t, pr, n in most_confused(m, ids, args.top):
+            print(f"  {t} → {pr}: {n}×")
+        if args.png:
+            render_png(m, ids, args.png)
+            print(f"heatmap → {args.png}")
+        return args.out
     if args.cmd == "grid":
         rows = []
         for r in args.row:

@@ -328,3 +328,39 @@ def test_deep_merge_variables_strict():
         deep_merge_variables(template, {"params": {"bakbone": {"w": 5}}})
     with pytest.raises(KeyError, match="subtree"):
         deep_merge_variables(template, {"params": {"backbone": 3}})
+
+
+def test_confusion_tool(tmp_path):
+    """figures confusion: per-task JSONL (cli.test --per_task_log schema) →
+    real-class confusion matrix, per-class accuracy, most-confused pairs —
+    the reference test.py:115-316 analysis path as a first-class tool."""
+    import json
+    from litemkd_tpu.tools.confusion import (read_task_log,
+                                             confusion_from_records,
+                                             per_class_accuracy, most_confused)
+    from litemkd_tpu.cli.figures import main as figures_main
+
+    log = tmp_path / "tasks.jsonl"
+    recs = [
+        {"task": 0, "accuracy": 2 / 3, "classes": [7, 3, 9],
+         "real_labels": [7, 3, 9], "real_preds": [7, 3, 3]},
+        {"task": 1, "accuracy": 1.0, "classes": [9, 3, 7],
+         "real_labels": [9, 9], "real_preds": [9, 9]},
+    ]
+    log.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+
+    m, ids = confusion_from_records(read_task_log(str(log)))
+    assert ids == [3, 7, 9]
+    # true 9 predicted 3 once; true 9 correct twice; true 3/7 correct once
+    np.testing.assert_array_equal(m, [[1, 0, 0], [0, 1, 0], [1, 0, 2]])
+    acc = per_class_accuracy(m)
+    np.testing.assert_allclose(acc, [1.0, 1.0, 2 / 3])
+    assert most_confused(m, ids) == [(9, 3, 1)]
+
+    out = figures_main(["confusion", "--log", str(log),
+                        "--out", str(tmp_path / "m.csv"),
+                        "--png", str(tmp_path / "m.png")])
+    assert os.path.getsize(out) > 0
+    assert os.path.getsize(tmp_path / "m.png") > 0
+    header = open(out).readline().strip().split(",")
+    assert header[1:] == ["3", "7", "9"]

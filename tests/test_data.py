@@ -506,3 +506,34 @@ def test_cross_view_sampling(dataset_dir, cfg):
     batch = sampler.sample_batch(np.random.default_rng(6), 1, train=False)
     assert clip_views(batch.support_clips[0]) == [2] * (WAY * SHOT)
     assert clip_views(batch.query_clips[0]) == [2] * WAY
+
+
+def test_cross_view_through_build_sampler_and_training(dataset_dir, cfg):
+    """build_sampler derives view_root from rgb_path's sibling
+    all_view_rgb_l8 tree (cli --cross_view with no --view_root) and
+    run_training consumes the cross-view sampler end-to-end."""
+    import dataclasses
+    from litemkd_tpu.cli.common import build_sampler
+    from litemkd_tpu.train import run_training
+    from litemkd_tpu.utils import MetricsLogger
+
+    ccfg = cfg.replace(
+        # teacher-free expert stage: no feature tree in the fixture's view mode
+        model=dataclasses.replace(cfg.model, backbone="resnet18_student",
+                                  classifier="TRX"),
+        distill=dataclasses.replace(cfg.distill, name="ce"),
+        data=dataclasses.replace(
+            cfg.data, dataset="hmdb", cross_view=True, query_view=0,
+            rgb_path=str(dataset_dir / "rgb_l8"),
+            traintestlist=str(dataset_dir / "splits"), num_workers=0),
+        train=dataclasses.replace(cfg.train, tasks_per_batch=2,
+                                  training_iterations=2, test_iters=(),
+                                  checkpoint_dir=None))
+    sampler = build_sampler(ccfg, need_teacher=False)
+    assert sampler.videos.view_root.endswith("all_view_rgb_l8")
+    batch = sampler.sample_batch(np.random.default_rng(0), 1, train=False)
+    # queries pinned to Camera_0 (constant pixel 20)
+    q = batch.query_clips[0].reshape(WAY, -1).mean(-1)
+    assert np.abs(q - VIEW_VALUES[0]).max() < 5.0
+    state, _, _ = run_training(ccfg, sampler, MetricsLogger(print_freq=0))
+    assert int(state.step) == 1

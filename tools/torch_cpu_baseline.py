@@ -138,6 +138,49 @@ def dist_loss(s, t):
     return 1 - pear.mean()
 
 
+def _merge_baseline(update: dict) -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BASELINE_LOCAL.json")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    out.update(update)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main_eval(n_episodes: int = 4):
+    """Forward-only eval-protocol baseline (the reference test.py loop:
+    one episode at a time, eval-mode BN, query_per_class_test=1) — the
+    denominator for ``BENCH_MODE=eval``'s vs_baseline."""
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count())
+    backbone = StudentBackbone2FC().eval()
+    tct = TCT().eval()
+    S, Q = WAY * SHOT, WAY * 1
+    ctx = torch.randn(S * T, 3, IMG, IMG)
+    tgt = torch.randn(Q * T, 3, IMG, IMG)
+    labels = torch.arange(WAY).repeat_interleave(SHOT)
+
+    @torch.no_grad()
+    def episode():
+        c1, c2 = backbone(ctx)
+        q1, q2 = backbone(tgt)
+        return float((tct(c1, labels, q1) + tct(c2, labels, q2)).sum())
+
+    episode()  # warmup
+    t0 = time.time()
+    for _ in range(n_episodes):
+        episode()
+    eps = n_episodes / (time.time() - t0)
+    out = {"torch_cpu_eval_episodes_per_sec": eps,
+           "eval_n_episodes": n_episodes,
+           "eval_config": "resnet18_2fc + TRX_2fcsup eval fwd, 5w5s q1, 224px"}
+    print(json.dumps({**out, "threads": torch.get_num_threads()}))
+    _merge_baseline(out)
+
+
 def main(n_episodes: int = 8):
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count())
@@ -183,10 +226,13 @@ def main(n_episodes: int = 8):
            "threads": torch.get_num_threads(),
            "config": "resnet18_2fc + TRX_2fcsup + fc_2_sup_dist, 5w5s q5, 224px"}
     print(json.dumps(out))
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BASELINE_LOCAL.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    _merge_baseline(out)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    args = [a for a in sys.argv[1:] if a != "--eval"]
+    n = int(args[0]) if args else None
+    if "--eval" in sys.argv[1:]:
+        main_eval(n if n is not None else 4)
+    else:
+        main(n if n is not None else 8)
