@@ -68,11 +68,20 @@ def build_runner(cfg, checkpoint_dir=None):
                   "weights", file=sys.stderr)
         student = BatchedStudent(cfg)
 
+        # jit once, variables passed as an ARGUMENT: an eager apply would
+        # dispatch op-by-op per request (minutes over the remote-TPU tunnel),
+        # and a jitted closure over device params would inline them as HLO
+        # constants (HTTP 413 on remote compile — see CLAUDE.md)
+        @jax.jit
+        def _scorer(variables, support_clips, support_labels, query_clips):
+            out = student.apply(variables, support_clips, support_labels,
+                                query_clips, train=False)
+            return merge_logits(cfg.distill.name, out["logits"])
+
         def score(batch):
-            out = student.apply(state.variables, batch.support_clips,
-                                batch.support_labels, batch.query_clips,
-                                train=False)
-            return np.asarray(merge_logits(cfg.distill.name, out["logits"]))[0]
+            return np.asarray(_scorer(state.variables, batch.support_clips,
+                                      batch.support_labels,
+                                      batch.query_clips))[0]
 
     def run_episode(seed: int):
         r = np.random.default_rng(seed)

@@ -52,6 +52,10 @@ def main(argv=None):
                         "as a smoke test")
     args = p.parse_args(argv)
     cfg = build_config(args)
+    # --aot lowers/compiles the full model (1-8 min on remote-compile TPU
+    # setups); serve re-exports from the persistent cache like every other CLI
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
 
     from ..train.checkpoint import restore_payload
     from ..tools.torch_export import (export_student_checkpoint,

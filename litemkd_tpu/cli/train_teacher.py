@@ -18,7 +18,7 @@ import jax
 
 from .common import enable_compilation_cache, add_common_args, add_train_args, build_config
 from ..utils.logging import MetricsLogger
-from ..utils.metrics import TestAccuracies
+
 
 
 class SyntheticMultiModalSource:
@@ -35,10 +35,12 @@ class SyntheticMultiModalSource:
     def sample_batch(self, rng, n_episodes, train=True, specs=None):
         from ..train.steps import EpisodeBatch
         # correlated class structure across modalities: reuse one sampler's
-        # episode geometry, draw features per modality from shared protos
+        # episode geometry, draw features per modality from shared protos.
+        # specs are forwarded so --fixed_episode_file replays the SAME
+        # episodes (per-modality content is deterministic per class/video)
         seed = int(rng.integers(0, 2 ** 31))
         batches = {m: s.sample_batch(np.random.default_rng(seed), n_episodes,
-                                     train=train)
+                                     train=train, specs=specs)
                    for m, s in self.sources.items()}
         first = next(iter(batches.values()))
         return EpisodeBatch(
@@ -171,17 +173,12 @@ def main(argv=None):
                     specs = load_reference_fixed_episodes(
                         path, sampler.store.split(False))
             logger.info(f"replaying {len(specs)} fixed episodes")
-        n_tasks = len(specs) if specs else cfg.train.num_test_tasks
-        acc = TestAccuracies()
-        ev_rng = np.random.default_rng(cfg.train.seed)
-        done = 0
-        while done < n_tasks:
-            k = min(8, n_tasks - done)
-            chunk = None if specs is None else specs[done:done + k]
-            b = sampler.sample_batch(ev_rng, k, train=False, specs=chunk)
-            acc.extend(np.asarray(eval_step({"params": state.params}, b)))
-            done += k
-        s = acc.summary()
+        # run_eval brings the student loop's prefetch overlap and mesh
+        # handling instead of a hand-rolled synchronous chunk loop
+        from ..train.loop import run_eval
+        s = run_eval(cfg, {"params": state.params}, sampler,
+                     n_tasks=len(specs) if specs else cfg.train.num_test_tasks,
+                     eval_step=eval_step, seed=cfg.train.seed, specs=specs)
         print(f"{cfg.data.dataset}: {s['accuracy']:.2f} ± "
               f"{s['confidence']:.2f} over {s['n_tasks']} tasks")
         return s
@@ -225,7 +222,10 @@ def main(argv=None):
     save_every = max(1, cfg.train.save_freq // e)
 
     for i in range(int(state.step), n_steps):
-        batch = sampler.sample_batch(rng, e, train=True)
+        # step-keyed stream: a resumed run continues the data sequence
+        # instead of replaying batches 0..k (mirrors train/loop.py)
+        batch = sampler.sample_batch(
+            np.random.default_rng((cfg.train.seed, i)), e, train=True)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
             with jax.set_mesh(mesh):
@@ -238,15 +238,9 @@ def main(argv=None):
         episodes = int(state.episodes_seen)
         while test_marks and episodes >= test_marks[0]:
             test_marks.pop(0)
-            acc = TestAccuracies()
-            ev_rng = np.random.default_rng(0)
-            done = 0
-            while done < cfg.train.num_test_tasks:
-                b = sampler.sample_batch(ev_rng, min(8, cfg.train.num_test_tasks - done),
-                                         train=False)
-                acc.extend(np.asarray(eval_step({"params": state.params}, b)))
-                done += b.support_labels.shape[0]
-            s = acc.summary()
+            from ..train.loop import run_eval
+            s = run_eval(cfg, {"params": state.params}, sampler,
+                         eval_step=eval_step, mesh=mesh)
             logger.info(f"eval @{episodes}: {s['accuracy']:.2f} ± "
                         f"{s['confidence']:.2f} ({s['n_tasks']} tasks)")
     if ckpt:

@@ -78,15 +78,26 @@ class Prefetcher:
             self._err = e
         finally:
             self._put(self._DONE)
+            if self._stop:
+                # the consumer abandoned iteration: a put that was blocked
+                # when close() drained can land AFTER that drain, pinning a
+                # device batch in the dropped queue — the producer is the
+                # last writer, so it drains once more on its own way out
+                self._drain()
 
-    def close(self) -> None:
-        """Cancel production and drop staged batches (idempotent)."""
-        self._stop = True
+    def _drain(self) -> None:
         while True:
             try:
                 self.q.get_nowait()
             except queue.Empty:
                 break
+
+    def close(self) -> None:
+        """Cancel production and drop staged batches (idempotent). A batch
+        mid-``q.put`` on the producer is dropped by the producer's own exit
+        drain (see ``_run``), so nothing stays pinned in HBM."""
+        self._stop = True
+        self._drain()
 
     def __iter__(self) -> Iterator[EpisodeBatch]:
         try:

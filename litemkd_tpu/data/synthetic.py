@@ -17,6 +17,21 @@ from ..train.steps import EpisodeBatch
 from .episodes import EpisodeMeta
 
 
+def _spec_video_ids(labels, per_class_idx):
+    """Map a shuffled label vector to within-class video ids: the k-th
+    occurrence of label ``w`` takes ``per_class_idx[w][k]``."""
+    counters = [0] * len(per_class_idx)
+    out = []
+    for w in labels:
+        idxs = per_class_idx[int(w)]
+        if counters[int(w)] >= len(idxs):
+            raise ValueError("fixed episode has fewer videos for class "
+                             f"{int(w)} than this config samples")
+        out.append(int(idxs[counters[int(w)]]))
+        counters[int(w)] += 1
+    return out
+
+
 class SyntheticEpisodeSource:
     """Stateless-per-call episode sampler over ``n_classes`` synthetic classes."""
 
@@ -26,6 +41,7 @@ class SyntheticEpisodeSource:
         self.n_classes = n_classes
         self.noise = noise
         self.with_teacher = with_teacher_feats
+        self._content_seed = seed   # keys per-(class, video) replayable draws
         ep, m = cfg.episode, cfg.model
         rng = np.random.default_rng(seed)
         # per-class prototype "videos" (small spatial pattern) and features
@@ -37,23 +53,49 @@ class SyntheticEpisodeSource:
         ).astype(np.float32)
 
     def sample_batch(self, rng: np.random.Generator, n_episodes: int,
-                     train: bool = True, return_meta: bool = False):
+                     train: bool = True, return_meta: bool = False,
+                     specs=None):
+        """Draw ``n_episodes`` episodes; with ``specs`` (a list of
+        ``EpisodeSpec``), episode CONTENT is replayed deterministically — a
+        synthetic (class, within-class video index) always decodes to the
+        same clip/features, so ``--fixed_episode_file`` means the same thing
+        it does on real data."""
         ep = self.cfg.episode
         qpc = ep.query_per_class if train else ep.query_per_class_test
         s_clips, s_labels, q_clips, q_labels = [], [], [], []
         s_feats, q_feats, ep_classes = [], [], []
-        for _ in range(n_episodes):
-            classes = rng.choice(self.n_classes, size=ep.way, replace=False)
-            sl = rng.permutation(np.repeat(np.arange(ep.way), ep.shot))
-            ql = rng.permutation(np.repeat(np.arange(ep.way), qpc))
-            s_clips.append(self._draw_frames(rng, classes[sl]))
-            q_clips.append(self._draw_frames(rng, classes[ql]))
+        for e in range(n_episodes):
+            if specs is not None:
+                spec = specs[e]
+                classes = np.asarray(spec.classes)
+                if classes.max() >= self.n_classes:
+                    raise ValueError(
+                        f"fixed episode references class {int(classes.max())} "
+                        f"but the synthetic source has {self.n_classes}")
+                sl = rng.permutation(np.repeat(np.arange(ep.way), ep.shot))
+                ql = rng.permutation(np.repeat(np.arange(ep.way), qpc))
+                s_vid = _spec_video_ids(sl, spec.support_idx)
+                q_vid = _spec_video_ids(ql, spec.query_idx)
+            else:
+                classes = rng.choice(self.n_classes, size=ep.way, replace=False)
+                sl = rng.permutation(np.repeat(np.arange(ep.way), ep.shot))
+                ql = rng.permutation(np.repeat(np.arange(ep.way), qpc))
+                s_vid = q_vid = None
+            if s_vid is not None:
+                s_clips.append(self._replay_frames(classes[sl], s_vid))
+                q_clips.append(self._replay_frames(classes[ql], q_vid))
+                if self.with_teacher:
+                    s_feats.append(self._replay_feats(classes[sl], s_vid))
+                    q_feats.append(self._replay_feats(classes[ql], q_vid))
+            else:
+                s_clips.append(self._draw_frames(rng, classes[sl]))
+                q_clips.append(self._draw_frames(rng, classes[ql]))
+                if self.with_teacher:
+                    s_feats.append(self._draw_feats(rng, classes[sl]))
+                    q_feats.append(self._draw_feats(rng, classes[ql]))
             s_labels.append(sl)
             q_labels.append(ql)
             ep_classes.append(classes)
-            if self.with_teacher:
-                s_feats.append(self._draw_feats(rng, classes[sl]))
-                q_feats.append(self._draw_feats(rng, classes[ql]))
         kw = {}
         if self.with_teacher:
             kw = dict(support_feats=np.stack(s_feats),
@@ -84,6 +126,23 @@ class SyntheticEpisodeSource:
     def _draw_feats(self, rng, class_ids):
         base = self.feat_protos[class_ids]
         return (base + self.noise * rng.normal(size=base.shape)).astype(np.float32)
+
+    def _replay_frames(self, class_ids, video_ids):
+        out = []
+        for c, v in zip(class_ids, video_ids):
+            r = np.random.default_rng((self._content_seed, 0, int(c), int(v)))
+            x = self.frame_protos[c] + self.noise * r.normal(
+                size=self.frame_protos[c].shape)
+            out.append(np.clip((x * 40 + 128), 0, 255).astype(np.uint8))
+        return np.stack(out)
+
+    def _replay_feats(self, class_ids, video_ids):
+        out = []
+        for c, v in zip(class_ids, video_ids):
+            r = np.random.default_rng((self._content_seed, 1, int(c), int(v)))
+            out.append((self.feat_protos[c] + self.noise * r.normal(
+                size=self.feat_protos[c].shape)).astype(np.float32))
+        return np.stack(out)
 
     def batches(self, seed: int, n_episodes: int, batch_size: int,
                 train: bool = True) -> Iterator[EpisodeBatch]:

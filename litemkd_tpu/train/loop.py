@@ -50,13 +50,26 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
     eval_step = eval_step or jax.jit(make_eval_step(cfg,
                                                     with_preds=task_log is not None))
     rng = np.random.default_rng(seed)
+    use_mesh = mesh is not None and mesh.devices.size > 1
+    multiproc = use_mesh and jax.process_count() > 1
+    if multiproc:
+        # multi-host: every chunk must divide the data axis (a replicated
+        # remainder would live on process-local devices only and cannot feed
+        # a step whose params span the global mesh) — round the protocol
+        # size to full chunks, loudly
+        data_ax = mesh.shape["data"]
+        batch_size = max(batch_size // data_ax, 1) * data_ax
+        if n_tasks % batch_size:
+            rounded = max(batch_size, n_tasks - n_tasks % batch_size)
+            print(f"[eval] multi-host: rounding n_tasks {n_tasks} → {rounded} "
+                  f"(chunks of {batch_size} over data axis {data_ax})")
+            n_tasks = rounded
     sizes = [batch_size] * (n_tasks // batch_size)
     if n_tasks % batch_size:
         sizes.append(n_tasks % batch_size)
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
 
     transfer = None
-    use_mesh = mesh is not None and mesh.devices.size > 1
     if use_mesh:
         from ..parallel import shard_variables, batch_sharding
         variables = shard_variables(variables, mesh)
@@ -93,6 +106,14 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
         else:
             out = eval_step(variables, batch)
         accs, preds = out if task_log is not None else (out, None)
+        if multiproc:
+            # the (E,) accuracies are data-sharded across processes;
+            # np.asarray on a non-addressable array raises — allgather the
+            # global value to every host first
+            from jax.experimental import multihost_utils
+            accs = multihost_utils.process_allgather(accs)
+            if preds is not None:
+                preds = multihost_utils.process_allgather(preds)
         accs = np.asarray(accs)
         acc.extend(accs)
         if task_log is not None:
@@ -206,7 +227,12 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
         logger.info(f"multi-host input: {local_e} episodes/process × "
                     f"{jax.process_count()} processes")
     else:
-        produce = lambda i: sampler.sample_batch(rng, e_per_step, train=True)
+        # keyed by absolute step so --resume_from_checkpoint CONTINUES the
+        # episode stream instead of replaying batches 0..k a second time
+        # (same continuation scheme as the multihost branch)
+        produce = lambda i: sampler.sample_batch(
+            np.random.default_rng((cfg.train.seed, start_step + i)),
+            e_per_step, train=True)
         if mesh is not None:
             from ..parallel import batch_sharding
             # shard during the host→device transfer on the prefetch thread —

@@ -236,7 +236,12 @@ def make_pretrain_step(cfg: Config, model: nn.Module) -> Callable:
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, clips, labels)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        # episodes_seen doubles as the orbax checkpoint key
+        # (CheckpointManager.save) — for the non-episodic pretrain stage it
+        # counts SAMPLES; leaving it at 0 made orbax silently skip every
+        # epoch save after the first
         return state.replace(step=state.step + 1,
+                             episodes_seen=state.episodes_seen + clips.shape[0],
                              params=optax.apply_updates(state.params, updates),
                              batch_stats=new_stats, opt_state=new_opt), metrics
 

@@ -537,3 +537,61 @@ def test_cross_view_through_build_sampler_and_training(dataset_dir, cfg):
     assert np.abs(q - VIEW_VALUES[0]).max() < 5.0
     state, _, _ = run_training(ccfg, sampler, MetricsLogger(print_freq=0))
     assert int(state.step) == 1
+
+
+def test_synthetic_spec_replay():
+    """Synthetic sources honor fixed-episode specs: the same (class, video)
+    spec always decodes to identical content, so --fixed_episode_file means
+    the same thing on synthetic data as on real trees (previously specs were
+    silently ignored / rejected)."""
+    from litemkd_tpu.data import SyntheticEpisodeSource
+    from litemkd_tpu.data.episodes import EpisodeSpec
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+
+    base = preset("tiny")
+    src = SyntheticEpisodeSource(base, n_classes=6, seed=0)
+    spec = EpisodeSpec([0, 2, 4], [[0, 1], [3, 4], [5, 6]], [[2], [0], [1]])
+
+    b1 = src.sample_batch(np.random.default_rng(1), 1, train=False, specs=[spec])
+    b2 = src.sample_batch(np.random.default_rng(9), 1, train=False, specs=[spec])
+    # different rngs shuffle slot order differently, but the episode's CONTENT
+    # (multiset of decoded clips) is identical
+    np.testing.assert_array_equal(np.sort(b1.support_clips[0].ravel()),
+                                  np.sort(b2.support_clips[0].ravel()))
+    np.testing.assert_array_equal(np.sort(b1.query_feats[0].ravel()),
+                                  np.sort(b2.query_feats[0].ravel()))
+    # and differs from a random draw
+    b3 = src.sample_batch(np.random.default_rng(1), 1, train=False)
+    assert not np.array_equal(np.sort(b1.support_clips[0].ravel()),
+                              np.sort(b3.support_clips[0].ravel()))
+
+    # class id outside the synthetic universe is rejected loudly
+    bad = EpisodeSpec([0, 2, 99], [[0], [1], [2]], [[3], [4], [5]])
+    with pytest.raises(ValueError, match="99"):
+        src.sample_batch(np.random.default_rng(0), 1, train=False, specs=[bad])
+
+    # the multi-modal wrapper forwards specs to every modality source
+    mm = SyntheticMultiModalSource(base, n_classes=6, seed=0)
+    m1 = mm.sample_batch(np.random.default_rng(3), 1, train=False, specs=[spec])
+    m2 = mm.sample_batch(np.random.default_rng(3), 1, train=False, specs=[spec])
+    for mod in base.model.modalities:
+        np.testing.assert_array_equal(m1.support_clips[mod], m2.support_clips[mod])
+
+
+def test_prefetcher_close_leaves_queue_empty():
+    """close() during active production must leave the queue empty even if a
+    blocked q.put lands after the consumer's drain — the producer drains once
+    more on exit (a staged device batch left in the dropped queue would stay
+    pinned in HBM)."""
+    import time
+    from litemkd_tpu.data.prefetch import Prefetcher
+
+    for _ in range(20):   # the race window is timing-dependent; hammer it
+        f = Prefetcher(lambda i: i + 1, n_batches=1000, depth=1,
+                       transfer=lambda b: b)
+        it = iter(f)
+        assert next(it) >= 1
+        f.close()
+        f.thread.join(timeout=10.0)
+        assert not f.thread.is_alive()
+        assert f.q.empty(), "a late put survived close()"

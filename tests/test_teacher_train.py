@@ -280,3 +280,27 @@ def test_teacher_cli_test_only(cfg, feature_root, tmp_path):
                               "--num_test_tasks", "4"])
     assert s["n_tasks"] == 4
     assert 0.0 <= s["accuracy"] <= 100.0
+
+
+def test_pretrain_checkpoints_every_epoch(tmp_path):
+    """episodes_seen (the orbax save key) must advance during pretraining:
+    when it stayed 0, orbax's should_save silently skipped every epoch save
+    after the first, so a 50-epoch run persisted only epoch-1 weights."""
+    from litemkd_tpu.train.checkpoint import CheckpointManager
+    from litemkd_tpu.train.teacher_steps import (create_pretrain_state,
+                                                 make_pretrain_step)
+
+    cfg = preset("tiny")
+    sz = cfg.episode.img_size
+    clips = jnp.zeros((2, 2, sz, sz, 3), jnp.uint8)
+    labels = jnp.asarray([0, 1], jnp.int32)
+    state, model = create_pretrain_state(cfg, jax.random.key(0), 3, clips)
+    step = jax.jit(make_pretrain_step(cfg, model))
+    s1, _ = step(state, clips, labels)
+    s2, _ = step(s1, clips, labels)
+    assert int(s1.episodes_seen) == 2 and int(s2.episodes_seen) == 4
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(s1)
+    ckpt.save(s2)                      # must NOT be skipped
+    assert ckpt.latest_step() == 4

@@ -146,3 +146,45 @@ def test_watch_flag_maps_to_config():
     cfg = build_config(p.parse_args(["--preset", "tiny", "--dataset",
                                      "synthetic"]))
     assert cfg.train.watch is False
+
+
+def test_resume_continues_episode_stream(tmp_path):
+    """--resume_from_checkpoint must CONTINUE the training data stream, not
+    replay batches 0..k a second time: the per-step rng is keyed by absolute
+    step (train/loop.py produce), so full-run batches k.. match a resumed
+    run's batches exactly."""
+    import dataclasses
+    from litemkd_tpu.train import run_training
+    from litemkd_tpu.utils import MetricsLogger
+
+    base = preset("tiny")
+
+    class Recording:
+        def __init__(self, src):
+            self.src, self.sums = src, []
+
+        def sample_batch(self, rng, n, train=True, **kw):
+            b = self.src.sample_batch(rng, n, train=train, **kw)
+            if train and n > 1:
+                self.sums.append(float(np.sum(b.support_clips.astype(np.int64))))
+            return b
+
+    def mk(iters, ckpt_dir, resume):
+        return base.replace(train=dataclasses.replace(
+            base.train, tasks_per_batch=2, training_iterations=iters,
+            test_iters=(), checkpoint_dir=ckpt_dir,
+            resume_from_checkpoint=resume, save_freq=10 ** 6))
+
+    src = SyntheticEpisodeSource(base, n_classes=8, seed=0)
+    full = Recording(src)
+    run_training(mk(8, str(tmp_path / "full"), False), full,
+                 MetricsLogger(print_freq=0))
+    half = Recording(src)
+    run_training(mk(4, str(tmp_path / "res"), False), half,
+                 MetricsLogger(print_freq=0))
+    rest = Recording(src)
+    run_training(mk(8, str(tmp_path / "res"), True), rest,
+                 MetricsLogger(print_freq=0))
+
+    assert full.sums[:2] == half.sums          # same prefix stream
+    assert rest.sums == full.sums[2:]          # resume continues, not replays
