@@ -28,6 +28,19 @@ import numpy as np
 from .common import add_common_args, build_config
 
 
+def _check_platform(platforms) -> bool:
+    """--aot_check runs the artifact on THIS host's backend; an artifact
+    lowered for other platforms only (e.g. --aot_platforms cpu on a TPU box)
+    would fail jax.export's platform guard, so skip with a note instead."""
+    import jax
+    here = jax.default_backend()
+    if here in platforms:
+        return True
+    print(f"skipping --aot_check: artifact lowered for {list(platforms)}, "
+          f"this host runs '{here}' (load it on a matching host to verify)")
+    return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
@@ -78,7 +91,7 @@ def main(argv=None):
                   f"(platforms={manifest['platforms']}, "
                   f"modalities={manifest['modalities']}, "
                   f"batch={manifest['batch']})")
-            if args.aot_check:
+            if args.aot_check and _check_platform(platforms):
                 extractor, m = load_serving_artifact(args.out)
                 rng = np.random.default_rng(0)
                 feats = {mod: rng.standard_normal(sh).astype(np.float32)
@@ -95,7 +108,7 @@ def main(argv=None):
         print(f"wrote AOT artifact → {args.out} "
               f"(platforms={manifest['platforms']}, "
               f"{manifest['way']}-way {manifest['shot']}-shot)")
-        if args.aot_check:
+        if args.aot_check and _check_platform(platforms):
             scorer, m = load_serving_artifact(args.out)
             rng = np.random.default_rng(0)
             sh = m["input_shapes"]

@@ -220,9 +220,11 @@ class EpisodeSampler:
                     "teacher_path pointing at a complete extraction tree? "
                     "(pass a strict=False FeatureStore to zero-fill instead)")
             else:
-                feats = np.zeros((self.cfg.episode.seq_len,
-                                  self.cfg.model.trans_linear_in_dim),
-                                 np.float32)
+                # zero-fill shape comes from the STORE's dims (features.py:57
+                # is the shape authority) — config dims can legitimately
+                # differ and would make np.stack crash on mixed shapes
+                feats = np.zeros((self.features.seq_len,
+                                  self.features.feat_dim), np.float32)
         return clip, feats
 
     def _pick_view(self, support: bool, rng: np.random.Generator):
@@ -273,6 +275,11 @@ class EpisodeSampler:
         sup, qry = [], []
         for (rec, is_sup, label, real_c), (clip, feats) in zip(jobs, loaded):
             (sup if is_sup else qry).append((clip, feats, label, real_c))
+        if not sup or not qry:
+            raise ValueError(
+                f"episode spec yields {len(sup)} support / {len(qry)} query "
+                f"videos (classes {list(spec.classes)}) — fixed-episode "
+                "files must list at least one of each")
         rng.shuffle(sup)
         rng.shuffle(qry)
 

@@ -102,7 +102,17 @@ class Prefetcher:
     def __iter__(self) -> Iterator[EpisodeBatch]:
         try:
             while True:
-                item = self.q.get()
+                try:
+                    # timed get: an external close() (watchdog/timeout thread)
+                    # drains the queue INCLUDING a pending DONE sentinel — an
+                    # untimed get would then block forever
+                    item = self.q.get(timeout=0.2)
+                except queue.Empty:
+                    if self._stop:
+                        if self._err is not None:
+                            raise self._err
+                        return
+                    continue
                 if item is self._DONE:
                     if self._err is not None:
                         raise self._err

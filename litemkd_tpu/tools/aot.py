@@ -118,8 +118,11 @@ def export_serving_artifact(cfg: Config, variables, out_path: str,
     }
     serve = make_serving_fn(cfg)
     variables = _prune_empty(variables)
+    # shapes/dtypes only — jnp.asarray here would ship every weight through
+    # the (minutes-scale) host→device tunnel just to read .dtype
     var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
         variables)
     args = (var_specs,
             jax.ShapeDtypeStruct(shapes["support_clips"], jnp.uint8),
@@ -152,8 +155,11 @@ def export_extract_artifact(cfg: Config, variables, out_path: str,
     shapes = {m: (batch, t, d) for m in cfg.model.modalities}
     fn = make_extract_fn(cfg)
     variables = _prune_empty(variables)
+    # shapes/dtypes only — jnp.asarray here would ship every weight through
+    # the (minutes-scale) host→device tunnel just to read .dtype
     var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
         variables)
     args = (var_specs,
             {m: jax.ShapeDtypeStruct(s, jnp.float32)

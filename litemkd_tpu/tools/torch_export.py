@@ -144,13 +144,15 @@ def export_tct(tct: dict, prefix: str, d_model: int = 2048,
     return sd
 
 
-def _single_tct(classifier: dict) -> dict:
-    """Unwrap a classifier's (possibly multi-set) transformers to one TCT."""
+def _tct_sets(classifier: dict, temp_set) -> list:
+    """A classifier's TCT sets in ``temp_set`` order — the reference builds
+    one ``transformers.{i}`` ModuleList entry per temp_set entry
+    (``TRX.py:170-176``), so sorting param names would drop sets or swap
+    indices for temp_set like (3, 2)."""
     t = classifier["transformers"]
     if "k_linear" in t:
-        return t
-    sets = sorted(k for k in t if k.startswith("tct_"))
-    return t[sets[0]]
+        return [t]
+    return [t[f"tct_{s}"] for s in temp_set]
 
 
 def export_student_checkpoint(variables: dict, cfg: Config, path: str,
@@ -169,7 +171,8 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
     else:
         if depth is None:
             depth = 50 if cfg.model.backbone.startswith(
-                ("resnet50", "meta_baseline")) else 18
+                ("resnet50", "meta_baseline")) else \
+                34 if cfg.model.backbone.startswith("resnet34") else 18
         sd = export_resnet_trunk(params["backbone"]["trunk"],
                                  stats["backbone"]["trunk"], depth,
                                  prefix="backbone.resnet.", seq_naming=True)
@@ -177,9 +180,10 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
         if fc in params["backbone"]:
             _put_lin(sd, f"backbone.{fc}", params["backbone"][fc])
     if "classifier" in params:
-        sd.update(export_tct(_single_tct(params["classifier"]),
-                             "classifier.transformers.0",
-                             d_model=cfg.model.trans_linear_in_dim))
+        for i, tct in enumerate(_tct_sets(params["classifier"],
+                                          cfg.model.temp_set)):
+            sd.update(export_tct(tct, f"classifier.transformers.{i}",
+                                 d_model=cfg.model.trans_linear_in_dim))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)
@@ -254,9 +258,11 @@ def export_teacher_checkpoint(teacher_vars: dict, cfg: Config, path: str,
     """Teacher head variables → the released teacher layout
     (``bracnch.transformers.0.*`` — reference model_select.py:105-117)."""
     import torch
-    sd = export_tct(_single_tct(teacher_vars["params"]["classifier"]),
-                    "bracnch.transformers.0",
-                    d_model=cfg.model.trans_linear_in_dim)
+    sd: Dict[str, np.ndarray] = {}
+    for i, tct in enumerate(_tct_sets(teacher_vars["params"]["classifier"],
+                                      cfg.model.temp_set)):
+        sd.update(export_tct(tct, f"bracnch.transformers.{i}",
+                             d_model=cfg.model.trans_linear_in_dim))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)

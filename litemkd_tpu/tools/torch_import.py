@@ -479,7 +479,16 @@ def load_student_checkpoint(path: str, cfg: Config) -> dict:
         bb = import_backbone_mobilenet(backbone_sd, variant)
     else:
         depth = 50 if cfg.model.backbone.startswith(("resnet50",
-                                                     "meta_baseline")) else 18
+                                                     "meta_baseline")) else \
+            34 if cfg.model.backbone.startswith("resnet34") else 18
+        have = _resnet_sd_depth(normalize_resnet_keys(backbone_sd, "resnet."))
+        if have != depth:
+            # resnet34 basic blocks truncate shape-compatibly into 18, so a
+            # depth mismatch would silently leave a third of the trunk at
+            # random init after the deep-merge
+            raise ValueError(f"{path} holds resnet{have} student weights but "
+                             f"backbone '{cfg.model.backbone}' expects "
+                             f"resnet{depth}")
         bb = import_backbone_2fc(backbone_sd, depth)
     prefix = _find_tct_prefix(sd)
     params = {"backbone": bb["params"]}

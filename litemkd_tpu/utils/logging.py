@@ -22,15 +22,24 @@ class MetricsLogger:
         self.run_name = run_name
         self._jsonl = None
         self._wandb = None
+        self._handler = None
         self._t0 = time.time()
+        # per-instance logger: basicConfig is a no-op once ANY root handler
+        # exists (a second MetricsLogger, or absl/jax configuring logging
+        # first), which silently dropped the announced .log file
+        self._logger = logging.getLogger(f"litemkd.{run_name}.{id(self)}")
+        self._logger.setLevel(logging.INFO)
+        self._logger.propagate = False
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             stamp = time.strftime("%Y%m%d-%H%M%S")
             self._jsonl = open(os.path.join(log_dir, f"{stamp}_{run_name}.jsonl"),
                                "a", buffering=1)
             self.text_path = os.path.join(log_dir, f"{stamp}_{run_name}.log")
-            logging.basicConfig(filename=self.text_path, level=logging.INFO,
-                                format="%(asctime)s %(message)s")
+            self._handler = logging.FileHandler(self.text_path)
+            self._handler.setFormatter(
+                logging.Formatter("%(asctime)s %(message)s"))
+            self._logger.addHandler(self._handler)
         if use_wandb:
             try:
                 import wandb
@@ -68,8 +77,12 @@ class MetricsLogger:
         print(msg, flush=True)
         if self._jsonl:
             self._jsonl.write(json.dumps({"info": msg}) + "\n")
-        logging.info(msg)
+        self._logger.info(msg)
 
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
+        if self._handler is not None:
+            self._logger.removeHandler(self._handler)
+            self._handler.close()
+            self._handler = None

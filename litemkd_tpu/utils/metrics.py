@@ -46,8 +46,11 @@ def confidence_interval(accuracies: np.ndarray) -> Dict[str, float]:
     """The reference's eval statistic: accuracy ×100 with 196·std/√n CI."""
     acc = np.asarray(accuracies, dtype=np.float64)
     n = len(acc)
+    if n == 0:
+        return {"accuracy": float("nan"), "confidence": float("nan"),
+                "n_tasks": 0}
     mean = float(acc.mean() * 100.0)
-    ci = float(196.0 * acc.std() / np.sqrt(n)) if n > 0 else float("nan")
+    ci = float(196.0 * acc.std() / np.sqrt(n))
     return {"accuracy": mean, "confidence": ci, "n_tasks": n}
 
 

@@ -595,3 +595,37 @@ def test_prefetcher_close_leaves_queue_empty():
         f.thread.join(timeout=10.0)
         assert not f.thread.is_alive()
         assert f.q.empty(), "a late put survived close()"
+
+
+def test_metrics_logger_text_files_per_instance(tmp_path):
+    """Each MetricsLogger writes its own .log file: logging.basicConfig is a
+    no-op once any root handler exists (a second logger, or absl/jax), which
+    silently dropped the announced text log."""
+    import logging as pylog
+    from litemkd_tpu.utils.logging import MetricsLogger
+
+    pylog.getLogger().addHandler(pylog.NullHandler())  # simulate absl/jax
+    a = MetricsLogger(log_dir=str(tmp_path / "a"), run_name="one",
+                      print_freq=0)
+    import time as _t
+    _t.sleep(1.1)   # distinct timestamped filenames
+    b = MetricsLogger(log_dir=str(tmp_path / "b"), run_name="two",
+                      print_freq=0)
+    a.info("alpha line")
+    b.info("beta line")
+    a.close()
+    b.close()
+    assert "alpha line" in open(a.text_path).read()
+    assert "beta line" in open(b.text_path).read()
+    assert "beta line" not in open(a.text_path).read()
+
+
+def test_empty_accuracy_summary_is_quiet():
+    """Zero-episode summary returns nan/0 without numpy RuntimeWarnings."""
+    import warnings
+    from litemkd_tpu.utils.metrics import TestAccuracies
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = TestAccuracies().summary()
+    assert s["n_tasks"] == 0 and np.isnan(s["accuracy"])

@@ -890,3 +890,64 @@ def test_load_pretrain_init_deit_and_resnet(tmp_path):
         load_pretrain_init(str(p2), cfg, "resnet34")
     with pytest.raises(ValueError, match="resnet18"):
         load_pretrain_init(str(p2), cfg, "resnet50")
+
+
+def test_multiset_tct_export_order_and_resnet34(tmp_path):
+    """Multi-temp_set heads export EVERY TCT set as transformers.{i} in
+    temp_set order (not lexically-sorted-first-only), and resnet34 students
+    export all 3/4/6/3 blocks; a depth-mismatched student import raises
+    instead of silently truncating."""
+    from litemkd_tpu.models import Student
+    from litemkd_tpu.tools.torch_export import export_student_checkpoint
+    from litemkd_tpu.tools.torch_import import load_student_checkpoint
+
+    base = preset("tiny")
+    ep = base.episode
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.integers(0, 255, (ep.n_support, ep.seq_len,
+                                            ep.img_size, ep.img_size, 3),
+                                   dtype=np.uint8))
+    tgt = ctx[:ep.n_queries(True)]
+    labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot).astype(np.int32))
+
+    # --- multi-set TCT ordering (TRM/TRX_multi head, temp_set (3, 2)) ---
+    mcfg = base.replace(model=base.model.__class__(
+        backbone="resnet18_student", classifier="TRX_multi",
+        trans_linear_in_dim=base.model.trans_linear_in_dim,
+        trans_linear_out_dim=base.model.trans_linear_out_dim,
+        temp_set=(3, 2), trans_num=1))
+    mvars = Student(mcfg).init(jax.random.key(0), ctx, labels, tgt,
+                               train=False)
+    sd = export_student_checkpoint(mvars, mcfg, str(tmp_path / "ms.pt"))
+    t = mvars["params"]["classifier"]["transformers"]
+    np.testing.assert_allclose(
+        sd["classifier.transformers.0.k_linear.weight"],
+        np.asarray(t["tct_3"]["k_linear"]["kernel"]).T, rtol=1e-6)
+    np.testing.assert_allclose(
+        sd["classifier.transformers.1.k_linear.weight"],
+        np.asarray(t["tct_2"]["k_linear"]["kernel"]).T, rtol=1e-6)
+
+    # --- resnet34 student depth: export all (3,4,6,3) blocks, import back ---
+    cfg = base.replace(model=base.model.__class__(
+        backbone="resnet34_2fc", classifier="TRX_2fcsup",
+        trans_linear_in_dim=base.model.trans_linear_in_dim,
+        trans_linear_out_dim=base.model.trans_linear_out_dim, trans_num=1))
+    variables = Student(cfg).init(jax.random.key(0), ctx, labels, tgt,
+                                  train=False)
+    path = str(tmp_path / "s34.pt")
+    sd = export_student_checkpoint(variables, cfg, path)
+    # the 18-depth fallback dropped layer1.2 etc. (torchvision Sequential
+    # index 4 == layer1)
+    assert "backbone.resnet.4.2.conv1.weight" in sd or \
+        "backbone.resnet.layer1.2.conv1.weight" in sd, sorted(sd)[:8]
+
+    v = load_student_checkpoint(path, cfg)
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["backbone"]["trunk"]["layer1_2"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["backbone"]["trunk"]["layer1_2"]["conv1"]["kernel"]),
+        rtol=1e-6)
+    # ...and a depth-mismatched import is rejected loudly
+    cfg18 = cfg.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "backbone": "resnet18_2fc"}))
+    with pytest.raises(ValueError, match="resnet34"):
+        load_student_checkpoint(path, cfg18)
