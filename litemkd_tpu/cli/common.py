@@ -158,8 +158,34 @@ def dataset_paths(dataset: str, root: str = "data") -> dict:
     return table[dataset]
 
 
-def build_config(args: argparse.Namespace) -> Config:
-    cfg = preset(args.preset) if args.preset else Config()
+def load_saved_config(*candidates: Optional[str]) -> Optional[Config]:
+    """The config ``save_run_config`` recorded next to a checkpoint, to use
+    as the base for eval/export CLIs — a checkpoint then carries its own
+    geometry (way/dims/backbone) instead of requiring every flag to be
+    re-specified (reference analog: args.pkl, multi_fusion.py:369-371).
+    Accepts checkpoint dirs or file paths (the containing dir is searched);
+    returns None when no record exists (e.g. a reference .pt file)."""
+    import dataclasses
+    import json
+    for p in candidates:
+        if not p:
+            continue
+        d = p if os.path.isdir(p) else os.path.dirname(p)
+        f = os.path.join(d, "config.json")
+        if os.path.exists(f):
+            with open(f) as fh:
+                cfg = Config.from_dict(json.load(fh))
+            # the record's checkpoint_dir names the ORIGINAL training run;
+            # an eval/export CLI must never write (or refuse to start) there
+            return cfg.replace(train=dataclasses.replace(
+                cfg.train, checkpoint_dir=None,
+                resume_from_checkpoint=False))
+    return None
+
+
+def build_config(args: argparse.Namespace,
+                 base: Optional[Config] = None) -> Config:
+    cfg = preset(args.preset) if args.preset else (base or Config())
 
     def pick(current, val):
         return current if val is None else val

@@ -16,7 +16,8 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 import numpy as np
 import jax
 
-from .common import enable_compilation_cache, add_common_args, build_config, build_sampler
+from .common import (enable_compilation_cache, add_common_args,
+                     build_config, build_sampler, load_saved_config)
 
 
 def build_runner(cfg, checkpoint_dir=None):
@@ -108,7 +109,7 @@ def main(argv=None):
                    help="print one episode's results as JSON and exit (no server)")
     args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = build_config(args)
+    cfg = build_config(args, base=load_saved_config(args.test_model_path))
     run_episode = build_runner(cfg, checkpoint_dir=args.test_model_path)
 
     if args.once:

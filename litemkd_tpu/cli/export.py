@@ -25,7 +25,7 @@ import argparse
 
 import numpy as np
 
-from .common import add_common_args, build_config
+from .common import add_common_args, build_config, load_saved_config
 
 
 def _check_platform(platforms) -> bool:
@@ -64,7 +64,9 @@ def main(argv=None):
                    help="reload the artifact and score a synthetic episode "
                         "as a smoke test")
     args = p.parse_args(argv)
-    cfg = build_config(args)
+    # the run config saved next to the checkpoint is the base: exporting a
+    # non-default-geometry run (e.g. --preset tiny) needs no re-specified flags
+    cfg = build_config(args, base=load_saved_config(args.ckpt))
     # --aot lowers/compiles the full model (1-8 min on remote-compile TPU
     # setups); serve re-exports from the persistent cache like every other CLI
     from .common import enable_compilation_cache

@@ -22,7 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import enable_compilation_cache, add_common_args, build_config
+from .common import (enable_compilation_cache, add_common_args,
+                     build_config, load_saved_config)
 
 
 def main(argv=None):
@@ -54,7 +55,7 @@ def main(argv=None):
                         "side-symmetric teachers reject 'query')")
     args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = build_config(args)
+    cfg = build_config(args, base=load_saved_config(args.test_model_path))
     m = cfg.model
     cfg = cfg.replace(model=m.__class__(**{
         **m.__dict__,

@@ -13,7 +13,9 @@ import argparse
 import jax
 import numpy as np
 
-from .common import enable_compilation_cache, add_common_args, add_test_args, build_config, build_sampler
+from .common import (enable_compilation_cache, add_common_args,
+                     add_test_args, build_config, build_sampler,
+                     load_saved_config)
 
 
 def main(argv=None):
@@ -22,7 +24,7 @@ def main(argv=None):
     add_test_args(p)
     args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = build_config(args)
+    cfg = build_config(args, base=load_saved_config(args.test_model_path))
 
     from ..data import load_fixed_episodes
     from ..train import (create_train_state, make_eval_step,

@@ -16,7 +16,8 @@ import argparse
 import numpy as np
 import jax
 
-from .common import enable_compilation_cache, add_common_args, add_train_args, build_config
+from .common import (enable_compilation_cache, add_common_args,
+                     add_train_args, build_config, load_saved_config)
 from ..utils.logging import MetricsLogger
 
 
@@ -99,7 +100,7 @@ def main(argv=None):
                         "or reference ThreeTRXShiftLoopTime .pt")
     args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = build_config(args)
+    cfg = build_config(args, base=load_saved_config(args.test_model_path))
     m = cfg.model
     cfg = cfg.replace(model=m.__class__(**{
         **m.__dict__,

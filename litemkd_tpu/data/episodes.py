@@ -244,6 +244,11 @@ class EpisodeSampler:
             raise ValueError("cross_view needs a scanned view_root tree")
         if support:
             return views[int(rng.integers(len(views)))]
+        if not 0 <= d.query_view < len(views):
+            raise ValueError(
+                f"--query_view {d.query_view} out of range: the view tree has "
+                f"{len(views)} cameras ({views}); pass --view/--query_view "
+                f"inside that range")
         return views[d.query_view]
 
     def _feature_record(self, rec, train: bool):

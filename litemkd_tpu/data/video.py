@@ -281,7 +281,13 @@ class VideoStore:
                              "(all_view_rgb_l8-style tree)")
         vdir = os.path.join(self.view_root, view,
                             self.class_names[rec.class_id], rec.video_id)
-        paths = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))]
+        paths = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))
+                 if f.lower().endswith(_IMG_EXTS)]   # same filter as make_record
+        if len(paths) < self.seq_len:
+            raise ValueError(
+                f"view clip {vdir} has {len(paths)} frames < seq_len "
+                f"{self.seq_len} (the primary tree skips such videos at scan; "
+                f"per-view trees are only listed at load)")
         idxs = sample_frame_indices(len(paths), self.seq_len, train, rng)
         if self.use_native:
             clip = load_clip_native(paths, idxs, img_size=self.img_size,

@@ -85,6 +85,10 @@ def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
     """q_k/q_v (Q, U, dk); class_k/class_v (W, S, U, dk) → logits (Q, W)."""
     q, u, dk = q_k.shape
     w, s = class_k.shape[0], class_k.shape[1]
+    if w > _LANES:   # the one-hot lane accumulation addresses 128 lanes; a
+        # larger class axis would silently read zeros back for classes >= 128
+        raise ValueError(f"pallas TCT supports n_way <= {_LANES}, got {w}; "
+                         f"use tct_attention_xla")
     qk = q_k.reshape(q * u, dk).astype(jnp.float32)
     qv = q_v.reshape(q * u, dk).astype(jnp.float32)
     ck = class_k.reshape(w, s * u, dk).astype(jnp.float32)
@@ -159,6 +163,9 @@ _tct_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def tct_attention(q_k, q_v, class_k, class_v, use_pallas: bool = False):
-    if use_pallas and _HAVE_PALLAS:
+    # the kernel's one-hot lane-mask accumulation only addresses the first
+    # 128 output lanes; at n_way > 128 classes beyond lane 127 would silently
+    # stay 0 — fall back to the einsum path (never hit by few-shot configs)
+    if use_pallas and _HAVE_PALLAS and class_k.shape[0] <= _LANES:
         return _tct_attention_fused(q_k, q_v, class_k, class_v)
     return tct_attention_xla(q_k, q_v, class_k, class_v)

@@ -85,6 +85,15 @@ def _prune_empty(tree):
     return tree
 
 
+def _var_specs(variables):
+    """Shape/dtype specs only — ``jnp.asarray`` here would ship every weight
+    through the (minutes-scale) host→device tunnel just to read ``.dtype``."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
+        variables)
+
+
 def _flatten_variables(variables) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
@@ -118,13 +127,7 @@ def export_serving_artifact(cfg: Config, variables, out_path: str,
     }
     serve = make_serving_fn(cfg)
     variables = _prune_empty(variables)
-    # shapes/dtypes only — jnp.asarray here would ship every weight through
-    # the (minutes-scale) host→device tunnel just to read .dtype
-    var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(
-            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
-        variables)
-    args = (var_specs,
+    args = (_var_specs(variables),
             jax.ShapeDtypeStruct(shapes["support_clips"], jnp.uint8),
             jax.ShapeDtypeStruct(shapes["support_labels"], jnp.int32),
             jax.ShapeDtypeStruct(shapes["query_clips"], jnp.uint8))
@@ -155,13 +158,7 @@ def export_extract_artifact(cfg: Config, variables, out_path: str,
     shapes = {m: (batch, t, d) for m in cfg.model.modalities}
     fn = make_extract_fn(cfg)
     variables = _prune_empty(variables)
-    # shapes/dtypes only — jnp.asarray here would ship every weight through
-    # the (minutes-scale) host→device tunnel just to read .dtype
-    var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(
-            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
-        variables)
-    args = (var_specs,
+    args = (_var_specs(variables),
             {m: jax.ShapeDtypeStruct(s, jnp.float32)
              for m, s in shapes.items()})
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)

@@ -195,3 +195,30 @@ def test_cli_test_per_task_log(tmp_path):
         hits = np.mean([p == l for p, l in
                         zip(r["real_preds"], r["real_labels"])])
         np.testing.assert_allclose(r["accuracy"], hits, atol=1e-6)
+
+
+def test_checkpoint_carries_its_config(tmp_path):
+    """Eval/export CLIs use the config.json saved next to a checkpoint as
+    their base: a non-default-geometry run (tiny preset here) evaluates and
+    exports without re-specifying any geometry flag; explicit flags still
+    override; the recorded checkpoint_dir is cleared so an eval never
+    collides with the original run's directory guard."""
+    from litemkd_tpu.cli import train as cli_train
+    from litemkd_tpu.cli import test as cli_test
+    from litemkd_tpu.cli.common import load_saved_config
+
+    ck = str(tmp_path / "ck")
+    cli_train.main([
+        "--preset", "tiny", "--dataset", "synthetic",
+        "--training_iterations", "2", "--tasks_per_batch", "2",
+        "-c", ck, "--print_freq", "0"])
+
+    base = load_saved_config(ck)
+    assert base is not None
+    assert base.model.trans_linear_in_dim == preset("tiny").model.trans_linear_in_dim
+    assert base.train.checkpoint_dir is None        # never write back
+    assert load_saved_config(None, str(tmp_path / "nope")) is None
+
+    # no --preset / geometry flags: the checkpoint's own config drives eval
+    summary = cli_test.main(["-m", ck, "--num_test_tasks", "2"])
+    assert summary["n_tasks"] == 2

@@ -508,6 +508,46 @@ def test_cross_view_sampling(dataset_dir, cfg):
     assert clip_views(batch.query_clips[0]) == [2] * WAY
 
 
+def test_cross_view_guards(dataset_dir, cfg):
+    """load_view applies the same image-extension filter / min-frame guard as
+    the primary scan (view trees are only listed at load time), and an
+    out-of-range --query_view fails with a named error, not an IndexError."""
+    import dataclasses
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG, view_root=str(dataset_dir / "all_view_rgb_l8"))
+    rec = vs.split(True).get(0, 0)
+    vdir = (dataset_dir / "all_view_rgb_l8" / "Camera_0"
+            / vs.class_names[rec.class_id] / rec.video_id)
+    junk = vdir / "thumbs.db"
+    junk.write_bytes(b"not a jpeg")
+    try:
+        clip = vs.load_view(rec, "Camera_0", train=False,
+                            rng=np.random.default_rng(0))
+        assert abs(clip.reshape(-1).mean() - VIEW_VALUES[0]) < 5.0
+    finally:
+        junk.unlink()
+
+    short = (dataset_dir / "all_view_rgb_l8" / "Camera_0"
+             / vs.class_names[rec.class_id] / "short_vid")
+    short.mkdir(parents=True)
+    try:
+        Image.fromarray(np.full((40, 48, 3), 7, np.uint8)).save(
+            short / "00000.jpg")
+        short_rec = dataclasses.replace(rec, video_id="short_vid")
+        with pytest.raises(ValueError, match="seq_len"):
+            vs.load_view(short_rec, "Camera_0", train=False,
+                         rng=np.random.default_rng(0))
+    finally:
+        import shutil
+        shutil.rmtree(short)
+
+    ccfg = cfg.replace(data=dataclasses.replace(cfg.data, cross_view=True,
+                                                query_view=9))
+    sampler = EpisodeSampler(ccfg, vs, None, num_workers=0)
+    with pytest.raises(ValueError, match="query_view 9 out of range"):
+        sampler.sample_batch(np.random.default_rng(1), 1, train=True)
+
+
 def test_cross_view_through_build_sampler_and_training(dataset_dir, cfg):
     """build_sampler derives view_root from rgb_path's sibling
     all_view_rgb_l8 tree (cli --cross_view with no --view_root) and

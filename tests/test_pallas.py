@@ -72,6 +72,32 @@ def test_tct_module_pallas_flag_matches(monkeypatch, inputs):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_way_beyond_lane_width_falls_back_to_xla(monkeypatch):
+    """The kernel's one-hot lane accumulation addresses 128 output lanes;
+    n_way > 128 must route to the einsum path instead of returning zeros
+    for the classes beyond lane 127."""
+    calls = []
+    monkeypatch.setattr(pt, "_tct_attention_fused",
+                        lambda *a: calls.append(a) or pt.tct_attention_xla(*a))
+    rng = np.random.default_rng(2)
+    w = pt._LANES + 2
+    q_k = jnp.asarray(rng.normal(size=(2, U, DK)).astype(np.float32))
+    q_v = jnp.asarray(rng.normal(size=(2, U, DK)).astype(np.float32))
+    c_k = jnp.asarray(rng.normal(size=(w, 1, U, DK)).astype(np.float32))
+    c_v = jnp.asarray(rng.normal(size=(w, 1, U, DK)).astype(np.float32))
+    got = pt.tct_attention(q_k, q_v, c_k, c_v, use_pallas=True)
+    assert not calls, "n_way > 128 must not reach the Pallas kernel"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(pt.tct_attention_xla(q_k, q_v, c_k, c_v)),
+        rtol=1e-5, atol=1e-5)
+    small = pt.tct_attention(q_k, q_v, c_k[:3], c_v[:3], use_pallas=True)
+    assert calls, "n_way <= 128 still takes the Pallas kernel"
+    np.testing.assert_allclose(
+        np.asarray(small),
+        np.asarray(pt.tct_attention_xla(q_k, q_v, c_k[:3], c_v[:3])),
+        rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("q", [3, 11, 25])
 def test_pallas_ragged_query_counts(monkeypatch, q):
     """Grid tiling pads the last query chunk (q % 8 != 0) without corrupting
