@@ -57,6 +57,32 @@ def _bench_config(mode: str):
     return cfg, bench_preset, episodes_per_step
 
 
+def _timed_loop(n_steps, dispatch, hard_sync) -> float:
+    """``dispatch()`` enqueues one step and returns its device output;
+    ``hard_sync(out)`` forces a host value read (a float fetch cannot return
+    early through the axon tunnel, unlike ``block_until_ready``, which has
+    produced bogus timings here).
+
+    BENCH_SYNC=chain (default): enqueue every step, hard-sync only the LAST
+    output — per-device execution is FIFO, so the final read bounds the whole
+    chain. This is pipeline throughput, the number a production loop (which
+    only reads metrics every print_freq steps) actually sees; per-step syncing
+    charged the ~30 ms dispatch round trip to every step on this tunneled
+    host. BENCH_SYNC=step restores the per-step sync (latency per step;
+    pre-2026-08-18 history rows used this).
+    """
+    sync = os.environ.get("BENCH_SYNC", "chain")
+    t0 = time.time()
+    out = None
+    for _ in range(n_steps):
+        out = dispatch()
+        if sync == "step":
+            hard_sync(out)
+    if sync != "step":
+        hard_sync(out)
+    return time.time() - t0
+
+
 def bench_train(cfg, episodes_per_step, n_steps):
     import jax
     from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
@@ -70,13 +96,13 @@ def bench_train(cfg, episodes_per_step, n_steps):
 
     state, metrics = step(state, t_vars, batch)      # compile + warmup
     _ = float(metrics["task_loss"])
-    # per-step host read = hard sync; the axon tunnel makes trailing
-    # block_until_ready unreliable for timing
-    t0 = time.time()
-    for _ in range(n_steps):
+
+    def dispatch():
+        nonlocal state
         state, metrics = step(state, t_vars, batch)
-        _ = float(metrics["task_loss"])
-    dt = time.time() - t0
+        return metrics
+
+    dt = _timed_loop(n_steps, dispatch, lambda m: float(m["task_loss"]))
     return n_steps * episodes_per_step / dt, "train_episodes_per_sec_per_chip"
 
 
@@ -93,10 +119,8 @@ def bench_eval(cfg, episodes_per_step, n_steps):
     eval_step = jax.jit(make_eval_step(cfg))
 
     _ = np.asarray(eval_step(variables, batch)).sum()   # compile + warmup
-    t0 = time.time()
-    for _ in range(n_steps):
-        _ = np.asarray(eval_step(variables, batch)).sum()
-    dt = time.time() - t0
+    dt = _timed_loop(n_steps, lambda: eval_step(variables, batch),
+                     lambda out: float(np.asarray(out).sum()))
     return n_steps * episodes_per_step / dt, "eval_episodes_per_sec_per_chip"
 
 
@@ -114,11 +138,13 @@ def bench_teacher(cfg, episodes_per_step, n_steps):
 
     state, metrics = step(state, batch)              # compile + warmup
     _ = float(metrics["task_loss"])
-    t0 = time.time()
-    for _ in range(n_steps):
+
+    def dispatch():
+        nonlocal state
         state, metrics = step(state, batch)
-        _ = float(metrics["task_loss"])
-    dt = time.time() - t0
+        return metrics
+
+    dt = _timed_loop(n_steps, dispatch, lambda m: float(m["task_loss"]))
     return (n_steps * episodes_per_step / dt,
             "teacher_train_episodes_per_sec_per_chip")
 
@@ -139,10 +165,8 @@ def bench_teacher_eval(cfg, episodes_per_step, n_steps):
     eval_step = jax.jit(make_mfm_eval_step(cfg))
 
     _ = np.asarray(eval_step(variables, batch)).sum()   # compile + warmup
-    t0 = time.time()
-    for _ in range(n_steps):
-        _ = np.asarray(eval_step(variables, batch)).sum()
-    dt = time.time() - t0
+    dt = _timed_loop(n_steps, lambda: eval_step(variables, batch),
+                     lambda out: float(np.asarray(out).sum()))
     return (n_steps * episodes_per_step / dt,
             "teacher_eval_episodes_per_sec_per_chip")
 
@@ -195,7 +219,8 @@ def main():
               "episodes_per_step": episodes_per_step,
               "micro_batch": cfg.train.micro_batch,
               "remat": cfg.model.remat, "pallas": cfg.model.use_pallas,
-              "freeze_bn": cfg.model.freeze_bn, "steps": n_steps, **line}
+              "freeze_bn": cfg.model.freeze_bn, "steps": n_steps,
+              "sync": os.environ.get("BENCH_SYNC", "chain"), **line}
     try:
         with open(os.path.join(ROOT, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
