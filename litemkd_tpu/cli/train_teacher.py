@@ -222,28 +222,55 @@ def main(argv=None):
                         if mk > int(state.episodes_seen))
     save_every = max(1, cfg.train.save_freq // e)
 
-    for i in range(int(state.step), n_steps):
+    # mirrors train/loop.py's hot loop: episode assembly on a prefetch
+    # thread (feature-tree loads were previously serialized with the step),
+    # host-deterministic step/episode counters (teacher_steps.py:123-124:
+    # step += 1, episodes_seen += batch episodes per update), and metric
+    # host reads deferred one step so the next dispatch is already enqueued
+    # while the previous step syncs
+    from ..data import Prefetcher
+    start = int(state.step)
+    step_i, episodes = start, int(state.episodes_seen)
+    produce = lambda i: sampler.sample_batch(
         # step-keyed stream: a resumed run continues the data sequence
-        # instead of replaying batches 0..k (mirrors train/loop.py)
-        batch = sampler.sample_batch(
-            np.random.default_rng((cfg.train.seed, i)), e, train=True)
+        # instead of replaying batches 0..k
+        np.random.default_rng((cfg.train.seed, start + i)), e, train=True)
+    transfer = (lambda b: shard_batch(b, mesh)) if mesh is not None else None
+    pending = None
+
+    def flush():
+        nonlocal pending
+        if pending is None:
+            return
+        s, m = pending
+        pending = None
+        logger.log(s, {k: float(v) for k, v in jax.device_get(m).items()})
+
+    for batch in Prefetcher(produce, n_batches=n_steps - start,
+                            transfer=transfer):
         if mesh is not None:
-            batch = shard_batch(batch, mesh)
             with jax.set_mesh(mesh):
                 state, metrics = step(state, batch)
         else:
             state, metrics = step(state, batch)
-        logger.log(int(state.step), {k: float(v) for k, v in metrics.items()})
-        if ckpt and int(state.step) % save_every == 0:
+        step_i += 1
+        episodes += e
+        flush()
+        pending = (step_i, metrics)
+        if ckpt and step_i % save_every == 0:
+            flush()
             ckpt.save(state)
-        episodes = int(state.episodes_seen)
         while test_marks and episodes >= test_marks[0]:
             test_marks.pop(0)
+            flush()
             from ..train.loop import run_eval
             s = run_eval(cfg, {"params": state.params}, sampler,
                          eval_step=eval_step, mesh=mesh)
             logger.info(f"eval @{episodes}: {s['accuracy']:.2f} ± "
                         f"{s['confidence']:.2f} ({s['n_tasks']} tasks)")
+    flush()
+    assert int(state.step) == step_i, \
+        "host step counter drifted from the device TrainState"
     if ckpt:
         ckpt.save(state)
     return state

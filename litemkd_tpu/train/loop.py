@@ -258,22 +258,45 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     fetcher = Prefetcher(produce, n_batches=n_steps - start_step,
                          depth=prefetch_depth, transfer=transfer)
 
+    # step/episode counters are host-deterministic (step += 1 and
+    # episodes_seen += global batch size per update, train/steps.py:196-197),
+    # so the hot loop never reads them off the device; metric host reads are
+    # deferred by ONE step and fetched as a single transfer, so the next
+    # step is already enqueued while the previous one syncs (same absorb
+    # pattern as run_eval above — per-step int(state.step)/float(metric)
+    # reads were charging the dispatch round trip to every step)
+    step_i = int(state.step)
+    episodes = int(state.episodes_seen)
+    pending = None   # (step_i, episodes, device-metrics dict)
+
+    def flush():
+        nonlocal pending
+        if pending is None:
+            return
+        s, n, m = pending
+        pending = None
+        logger.log(s, {k: float(v)
+                       for k, v in jax.device_get(m).items()}
+                   | {"episodes": n})
+
     for batch in fetcher:
         if mesh is not None:
             with jax.set_mesh(mesh):
                 state, metrics = step_fn(state, t_vars, batch)
         else:
             state, metrics = step_fn(state, t_vars, batch)
-        step_i = int(state.step)
-        episodes = int(state.episodes_seen)
-        logger.log(step_i, {k: float(v) for k, v in metrics.items()}
-                   | {"episodes": episodes})
+        step_i += 1
+        episodes += e_per_step
+        flush()
+        pending = (step_i, episodes, metrics)
 
         if ckpt and step_i % save_every == 0:
+            flush()   # keep the JSONL stream chronological around the save
             ckpt.save(state, t_vars)
 
         while test_marks and episodes >= test_marks[0]:
             mark = test_marks.pop(0)
+            flush()
             summary = run_eval(cfg, state.variables, eval_sampler,
                                eval_step=eval_step, mesh=mesh)
             eval_history.append({"episodes": episodes, **summary})
@@ -281,6 +304,9 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                         f"{summary['accuracy']:.2f} ± {summary['confidence']:.2f} "
                         f"({summary['n_tasks']} tasks)")
 
+    flush()
+    assert int(state.step) == step_i, \
+        "host step counter drifted from the device TrainState"
     if ckpt:
         ckpt.save(state, t_vars)
     return state, t_vars, eval_history
