@@ -66,20 +66,34 @@ def main(argv=None):
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None
 
+    from ..data import Prefetcher
     bs = args.batch_size
     for epoch in range(args.epochs):
         order = rng.permutation(len(records))
-        tot_loss = tot_acc = n_b = 0
-        for i in range(0, len(order) - bs + 1, bs):
-            chunk = [records[j] for j in order[i:i + bs]]
+        starts = list(range(0, len(order) - bs + 1, bs))
+
+        def produce(i):
+            # decode/augment on the prefetch thread (the reference's
+            # DataLoader workers, pretrain.py's dominant CPU cost); the
+            # single producer keeps the rng draw order deterministic
+            chunk = [records[j] for j in order[starts[i]:starts[i] + bs]]
             clips = np.stack([vs.load(r, True, rng) for r, _ in chunk])
             labels = np.asarray([c for _, c in chunk], np.int32)
-            state, metrics = step(state, jnp.asarray(clips), jnp.asarray(labels))
-            tot_loss += float(metrics["loss"])
-            tot_acc += float(metrics["accuracy"])
-            n_b += 1
-        logger.log(epoch, {"epoch_loss": tot_loss / max(n_b, 1),
-                           "epoch_accuracy": tot_acc / max(n_b, 1)},
+            return clips, labels
+
+        transfer = lambda t: (jnp.asarray(t[0]), jnp.asarray(t[1]))
+        # epoch means sync ONCE per epoch: per-batch float() reads would
+        # serialize the dispatch round trip with device compute
+        epoch_metrics = []
+        for clips, labels in Prefetcher(produce, n_batches=len(starts),
+                                        transfer=transfer):
+            state, metrics = step(state, clips, labels)
+            epoch_metrics.append(metrics)
+        ms = jax.device_get(epoch_metrics)
+        n_b = max(len(ms), 1)
+        logger.log(epoch, {"epoch_loss": sum(float(m["loss"]) for m in ms) / n_b,
+                           "epoch_accuracy": sum(float(m["accuracy"])
+                                                 for m in ms) / n_b},
                    force_print=True)
         if ckpt:
             ckpt.save(state)

@@ -42,26 +42,63 @@ def _iter_records(index: SplitIndex):
             yield rec
 
 
+def _pipelined_extract(jobs, assemble, dispatch, sink) -> None:
+    """Three-stage extraction pipeline over ``jobs`` (one entry per batch):
+    ``assemble(job)`` builds the host arrays on a Prefetcher thread (decode /
+    np.load overlap device compute), ``dispatch(inputs)`` enqueues the device
+    forward on the hot loop, and ``sink(job, np_features)``'s host sync +
+    np.save of batch k are deferred until batch k+1 is dispatched (per-device
+    execution is FIFO, so results stay in job order) — the reference's
+    one-video-at-a-time dump loops (extract_feature.py:80-92) serialized all
+    three stages."""
+    from ..data.prefetch import Prefetcher
+
+    def produce(i):
+        job = jobs[i]
+        return job, assemble(job)
+
+    def transfer(item):
+        job, arrs = item
+        return job, jax.tree_util.tree_map(jnp.asarray, arrs)
+
+    pending = None
+    for job, inputs in Prefetcher(produce, n_batches=len(jobs),
+                                  transfer=transfer):
+        out = dispatch(inputs)
+        if pending is not None:
+            sink(pending[0], np.asarray(pending[1]))
+        pending = (job, out)
+    if pending is not None:
+        sink(pending[0], np.asarray(pending[1]))
+
+
 def extract_expert_features(cfg: Config, video_store: VideoStore,
                             feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
                             out_root: str, class_names: List[str],
                             batch_size: int = 16, verify: bool = True) -> int:
     """Run ``feature_fn`` ((B, T, H, W, 3) uint8 → (B, T, D)) over every video
     in both splits and dump per-video feature.npy files. Returns video count."""
-    n = 0
     rng = np.random.default_rng(0)
+    jobs = []
     for train in (True, False):
-        index = video_store.split(train)
-        records = list(_iter_records(index))
-        for i in range(0, len(records), batch_size):
-            chunk = records[i:i + batch_size]
-            clips = np.stack([video_store.load(r, train=False, rng=rng)
-                              for r in chunk])
-            feats = np.asarray(feature_fn(jnp.asarray(clips)))
-            for rec, f in zip(chunk, feats):
-                _save_feature(out_root, class_names[rec.class_id],
-                              rec.video_id, f.astype(np.float32))
-                n += 1
+        records = list(_iter_records(video_store.split(train)))
+        jobs += [records[i:i + batch_size]
+                 for i in range(0, len(records), batch_size)]
+
+    counter = [0]
+
+    def sink(chunk, feats):
+        for rec, f in zip(chunk, feats):
+            _save_feature(out_root, class_names[rec.class_id],
+                          rec.video_id, f.astype(np.float32))
+            counter[0] += 1
+
+    _pipelined_extract(
+        jobs,
+        assemble=lambda chunk: np.stack(
+            [video_store.load(r, train=False, rng=rng) for r in chunk]),
+        dispatch=feature_fn, sink=sink)
+    n = counter[0]
     if verify and n:
         rec = next(_iter_records(video_store.split(True)))
         clip = video_store.load(rec, train=False, rng=np.random.default_rng(0))
@@ -105,20 +142,27 @@ def extract_mfm_features(cfg: Config, store: MultiModalFeatureStore,
     fuse = jax.jit(lambda v, feats: model.apply(v, feats, method=model.extract,
                                                 **kw))
 
-    n = 0
+    jobs = []
     for train in (True, False):
-        index = store.split(train)
-        records = list(_iter_records(index))
-        for i in range(0, len(records), batch_size):
-            chunk = records[i:i + batch_size]
-            feats = {m: jnp.asarray(np.stack(
-                [store.load(r, m, train) for r in chunk]))
-                for m in store.modalities}
-            fused = np.asarray(fuse(mfm_variables, feats))
-            for rec, f in zip(chunk, fused):
-                _save_feature(out_root, class_names[rec.class_id],
-                              rec.video_id, f.astype(np.float32))
-                n += 1
+        records = list(_iter_records(store.split(train)))
+        jobs += [(train, records[i:i + batch_size])
+                 for i in range(0, len(records), batch_size)]
+
+    counter = [0]
+
+    def sink(job, fused):
+        for rec, f in zip(job[1], fused):
+            _save_feature(out_root, class_names[rec.class_id],
+                          rec.video_id, f.astype(np.float32))
+            counter[0] += 1
+
+    _pipelined_extract(
+        jobs,
+        assemble=lambda job: {m: np.stack(
+            [store.load(r, m, job[0]) for r in job[1]])
+            for m in store.modalities},
+        dispatch=lambda feats: fuse(mfm_variables, feats), sink=sink)
+    n = counter[0]
     if verify and n:
         rec = next(_iter_records(store.split(True)))
         feats = {m: jnp.asarray(store.load(rec, m, True)[None])
