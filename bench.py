@@ -71,16 +71,23 @@ def _timed_loop(n_steps, dispatch, hard_sync) -> float:
     host. BENCH_SYNC=step restores the per-step sync (latency per step;
     pre-2026-08-18 history rows used this).
     """
-    sync = os.environ.get("BENCH_SYNC", "chain")
+    sync = _sync_mode()
     t0 = time.time()
     out = None
     for _ in range(n_steps):
         out = dispatch()
         if sync == "step":
             hard_sync(out)
-    if sync != "step":
+    if sync == "chain" and out is not None:
         hard_sync(out)
     return time.time() - t0
+
+
+def _sync_mode() -> str:
+    sync = os.environ.get("BENCH_SYNC", "chain")
+    if sync not in ("chain", "step"):
+        raise SystemExit(f"BENCH_SYNC must be 'chain' or 'step', got {sync!r}")
+    return sync
 
 
 def bench_train(cfg, episodes_per_step, n_steps):
@@ -220,7 +227,7 @@ def main():
               "micro_batch": cfg.train.micro_batch,
               "remat": cfg.model.remat, "pallas": cfg.model.use_pallas,
               "freeze_bn": cfg.model.freeze_bn, "steps": n_steps,
-              "sync": os.environ.get("BENCH_SYNC", "chain"), **line}
+              "sync": _sync_mode(), **line}
     try:
         with open(os.path.join(ROOT, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")

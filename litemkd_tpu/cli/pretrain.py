@@ -82,18 +82,30 @@ def main(argv=None):
             return clips, labels
 
         transfer = lambda t: (jnp.asarray(t[0]), jnp.asarray(t[1]))
-        # epoch means sync ONCE per epoch: per-batch float() reads would
-        # serialize the dispatch round trip with device compute
-        epoch_metrics = []
+        # per-batch float() reads would serialize the dispatch round trip
+        # with device compute; absorbing in bounded windows keeps the
+        # overlap with O(window) live metric buffers and bounds how far
+        # dispatch can run ahead of execution (each in-flight step pins
+        # its clips batch)
+        window, buf, sums = 16, [], [0.0, 0.0, 0]
+
+        def drain():
+            for m in jax.device_get(buf):
+                sums[0] += float(m["loss"])
+                sums[1] += float(m["accuracy"])
+                sums[2] += 1
+            buf.clear()
+
         for clips, labels in Prefetcher(produce, n_batches=len(starts),
                                         transfer=transfer):
             state, metrics = step(state, clips, labels)
-            epoch_metrics.append(metrics)
-        ms = jax.device_get(epoch_metrics)
-        n_b = max(len(ms), 1)
-        logger.log(epoch, {"epoch_loss": sum(float(m["loss"]) for m in ms) / n_b,
-                           "epoch_accuracy": sum(float(m["accuracy"])
-                                                 for m in ms) / n_b},
+            buf.append(metrics)
+            if len(buf) >= window:
+                drain()
+        drain()
+        n_b = max(sums[2], 1)
+        logger.log(epoch, {"epoch_loss": sums[0] / n_b,
+                           "epoch_accuracy": sums[1] / n_b},
                    force_print=True)
         if ckpt:
             ckpt.save(state)

@@ -228,7 +228,7 @@ def main(argv=None):
     # step += 1, episodes_seen += batch episodes per update), and metric
     # host reads deferred one step so the next dispatch is already enqueued
     # while the previous step syncs
-    from ..data import Prefetcher
+    from ..data import DeferredHostSync, Prefetcher
     start = int(state.step)
     step_i, episodes = start, int(state.episodes_seen)
     produce = lambda i: sampler.sample_batch(
@@ -236,17 +236,10 @@ def main(argv=None):
         # instead of replaying batches 0..k
         np.random.default_rng((cfg.train.seed, start + i)), e, train=True)
     transfer = (lambda b: shard_batch(b, mesh)) if mesh is not None else None
-    pending = None
+    deferred = DeferredHostSync(lambda s, m: logger.log(
+        s, {k: float(v) for k, v in jax.device_get(m).items()}))
 
-    def flush():
-        nonlocal pending
-        if pending is None:
-            return
-        s, m = pending
-        pending = None
-        logger.log(s, {k: float(v) for k, v in jax.device_get(m).items()})
-
-    for batch in Prefetcher(produce, n_batches=n_steps - start,
+    for batch in Prefetcher(produce, n_batches=n_steps - start, depth=1,
                             transfer=transfer):
         if mesh is not None:
             with jax.set_mesh(mesh):
@@ -255,20 +248,19 @@ def main(argv=None):
             state, metrics = step(state, batch)
         step_i += 1
         episodes += e
-        flush()
-        pending = (step_i, metrics)
+        deferred.push(step_i, metrics)
         if ckpt and step_i % save_every == 0:
-            flush()
+            deferred.flush()
             ckpt.save(state)
         while test_marks and episodes >= test_marks[0]:
             test_marks.pop(0)
-            flush()
+            deferred.flush()
             from ..train.loop import run_eval
             s = run_eval(cfg, {"params": state.params}, sampler,
                          eval_step=eval_step, mesh=mesh)
             logger.info(f"eval @{episodes}: {s['accuracy']:.2f} ± "
                         f"{s['confidence']:.2f} ({s['n_tasks']} tasks)")
-    flush()
+    deferred.flush()
     assert int(state.step) == step_i, \
         "host step counter drifted from the device TrainState"
     if ckpt:

@@ -177,13 +177,21 @@ class Config:
 
 def preset(name: str, **overrides) -> Config:
     """Named presets: the canonical configurations from the reference's scripts."""
+    # every 224px image-trunk preset runs micro_batch=4: the fully-fused
+    # 16-episode fwd/bwd (micro_batch=0) holds ~6 GB of stem activations per
+    # 4 episodes and OOMs a 16 GB v5e at compile; lax.scan over 4-episode
+    # slices has identical loss/BN-chain semantics and measured-equal
+    # throughput (NOTES perf log #3). Feature-space configs (mfm_teacher,
+    # tiny) keep the fused default.
+    mb4 = TrainConfig(micro_batch=4)
     presets = {
         # train_wandb.sh:20-32 — the paper's student run
-        "student_fc2sup_dist": Config(),
+        "student_fc2sup_dist": Config(train=mb4),
         # plain student, no distillation (ce loss on single TRX head)
         "student_plain": Config(
             model=ModelConfig(backbone="resnet18_student", classifier="TRX"),
             distill=DistillConfig(name="ce"),
+            train=mb4,
         ),
         # teacher/code/scripts/hmdb/multi_fusion_r+d+f.sh — the MFM fusion teacher
         "mfm_teacher": Config(
@@ -195,6 +203,7 @@ def preset(name: str, **overrides) -> Config:
         # mobilenet student variant (Readme.md:160-163)
         "student_mobilenet": Config(
             model=ModelConfig(backbone="mobilenetv3_large_2fc", classifier="TRX_2fcsup"),
+            train=mb4,
         ),
         # per-modality TRX expert stage (teacher/code/run.py via
         # scripts/*/run/*_trx_run.sh: resnet50, qpc 4, lr 1e-4 SGD, dk 1152)
@@ -202,7 +211,8 @@ def preset(name: str, **overrides) -> Config:
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="resnet50_student", classifier="TRX"),
             distill=DistillConfig(name="ce"),
-            train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
+            train=TrainConfig(learning_rate=1e-4, training_iterations=50010,
+                              micro_batch=4),
         ),
         # per-modality CNN_STRM expert (scripts/*/trx/{rgb,flow,depth}_strm.sh:
         # resnet50 STRM trunk, run.py:330-337's task_loss + 0.1·pat joint CE,
@@ -211,7 +221,8 @@ def preset(name: str, **overrides) -> Config:
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="cnn_strm", classifier="strmclassifiers"),
             distill=DistillConfig(name="strm"),
-            train=TrainConfig(learning_rate=3e-4, training_iterations=70010),
+            train=TrainConfig(learning_rate=3e-4, training_iterations=70010,
+                              micro_batch=4),
         ),
         # per-modality Baseline expert (scripts/*/run/5-shot/*_Baseline_50.sh:
         # resnet50 GAP + euclidean class-mean prototypes, CELoss, lr 3e-4)
@@ -219,7 +230,8 @@ def preset(name: str, **overrides) -> Config:
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="resnet50_gap", classifier="e_dist"),
             distill=DistillConfig(name="ce"),
-            train=TrainConfig(learning_rate=3e-4, training_iterations=70020),
+            train=TrainConfig(learning_rate=3e-4, training_iterations=70020,
+                              micro_batch=4),
         ),
         # skeleton-modality TRX expert (scripts/*/run/5-shot/
         # skeleton_trx_run.sh: skeleton encoder + TRX head, lr 1e-4)

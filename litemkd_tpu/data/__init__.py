@@ -8,7 +8,7 @@ from .episodes import (EpisodeSampler, EpisodeSpec, EpisodeMeta,
                        save_fixed_episodes, load_fixed_episodes,
                        load_reference_fixed_episodes,
                        save_reference_fixed_episodes)
-from .prefetch import Prefetcher, device_put_batch
+from .prefetch import DeferredHostSync, Prefetcher, device_put_batch
 from .multimodal import MultiModalEpisodeSampler
 
 __all__ = [
@@ -18,6 +18,6 @@ __all__ = [
     "EpisodeSampler", "EpisodeSpec", "EpisodeMeta", "draw_episode_spec",
     "save_fixed_episodes", "load_fixed_episodes",
     "load_reference_fixed_episodes", "save_reference_fixed_episodes",
-    "Prefetcher",
+    "Prefetcher", "DeferredHostSync",
     "device_put_batch", "MultiModalEpisodeSampler",
 ]

@@ -25,6 +25,35 @@ def device_put_batch(batch: EpisodeBatch, sharding=None) -> EpisodeBatch:
     return EpisodeBatch(*(put(f) for f in batch))
 
 
+class DeferredHostSync:
+    """One-deep deferral of host-side result absorption.
+
+    ``push(item)`` absorbs the PREVIOUS item and stores this one; ``flush()``
+    absorbs whatever is pending. Call ``push`` right after dispatching step
+    k+1 so step k's host sync (np.asarray / float / np.save) happens while
+    the device is already busy — per-device execution is FIFO, so results
+    are absorbed in push order. ``flush()`` must run at any barrier that
+    needs the stream complete (checkpoint save, mid-train eval, loop end);
+    exactly one item is ever pending, so peak extra memory is one result.
+    Used by run_eval / run_training / the teacher loop / the extract
+    pipeline — keep the invariants here, not in four hand-rolled copies.
+    """
+
+    def __init__(self, absorb: Callable):
+        self._absorb = absorb
+        self._pending = None
+
+    def push(self, *item) -> None:
+        prev, self._pending = self._pending, item
+        if prev is not None:
+            self._absorb(*prev)
+
+    def flush(self) -> None:
+        prev, self._pending = self._pending, None
+        if prev is not None:
+            self._absorb(*prev)
+
+
 class Prefetcher:
     """Wraps a batch-producing callable in a bounded background queue.
 

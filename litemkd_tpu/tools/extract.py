@@ -51,7 +51,7 @@ def _pipelined_extract(jobs, assemble, dispatch, sink) -> None:
     execution is FIFO, so results stay in job order) — the reference's
     one-video-at-a-time dump loops (extract_feature.py:80-92) serialized all
     three stages."""
-    from ..data.prefetch import Prefetcher
+    from ..data.prefetch import DeferredHostSync, Prefetcher
 
     def produce(i):
         job = jobs[i]
@@ -61,15 +61,11 @@ def _pipelined_extract(jobs, assemble, dispatch, sink) -> None:
         job, arrs = item
         return job, jax.tree_util.tree_map(jnp.asarray, arrs)
 
-    pending = None
+    deferred = DeferredHostSync(lambda job, out: sink(job, np.asarray(out)))
     for job, inputs in Prefetcher(produce, n_batches=len(jobs),
                                   transfer=transfer):
-        out = dispatch(inputs)
-        if pending is not None:
-            sink(pending[0], np.asarray(pending[1]))
-        pending = (job, out)
-    if pending is not None:
-        sink(pending[0], np.asarray(pending[1]))
+        deferred.push(job, dispatch(inputs))
+    deferred.flush()
 
 
 def extract_expert_features(cfg: Config, video_store: VideoStore,

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 
 from ..config import Config
-from ..data.prefetch import Prefetcher, device_put_batch
+from ..data.prefetch import DeferredHostSync, Prefetcher, device_put_batch
 from ..utils.logging import MetricsLogger
 from ..utils.metrics import TestAccuracies
 from .checkpoint import CheckpointManager
@@ -98,14 +98,12 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
 
     acc = TestAccuracies()
 
-    def absorb(item):
+    def absorb(i, accs, preds):
         # host-side conversion of a PREVIOUS chunk's device results: deferred
-        # one chunk so the next dispatch is already enqueued while this one
-        # syncs — otherwise the per-chunk np.asarray serializes the dispatch
-        # round trip with device compute (measured ~19% of eval wall time on
-        # a remote-dispatch host; per-device execution is FIFO so results
-        # stay in order)
-        i, accs, preds = item
+        # one chunk (DeferredHostSync) so the next dispatch is already
+        # enqueued while this one syncs — otherwise the per-chunk np.asarray
+        # serializes the dispatch round trip with device compute (measured
+        # ~19% of eval wall time on a remote-dispatch host)
         if multiproc:
             # the (E,) accuracies are data-sharded across processes;
             # np.asarray on a non-addressable array raises — allgather the
@@ -131,7 +129,7 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
                     "real_preds": real_preds[e].tolist(),
                 })
 
-    pending = None
+    deferred = DeferredHostSync(absorb)
     for i, batch in enumerate(Prefetcher(produce, n_batches=len(sizes),
                                          depth=prefetch_depth,
                                          transfer=transfer)):
@@ -141,22 +139,24 @@ def run_eval(cfg: Config, variables, sampler, *, n_tasks: Optional[int] = None,
         else:
             out = eval_step(variables, batch)
         accs, preds = out if task_log is not None else (out, None)
-        if pending is not None:
-            absorb(pending)
-        pending = (i, accs, preds)
-    if pending is not None:
-        absorb(pending)
+        deferred.push(i, accs, preds)
+    deferred.flush()
     return acc.summary()
 
 
 def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                  teacher_vars_init: Optional[Any] = None,
-                 eval_sampler=None, prefetch_depth: int = 2,
+                 eval_sampler=None, prefetch_depth: int = 1,
                  student_vars_init: Optional[dict] = None):
     """Full student training. ``sampler.sample_batch(rng, n, train)`` must
     yield EpisodeBatches; returns (final_state, teacher_vars, eval_history).
     ``student_vars_init`` warm-starts the student from imported weights
-    (e.g. a reference torch checkpoint or pretrained trunks)."""
+    (e.g. a reference torch checkpoint or pretrained trunks).
+
+    ``prefetch_depth`` defaults to 1: with the deferred metric flush the
+    device already holds the executing batch PLUS the next dispatched one,
+    so one staged batch keeps the old 3×(~0.9 GB flagship batch) HBM peak
+    while still hiding episode assembly behind the step."""
     logger = logger or MetricsLogger(print_freq=cfg.train.print_freq)
     eval_sampler = eval_sampler or sampler
     e_per_step = cfg.train.tasks_per_batch
@@ -262,22 +262,14 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
     # episodes_seen += global batch size per update, train/steps.py:196-197),
     # so the hot loop never reads them off the device; metric host reads are
     # deferred by ONE step and fetched as a single transfer, so the next
-    # step is already enqueued while the previous one syncs (same absorb
-    # pattern as run_eval above — per-step int(state.step)/float(metric)
-    # reads were charging the dispatch round trip to every step)
+    # step is already enqueued while the previous one syncs (same pattern
+    # as run_eval above — per-step int(state.step)/float(metric) reads were
+    # charging the dispatch round trip to every step)
     step_i = int(state.step)
     episodes = int(state.episodes_seen)
-    pending = None   # (step_i, episodes, device-metrics dict)
-
-    def flush():
-        nonlocal pending
-        if pending is None:
-            return
-        s, n, m = pending
-        pending = None
-        logger.log(s, {k: float(v)
-                       for k, v in jax.device_get(m).items()}
-                   | {"episodes": n})
+    deferred = DeferredHostSync(lambda s, n, m: logger.log(
+        s, {k: float(v) for k, v in jax.device_get(m).items()}
+        | {"episodes": n}))
 
     for batch in fetcher:
         if mesh is not None:
@@ -287,16 +279,15 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
             state, metrics = step_fn(state, t_vars, batch)
         step_i += 1
         episodes += e_per_step
-        flush()
-        pending = (step_i, episodes, metrics)
+        deferred.push(step_i, episodes, metrics)
 
         if ckpt and step_i % save_every == 0:
-            flush()   # keep the JSONL stream chronological around the save
+            deferred.flush()   # keep the JSONL chronological around the save
             ckpt.save(state, t_vars)
 
         while test_marks and episodes >= test_marks[0]:
             mark = test_marks.pop(0)
-            flush()
+            deferred.flush()
             summary = run_eval(cfg, state.variables, eval_sampler,
                                eval_step=eval_step, mesh=mesh)
             eval_history.append({"episodes": episodes, **summary})
@@ -304,7 +295,7 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
                         f"{summary['accuracy']:.2f} ± {summary['confidence']:.2f} "
                         f"({summary['n_tasks']} tasks)")
 
-    flush()
+    deferred.flush()
     assert int(state.step) == step_i, \
         "host step counter drifted from the device TrainState"
     if ckpt:
