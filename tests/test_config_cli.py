@@ -222,3 +222,26 @@ def test_checkpoint_carries_its_config(tmp_path):
     # no --preset / geometry flags: the checkpoint's own config drives eval
     summary = cli_test.main(["-m", ck, "--num_test_tasks", "2"])
     assert summary["n_tasks"] == 2
+
+
+def test_deferred_host_sync_semantics():
+    """DeferredHostSync absorbs in push order with exactly one item pending,
+    flush drains it (idempotently), and interleaved flushes (the checkpoint /
+    mid-train-eval barriers) never reorder or drop items."""
+    from litemkd_tpu.data import DeferredHostSync
+
+    seen = []
+    d = DeferredHostSync(lambda *item: seen.append(item))
+    d.flush()                       # empty flush is a no-op
+    assert seen == []
+    d.push(1, "a")
+    assert seen == []               # one item pending, nothing absorbed yet
+    d.push(2, "b")
+    assert seen == [(1, "a")]       # push absorbs the previous item
+    d.flush()
+    assert seen == [(1, "a"), (2, "b")]
+    d.flush()                       # double flush absorbs nothing twice
+    assert seen == [(1, "a"), (2, "b")]
+    d.push(3, "c")                  # reusable after flush
+    d.flush()
+    assert seen == [(1, "a"), (2, "b"), (3, "c")]
