@@ -304,3 +304,33 @@ def test_pretrain_checkpoints_every_epoch(tmp_path):
     ckpt.save(s1)
     ckpt.save(s2)                      # must NOT be skipped
     assert ckpt.latest_step() == 4
+
+
+def test_teacher_resume_continues_episode_stream(cfg, feature_root, tmp_path):
+    """The teacher CLI's prefetched stream is keyed by absolute step, so a
+    resumed run continues the data sequence instead of replaying batches 0..k
+    (mirrors test_train_step.test_resume_continues_episode_stream for the
+    run_training loop)."""
+    import dataclasses
+    from litemkd_tpu.cli import train_teacher as cli_teacher
+
+    geo = ["--dataset", "synthetic", "--way", str(WAY), "--shot", str(SHOT),
+           "--query_per_class", str(QPC), "--query_per_class_test", "1",
+           "--seq_len", str(T), "--trans_linear_in_dim", str(D),
+           "--trans_linear_out_dim", "24", "--trans_num", "1",
+           "--tasks_per_batch", "2", "--print_freq", "0",
+           "--save_freq", "2"]
+
+    def params_of(state):
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    full = cli_teacher.main(geo + ["--training_iterations", "8",
+                                   "-c", str(tmp_path / "full")])
+    cli_teacher.main(geo + ["--training_iterations", "4",
+                            "-c", str(tmp_path / "res")])
+    rest = cli_teacher.main(geo + ["--training_iterations", "8",
+                                   "-c", str(tmp_path / "res"), "-r"])
+    assert int(rest.step) == int(full.step) == 4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
+        params_of(full), params_of(rest))
