@@ -19,10 +19,16 @@ class ViTClassifier(nn.Module):
     ``model_distillation`` (``teacher/code/model.py:2142-2157``), which wraps
     timm's ``deit_small_distilled_patch16_224`` plus a linear head. timm and
     its pretrained weights are unavailable offline, so this is the same
-    architecture trained from scratch: patch16 embed, cls + distill tokens,
-    learned positional embeddings, pre-LN encoder blocks, and the classifier
-    fed the mean of the two special tokens (timm's distilled eval behavior).
-    """
+    trunk architecture trained from scratch: patch16 embed, cls + distill
+    tokens, learned positional embeddings, pre-LN encoder blocks.
+
+    Head simplification (deliberate divergence): ONE linear head over the
+    mean of the two special TOKENS. timm's distilled eval instead averages
+    the LOGITS of two separate heads, (head(cls)+head_dist(dist))/2, which a
+    single fc cannot express with distinct head weights (with tied heads the
+    two forms coincide). ``import_deit_trunk`` imports the TRUNK only and
+    leaves ``fc`` freshly initialized (the reference replaces the head with
+    its own nn.Linear anyway, model.py:2146-2151)."""
 
     num_classes: int
     img_size: int = 224

@@ -16,7 +16,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .resnet import adaptive_max_pool_2d
+from .resnet import (adaptive_max_pool_2d, flatten_clip_frames,
+                     litemkd_feature_head)
 from ...ops.torch_init import (torch_conv_kernel_init, torch_linear_kernel_init,
                                torch_linear_bias_init)
 
@@ -77,11 +78,15 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = x.mean(axis=(1, 2))
+        # torchvision SE uses 1x1 Conv2d with default init: biases draw
+        # U(±1/sqrt(fan_in)) like every other torch linear, not zeros
         s = nn.relu(nn.Dense(self.squeeze, dtype=jnp.float32,
                              kernel_init=torch_linear_kernel_init(),
+                             bias_init=torch_linear_bias_init(self.channels),
                              name="fc1")(s))
         s = hard_sigmoid(nn.Dense(self.channels, dtype=jnp.float32,
                                   kernel_init=torch_linear_kernel_init(),
+                                  bias_init=torch_linear_bias_init(self.squeeze),
                                   name="fc2")(s))
         return x * s[:, None, None, :].astype(x.dtype)
 
@@ -164,21 +169,10 @@ class MobileNetV3Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool):
-        b, t = clips.shape[0], clips.shape[1]
-        x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
-        if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
-            x = x / 255.0
+        x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = MobileNetV3Trunk(self.variant, self.compute_dtype,
                              self.freeze_bn, self.remat,
                              name="trunk")(x, train=train)
-        x = adaptive_max_pool_2d(x, self.pool_hw)
-        x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
-        trunk_dim = x.shape[-1]
-        dense = partial(nn.Dense, self.out_dim, dtype=jnp.float32,
-                        kernel_init=torch_linear_kernel_init(),
-                        bias_init=torch_linear_bias_init(trunk_dim))
-        f1 = dense(name="fc1")(x).reshape(b, t, self.out_dim)
-        if self.num_fc == 1:
-            return f1
-        f2 = dense(name="fc2")(x).reshape(b, t, self.out_dim)
-        return {"f1": f1, "f2": f2}
+        return litemkd_feature_head(x, b, t, num_fc=self.num_fc,
+                                    out_dim=self.out_dim,
+                                    pool_hw=self.pool_hw)

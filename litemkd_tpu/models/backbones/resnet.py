@@ -154,6 +154,44 @@ def adaptive_max_pool_2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray
     return jnp.stack(rows, axis=1)  # (N, oh, ow, C)
 
 
+def flatten_clip_frames(clips: jnp.ndarray, compute_dtype):
+    """(B, T, H, W, 3) → ((B·T, H, W, 3) in compute dtype, B, T); uint8
+    pixels (the wire format) are scaled /255 on device. Shared by every CNN
+    backbone so the scaling convention can't drift between trunks."""
+    b, t = clips.shape[0], clips.shape[1]
+    x = clips.reshape(b * t, *clips.shape[2:]).astype(compute_dtype)
+    if clips.dtype == jnp.uint8:
+        x = x / 255.0
+    return x, b, t
+
+
+def litemkd_feature_head(x, b, t, *, num_fc: int, out_dim: int,
+                         pool_hw: Tuple[int, int], pool: str = "adaptive_max"):
+    """The shared Lite-MKD feature head (reference resnet18_2fc.py:29-77 /
+    moblienetv3.py:40-76): adaptive max-pool → 16-patch mean (f32) → fc1
+    [/fc2] per frame. Must be called from inside a module's ``nn.compact``
+    ``__call__`` — the fc1/fc2 Dense params land in the caller's scope, so
+    every backbone keeps the same checkpoint layout."""
+    if pool == "gap":
+        x = x.astype(jnp.float32).mean(axis=(1, 2))
+    else:
+        # max-pool in the trunk dtype (max is precision-exact; the f32
+        # upcast before pooling doubled the backward's scatter-add traffic)
+        x = adaptive_max_pool_2d(x, pool_hw)
+        x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
+    trunk_dim = x.shape[-1]
+    if num_fc == 0:
+        return x.reshape(b, t, trunk_dim)
+    dense = partial(nn.Dense, out_dim, dtype=jnp.float32,
+                    kernel_init=torch_linear_kernel_init(),
+                    bias_init=torch_linear_bias_init(trunk_dim))
+    f1 = dense(name="fc1")(x).reshape(b, t, out_dim)
+    if num_fc == 1:
+        return f1
+    f2 = dense(name="fc2")(x).reshape(b, t, out_dim)
+    return {"f1": f1, "f2": f2}
+
+
 class ResNetBackbone(nn.Module):
     """Full Lite-MKD student backbone: clips → per-frame features.
 
@@ -174,31 +212,13 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Features:
-        b, t = clips.shape[0], clips.shape[1]
-        x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
-        if clips.dtype == jnp.uint8:   # pixels ship as uint8; scale on device
-            x = x / 255.0
+        x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
                         self.freeze_bn, self.pallas_bn, name="trunk")(
                             x, train=train)
-        if self.pool == "gap":
-            x = x.astype(jnp.float32).mean(axis=(1, 2))
-        else:
-            # max-pool in the trunk dtype (max is precision-exact; the f32
-            # upcast before pooling doubled the backward's scatter-add traffic)
-            x = adaptive_max_pool_2d(x, self.pool_hw)
-            x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
-        trunk_dim = x.shape[-1]
-        if self.num_fc == 0:
-            return x.reshape(b, t, trunk_dim)
-        dense = partial(nn.Dense, self.out_dim, dtype=jnp.float32,
-                        kernel_init=torch_linear_kernel_init(),
-                        bias_init=torch_linear_bias_init(trunk_dim))
-        f1 = dense(name="fc1")(x).reshape(b, t, self.out_dim)
-        if self.num_fc == 1:
-            return f1
-        f2 = dense(name="fc2")(x).reshape(b, t, self.out_dim)
-        return {"f1": f1, "f2": f2}
+        return litemkd_feature_head(x, b, t, num_fc=self.num_fc,
+                                    out_dim=self.out_dim,
+                                    pool_hw=self.pool_hw, pool=self.pool)
 
 
 class FeatureBackbone(nn.Module):

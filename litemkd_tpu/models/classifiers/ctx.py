@@ -51,6 +51,6 @@ class CTXClassifier(nn.Module):
         tgt = tt(target, train=train)
         return TemporalCrossTransformer(
             way=self.way, shot=self.shot, seq_len=self.seq_len,
-            in_dim=self.in_dim, out_dim=self.out_dim, set_size=1,
-            dropout=self.dropout, name="transformers")(
-            ctx, context_labels, tgt, train=train)
+            in_dim=self.in_dim, out_dim=self.out_dim,
+            set_size=self.set_size, dropout=self.dropout,
+            name="transformers")(ctx, context_labels, tgt, train=train)

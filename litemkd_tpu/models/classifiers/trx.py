@@ -118,12 +118,7 @@ class TRX_2fcsup_fixed(TRX):
         return {"kl": kl, "sup": sup}
 
 
-class TRX_1fc_sup(TRX):
-    """Single-stream student head: TCT → 'kl' + SupportDK → 'sup'."""
-
-    @nn.compact
-    def __call__(self, context, context_labels, target, train: bool):
-        kl = self._tct()(context, context_labels, target, train=train)
-        sup = support_dk_logits(context, context_labels,
-                                self.way, self.shot, self.seq_len)
-        return {"kl": kl, "sup": sup}
+# single-stream student head: identical body to the fixed teacher head
+# (TCT → 'kl' + SupportDK → 'sup'); trainability is the call site's choice
+# (stop_gradient), so one class serves both registry names
+TRX_1fc_sup = TRX_2fcsup_fixed

@@ -41,6 +41,28 @@ def _dense(out, fan_in, name, dtype=jnp.float32):
                     bias_init=torch_linear_bias_init(fan_in))
 
 
+def _qkv_kernel_init():
+    """torch MultiheadAttention._reset_parameters applies xavier_uniform_ to
+    the STACKED (3d, d) in_proj weight → bound sqrt(6/(d+3d)); each (d, d)
+    slice is iid uniform at that bound, so three separate Denses reproduce
+    the stacked distribution exactly."""
+    def init(key, shape, dtype=jnp.float32):
+        d_in, d_out = shape
+        bound = np.sqrt(6.0 / (d_in + 3 * d_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _attn_dense(out, name, dtype, qkv: bool):
+    # attention projections follow torch MHA init, not nn.Linear's: xavier
+    # over the stacked in_proj for q/k/v, Linear-default kernel for out_proj,
+    # and ZERO biases on all four (verified empirically against torch 2.x)
+    return nn.Dense(out, dtype=dtype, name=name,
+                    kernel_init=(_qkv_kernel_init() if qkv
+                                 else torch_linear_kernel_init()),
+                    bias_init=nn.initializers.zeros)
+
+
 class EncoderLayer(nn.Module):
     """Post-LN transformer encoder layer (torch TransformerEncoderLayer
     defaults: ReLU FFN, dim_feedforward=2048, dropout=0.1)."""
@@ -58,9 +80,9 @@ class EncoderLayer(nn.Module):
         cd = self.compute_dtype
         n, t, _ = x.shape
 
-        q = _dense(d, d, "attn_q", cd)(x).reshape(n, t, h, hd)
-        k = _dense(d, d, "attn_k", cd)(x).reshape(n, t, h, hd)
-        v = _dense(d, d, "attn_v", cd)(x).reshape(n, t, h, hd)
+        q = _attn_dense(d, "attn_q", cd, qkv=True)(x).reshape(n, t, h, hd)
+        k = _attn_dense(d, "attn_k", cd, qkv=True)(x).reshape(n, t, h, hd)
+        v = _attn_dense(d, "attn_v", cd, qkv=True)(x).reshape(n, t, h, hd)
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(hd)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
@@ -71,7 +93,7 @@ class EncoderLayer(nn.Module):
         attn = drop(attn, "drop_probs")
         ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
                          preferred_element_type=jnp.float32)
-        ctx = _dense(d, d, "attn_out", cd)(ctx.reshape(n, t, d))
+        ctx = _attn_dense(d, "attn_out", cd, qkv=False)(ctx.reshape(n, t, d))
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + drop(ctx, "drop_attn"))
         y = _dense(self.dim_ff, d, "mlp_in", cd)(x)
@@ -338,8 +360,29 @@ class MFMTeacher(nn.Module):
 
     def extract(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Per-video fused features (model.py:1648-1663) — feeds the student's
-        teacher-feature tree."""
-        return self.fuse(feats, train=False)
+        teacher-feature tree.
+
+        Bug-faithful asymmetry: the released ``extract_feature`` LEFT-rolls
+        the third modality (model.py:1658-1661, same cat order as m2) even
+        though ``forward``/``extract_task_feature`` identity-"shift" it via
+        the reversed cat (model.py:1614-1620, 1682-1688) — so the reference's
+        dumped trees do NOT match its own live fusion on m3+. The dumped tree
+        is the interop surface, so extraction reproduces ``extract_feature``;
+        ``third_shift='right'`` (the corrected mode) stays self-consistent
+        with its forward instead."""
+        streams = [feats[m] for m in self.modalities]
+        if len(streams) == 3:
+            fused = self.three_fusion(streams[0], streams[1], streams[2],
+                                      False)
+        else:
+            fused = self.three_fusion(streams, False)
+        fused = fused + self.fusion(
+            streams[0], _roll_left(streams[1], self.shirt_num), False)
+        for extra in streams[2:]:
+            shifted = (self._shift3(extra) if self.third_shift == "right"
+                       else _roll_left(extra, self.shirt_num))
+            fused = fused + self.fusion(streams[0], shifted, False)
+        return fused
 
 
 class DGAdaIN(nn.Module):

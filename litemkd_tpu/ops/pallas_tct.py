@@ -48,6 +48,15 @@ _LANES = 128   # TPU lane width: the class axis of the output is padded to one
                # full lane tile so the out block satisfies the (8, 128) layout
                # constraint; real classes occupy the first W lanes
 
+_INTERPRET = False  # flipped by tests to run the kernel off-TPU
+
+
+def _on_tpu() -> bool:
+    # same guard as pallas_bn._on_tpu: pallas imports fine on CPU but only
+    # interpret mode can lower there — the documented off-TPU fallback must
+    # check the backend, not just the import
+    return _HAVE_PALLAS and (jax.default_backend() == "tpu" or _INTERPRET)
+
 
 def _kernel(qk_ref, qv_ref, ck_ref, cv_ref, out_ref, *, n_tuples: int,
             chunk_q: int, dk: int):
@@ -163,9 +172,9 @@ _tct_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def tct_attention(q_k, q_v, class_k, class_v, use_pallas: bool = False):
-    # the kernel's one-hot lane-mask accumulation only addresses the first
-    # 128 output lanes; at n_way > 128 classes beyond lane 127 would silently
-    # stay 0 — fall back to the einsum path (never hit by few-shot configs)
-    if use_pallas and _HAVE_PALLAS and class_k.shape[0] <= _LANES:
+    # fall back to the einsum path off-TPU (the kernel cannot lower on CPU)
+    # and for n_way > 128: the one-hot lane-mask accumulation only addresses
+    # the first 128 output lanes (never hit by few-shot configs)
+    if use_pallas and _on_tpu() and class_k.shape[0] <= _LANES:
         return _tct_attention_fused(q_k, q_v, class_k, class_v)
     return tct_attention_xla(q_k, q_v, class_k, class_v)

@@ -55,6 +55,7 @@ def test_tct_module_pallas_flag_matches(monkeypatch, inputs):
     orig = pt.pl.pallas_call
     monkeypatch.setattr(pt.pl, "pallas_call",
                         functools.partial(orig, interpret=True))
+    monkeypatch.setattr(pt, "_INTERPRET", True)   # dispatcher takes the kernel
     from litemkd_tpu.ops import TemporalCrossTransformer
     rng = np.random.default_rng(1)
     way, shot, t, d = 3, 2, 4, 64
@@ -77,6 +78,7 @@ def test_way_beyond_lane_width_falls_back_to_xla(monkeypatch):
     n_way > 128 must route to the einsum path instead of returning zeros
     for the classes beyond lane 127."""
     calls = []
+    monkeypatch.setattr(pt, "_INTERPRET", True)   # off-TPU kernel dispatch on
     monkeypatch.setattr(pt, "_tct_attention_fused",
                         lambda *a: calls.append(a) or pt.tct_attention_xla(*a))
     rng = np.random.default_rng(2)
@@ -117,3 +119,16 @@ def test_pallas_ragged_query_counts(monkeypatch, q):
     want = jax.vmap(pt.tct_attention_xla)(q_k, q_v, c_k, c_v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_off_tpu_dispatch_falls_back_to_xla(monkeypatch, inputs):
+    """use_pallas=True on a CPU backend must take the einsum path (the
+    kernel cannot lower off-TPU) instead of crashing at pallas lowering."""
+    calls = []
+    monkeypatch.setattr(pt, "_tct_attention_fused",
+                        lambda *a: calls.append(a))
+    got = pt.tct_attention(*inputs, use_pallas=True)
+    assert not calls, "CPU backend must not reach the Pallas kernel"
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(pt.tct_attention_xla(*inputs)),
+                               rtol=1e-5, atol=1e-5)

@@ -65,9 +65,16 @@ def test_mfm_teacher_forward():
     assert np.isfinite(np.asarray(out["logits"])).all()
 
 
-def test_mfm_extract_matches_forward_fusion():
-    """extract() must produce the same fused features the classifier consumes
-    (the reference's extraction self-consistency check, multi_fusion.py:576-590)."""
+def test_mfm_extract_reproduces_released_dump_semantics():
+    """The released pipeline is internally inconsistent on the third
+    modality: forward/extract_task_feature identity-"shift" flow via the
+    reversed cat (model.py:1614-1620, 1682-1688) while the per-video dump
+    extract_feature LEFT-rolls it like depth (model.py:1658-1661). The dumped
+    tree is the interop surface, so reference-mode extract() must left-roll
+    flow (== fuse() over feats with flow pre-rolled) and therefore DIFFER
+    from the live fusion; the corrected 'right' mode stays self-consistent
+    with its forward."""
+    from litemkd_tpu.models.teacher.fusion import _roll_left
     rng = np.random.default_rng(1)
     feats = _feats(rng, 4)
     labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
@@ -77,8 +84,27 @@ def test_mfm_extract_matches_forward_fusion():
     variables = m.init(jax.random.key(0), ctx, labels, tgt, False)
     fused = m.apply(variables, feats, method=m.extract)
     assert fused.shape == (4, T, D)
-    fused2 = m.apply(variables, feats, method=m.extract)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(fused2))
+    live = m.apply(variables, feats, False, method=m.fuse)
+    # the dump path left-rolls flow; the live fusion identity-shifts it —
+    # they must differ exactly when flow is roll-sensitive, and agree when
+    # flow is time-constant (roll == identity). Numeric parity of the dump
+    # math vs a torch transcription lives in
+    # tests/test_torch_import.py::test_load_mfm_checkpoint_runs_extraction.
+    assert not np.allclose(np.asarray(fused), np.asarray(live))
+    const_flow = dict(feats, flow=jnp.broadcast_to(
+        feats["flow"][:, :1], feats["flow"].shape))
+    np.testing.assert_allclose(
+        np.asarray(m.apply(variables, const_flow, method=m.extract)),
+        np.asarray(m.apply(variables, const_flow, False, method=m.fuse)),
+        rtol=1e-5, atol=1e-5)
+
+    mr = MFMTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24,
+                    depth=1, third_shift="right")
+    vr = mr.init(jax.random.key(0), ctx, labels, tgt, False)
+    np.testing.assert_allclose(
+        np.asarray(mr.apply(vr, feats, method=mr.extract)),
+        np.asarray(mr.apply(vr, feats, False, method=mr.fuse)),
+        rtol=1e-5, atol=1e-5)
 
 
 def test_mfm_shift_semantics():

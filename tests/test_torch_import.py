@@ -471,7 +471,10 @@ def test_stream_fusion_import_matches_torch():
 
 def test_load_mfm_checkpoint_runs_extraction(tmp_path):
     """A reference-layout ThreeTRXShiftLoopTime .pt loads into MFMTeacher and
-    drives fused-feature extraction."""
+    fused-feature extraction numerically matches the reference's
+    extract_feature math (model.py:1648-1663: three_fusion over the raw
+    trio + pair branches with BOTH depth and flow LEFT-rolled — note the
+    released forward identity-shifts flow instead; the dump path rolls it)."""
     from litemkd_tpu import preset
     from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
     from litemkd_tpu.train.teacher_steps import make_mfm
@@ -498,11 +501,22 @@ def test_load_mfm_checkpoint_runs_extraction(tmp_path):
     variables = load_mfm_checkpoint(path, cfg)
     model = make_mfm(cfg, batched=False)
     rng = np.random.default_rng(0)
-    feats = {m: jnp.asarray(rng.standard_normal((3, T_, D_)).astype(np.float32))
+    feats = {m: rng.standard_normal((3, T_, D_)).astype(np.float32)
              for m in cfg.model.modalities}
-    fused = model.apply(variables, feats, method=model.extract)
+    fused = model.apply(variables, {m: jnp.asarray(v)
+                                    for m, v in feats.items()},
+                        method=model.extract)
     assert fused.shape == (3, T_, D_)
-    assert np.isfinite(np.asarray(fused)).all()
+
+    holder.eval()
+    with torch.no_grad():
+        rgb, depth, flow = (torch.from_numpy(feats[m])
+                            for m in cfg.model.modalities)
+        roll = lambda x: torch.cat((x[:, 1:], x[:, :1]), 1)
+        want = (holder.three_fusion(rgb, depth, flow)
+                + holder.fusion(rgb, roll(depth))
+                + holder.fusion(rgb, roll(flow))).numpy()
+    np.testing.assert_allclose(np.asarray(fused), want, rtol=2e-4, atol=2e-4)
 
 
 def test_mfm_export_import_roundtrip(tmp_path):
