@@ -10,6 +10,7 @@ from .episodes import (EpisodeSampler, EpisodeSpec, EpisodeMeta,
                        save_reference_fixed_episodes)
 from .prefetch import DeferredHostSync, Prefetcher, device_put_batch
 from .multimodal import MultiModalEpisodeSampler
+from . import transforms
 
 __all__ = [
     "SyntheticEpisodeSource", "SplitIndex", "VideoRecord", "load_split_lists",
@@ -19,5 +20,5 @@ __all__ = [
     "save_fixed_episodes", "load_fixed_episodes",
     "load_reference_fixed_episodes", "save_reference_fixed_episodes",
     "Prefetcher", "DeferredHostSync",
-    "device_put_batch", "MultiModalEpisodeSampler",
+    "device_put_batch", "MultiModalEpisodeSampler", "transforms",
 ]
