@@ -163,6 +163,16 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     "ThreeCombinationTRX": (Branch("pair", (0, 1), 0, "f"),
                             Branch("pair", (0, 2), 0, "f"),
                             Branch("pair", (0, 3), 0, "f")),
+    # model.py:3462 ThreeTRXCombination (the scripts' "combination_r+d+f"
+    # model, distinct from ThreeCombinationTRX above): MFM's branch set with
+    # NO time shift in the live forward (second/third streams go into the
+    # shared pair fusion unshifted, model.py:3483-3489). Its dump path
+    # left-rolls BOTH m2 and m3 (model.py:3513-3520) — see PRESET_EXTRACT;
+    # its extract_task_feature crashes as released (6 args into the 3-arg
+    # ThreeTransforTemproal.forward, model.py:3552)
+    "ThreeTRXCombination": (Branch("multi", (0, 1, 2)),
+                            Branch("pair", (0, 1), 0, "f"),
+                            Branch("pair", (0, 2), 0, "f")),
     # model.py:2096 TwoCombinationShiftTRX — shifted (m1,m2) + (m1,m3)
     "TwoCombinationShiftTRX": (Branch("pair", (0, 1), 1, "f"),
                                Branch("pair", (0, 2), -1, "f")),
@@ -191,6 +201,18 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
 PRESET_OPTIONS: Dict[str, Dict[str, str]] = {
     "ThreeCross": {"combine": "cross"},
     "ThreeFusion3": {"post": "mlp"},
+}
+
+# per-preset EXTRACT-path branch specs, for reference classes whose per-video
+# feature dump disagrees with their own live forward (the same released
+# asymmetry MFMTeacher reproduces for ThreeTRXShiftLoopTime). Entries must
+# match the live specs module-for-module — only shift/sides may differ.
+PRESET_EXTRACT: Dict[str, Tuple[BranchSpec, ...]] = {
+    # model.py:3506-3520: extract_feature left-rolls m2 AND m3 by shirt_num
+    # before the shared pair fusion, unlike the unshifted live forward
+    "ThreeTRXCombination": (Branch("multi", (0, 1, 2)),
+                            Branch("pair", (0, 1), 1, "f"),
+                            Branch("pair", (0, 2), 1, "f")),
 }
 
 
@@ -238,9 +260,20 @@ class ComposedFusionTeacher(nn.Module):
     head: str = "trx"            # "trx" | "otam"
     combine: str = "sum"         # "sum" | "cross"
     post: Optional[str] = None   # None | "mlp"
+    # dump-path overrides (PRESET_EXTRACT): same modules, different shifts
+    extract_branches: Optional[Tuple[BranchSpec, ...]] = None
 
     def setup(self):
         branches = [_as_branch(s) for s in self.branches]
+        if self.extract_branches is not None:
+            ex = [_as_branch(s) for s in self.extract_branches]
+            if len(ex) != len(branches) or any(
+                    (a.kind, a.idxs, a.share, a.depth, a.nhead)
+                    != (b.kind, b.idxs, b.share, b.depth, b.nhead)
+                    for a, b in zip(ex, branches)):
+                raise ValueError(
+                    "extract_branches must match branches module-for-module "
+                    "(only shift/sides may differ)")
         for side in (0, 1):
             if not any(b.sides[side] for b in branches):
                 raise ValueError(f"no branch active on side {side} "
@@ -298,11 +331,13 @@ class ComposedFusionTeacher(nn.Module):
                                         self.temp_set, self.dropout)
 
     def fuse(self, feats: Dict[str, jnp.ndarray], train: bool,
-             side: int = 0) -> jnp.ndarray:
-        """``side``: 0 = support/context shift spec, 1 = query/target."""
+             side: int = 0, specs=None) -> jnp.ndarray:
+        """``side``: 0 = support/context shift spec, 1 = query/target.
+        ``specs`` swaps the branch specs (same modules) — the extract path."""
         streams = [feats[m] for m in self.modalities]
         outs = []
-        for module, spec in zip(self.branch_modules, self.branches):
+        for module, spec in zip(self.branch_modules,
+                                self.branches if specs is None else specs):
             b = _as_branch(spec)
             if not b.sides[side]:
                 continue
@@ -349,5 +384,8 @@ class ComposedFusionTeacher(nn.Module):
         ``*_faithful`` presets the two sides genuinely differ (the released
         classes never implemented extract_feature, e.g. model.py:1790); pass
         ``side=1`` to dump what the trained classifier computed for QUERY
-        videos instead of the default support-side fusion."""
-        return self.fuse(feats, train=False, side=side)
+        videos instead of the default support-side fusion. Presets whose
+        released dump disagrees with their live forward carry
+        ``extract_branches`` (PRESET_EXTRACT) — applied here only."""
+        return self.fuse(feats, train=False, side=side,
+                         specs=self.extract_branches)

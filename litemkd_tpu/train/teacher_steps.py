@@ -23,7 +23,8 @@ import flax.linen as nn
 from ..config import Config
 from ..models.teacher import (MFMTeacher, ScoreFusion, DGAFusionTeacher,
                               ComposedFusionTeacher, FUSION_PRESETS,
-                              FUSION_PRESET_OPTIONS, TwoRoadFusionTeacher)
+                              FUSION_PRESET_OPTIONS, FUSION_PRESET_EXTRACT,
+                              TwoRoadFusionTeacher)
 from ..models.backbones.classifier_net import ActionRecognitionNet
 from ..utils.metrics import per_episode_accuracy
 from .schedule import make_optimizer
@@ -63,6 +64,7 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
                              f"choose from {sorted(FUSION_PRESETS)}")
         kw.update(depth=cfg.model.trans_num,
                   branches=FUSION_PRESETS[preset_name],
+                  extract_branches=FUSION_PRESET_EXTRACT.get(preset_name),
                   head="otam" if kind.startswith("otam:") else "trx",
                   **FUSION_PRESET_OPTIONS.get(preset_name, {}))
     elif kind == "mfm":

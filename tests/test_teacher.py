@@ -384,3 +384,58 @@ def test_skeleton_backbone_keeps_module_name():
     cfg = preset("tiny")
     for name in ("s3d", "skeleton", "feature"):
         assert make_backbone(name, cfg).name == "backbone", name
+
+
+def test_three_trx_combination_dump_vs_live_asymmetry():
+    """ThreeTRXCombination (model.py:3462, the scripts' combination_r+d+f
+    model): the live forward fuses UNSHIFTED streams (model.py:3483-3489)
+    while the released dump left-rolls m2 AND m3 (model.py:3513-3520). The
+    preset's extract_branches reproduce the dump; the live path must equal a
+    manually-built unshifted composer with the same parameters."""
+    from litemkd_tpu.models.teacher import (Branch, ComposedFusionTeacher,
+                                            FUSION_PRESETS,
+                                            FUSION_PRESET_EXTRACT)
+    rng = np.random.default_rng(13)
+    mods = ("rgb", "depth", "flow")
+    kw = dict(way=WAY, shot=SHOT, seq_len=T, in_dim=D, out_dim=24, depth=1,
+              modalities=mods)
+    m = ComposedFusionTeacher(
+        branches=FUSION_PRESETS["ThreeTRXCombination"],
+        extract_branches=FUSION_PRESET_EXTRACT["ThreeTRXCombination"], **kw)
+    feats = {k: jnp.asarray(rng.normal(size=(4, T, D)).astype(np.float32))
+             for k in mods}
+    ctx = {k: jnp.asarray(rng.normal(size=(WAY * SHOT, T, D)).astype(np.float32))
+           for k in mods}
+    tgt = {k: jnp.asarray(rng.normal(size=(WAY * QPC, T, D)).astype(np.float32))
+           for k in mods}
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+    out = m.apply(v, ctx, labels, tgt, False)
+    assert out["logits"].shape == (WAY * QPC, WAY)
+
+    # live fusion == a composer with NO extract override and the same params
+    live = m.apply(v, feats, False, method=m.fuse)
+    plain = ComposedFusionTeacher(
+        branches=FUSION_PRESETS["ThreeTRXCombination"], **kw)
+    np.testing.assert_allclose(
+        np.asarray(live), np.asarray(plain.apply(v, feats, False,
+                                                 method=plain.fuse)),
+        rtol=1e-6)
+
+    # extract == fusing with the left-rolled pair branches (same modules)
+    dump = m.apply(v, feats, method=m.extract)
+    shifted = ComposedFusionTeacher(
+        branches=FUSION_PRESET_EXTRACT["ThreeTRXCombination"], **kw)
+    np.testing.assert_allclose(
+        np.asarray(dump), np.asarray(shifted.apply(v, feats, False,
+                                                   method=shifted.fuse)),
+        rtol=1e-6)
+    assert not np.allclose(np.asarray(dump), np.asarray(live))
+
+    # override validation: module-for-module mismatch is rejected
+    bad = ComposedFusionTeacher(
+        branches=FUSION_PRESETS["ThreeTRXCombination"],
+        extract_branches=(Branch("multi", (0, 1, 2)),
+                          Branch("pair", (0, 1), 1, "f")), **kw)
+    with pytest.raises(ValueError, match="module-for-module"):
+        bad.init(jax.random.key(0), ctx, labels, tgt, False)
