@@ -88,6 +88,16 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     # model.py:1499 TwoTRXShuffleTime — plain + shifted pair, one shared fusion
     "TwoTRXShuffleTime": (Branch("pair", (0, 1), 0, "f"),
                           Branch("pair", (0, 1), 1, "f")),
+    # model.py:3083 TwoCTXShuffleTime — the same plain + shifted shared pair
+    # fusion, classified by CTXBranch (a FRAME-level TCT, model.py:3045-3077)
+    # instead of TrxBranch → head="ctx" (PRESET_OPTIONS)
+    "TwoCTXShuffleTime": (Branch("pair", (0, 1), 0, "f"),
+                          Branch("pair", (0, 1), 1, "f")),
+    # as released (model.py:3101-3108): support rolled left by shirt_num; the
+    # query side cat((first frames, rest)) == identity
+    "TwoCTXShuffleTime_faithful": (
+        Branch("pair", (0, 1), 0, "f"),
+        Branch("pair", (0, 1), (("roll", 1), ("roll", 0)), "f")),
     # as released (model.py:1516-1523): support rolled left by shirt_num, but
     # the query side re-concatenates (prefix, rest) == identity
     "TwoTRXShuffleTime_faithful": (
@@ -201,6 +211,8 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
 PRESET_OPTIONS: Dict[str, Dict[str, str]] = {
     "ThreeCross": {"combine": "cross"},
     "ThreeFusion3": {"post": "mlp"},
+    "TwoCTXShuffleTime": {"head": "ctx"},
+    "TwoCTXShuffleTime_faithful": {"head": "ctx"},
 }
 
 # per-preset EXTRACT-path branch specs, for reference classes whose per-video
@@ -257,7 +269,7 @@ class ComposedFusionTeacher(nn.Module):
     temp_set: Tuple[int, ...] = (2,)
     depth: int = 2
     dropout: float = 0.1
-    head: str = "trx"            # "trx" | "otam"
+    head: str = "trx"            # "trx" | "otam" | "ctx" (frame-level TCT)
     combine: str = "sum"         # "sum" | "cross"
     post: Optional[str] = None   # None | "mlp"
     # dump-path overrides (PRESET_EXTRACT): same modules, different shifts
@@ -325,10 +337,15 @@ class ComposedFusionTeacher(nn.Module):
         if self.post == "mlp":
             from ...ops.strm import BottleneckMLP2
             self.post_mlp = BottleneckMLP2(self.in_dim)
-        if self.head == "trx":
-            self.classifier = TrxBranch(self.way, self.shot, self.seq_len,
-                                        self.in_dim, self.out_dim,
-                                        self.temp_set, self.dropout)
+        if self.head in ("trx", "ctx"):
+            # "ctx" = CTXBranch (model.py:3045-3077): the TCT over single
+            # frames (CrossTransformer) instead of frame tuples
+            self.classifier = TrxBranch(
+                self.way, self.shot, self.seq_len, self.in_dim, self.out_dim,
+                (1,) if self.head == "ctx" else self.temp_set, self.dropout)
+        elif self.head != "otam":
+            raise ValueError(f"unknown head {self.head!r}; "
+                             "choose trx | otam | ctx")
 
     def fuse(self, feats: Dict[str, jnp.ndarray], train: bool,
              side: int = 0, specs=None) -> jnp.ndarray:

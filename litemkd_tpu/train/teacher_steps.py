@@ -62,11 +62,15 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
         if preset_name not in FUSION_PRESETS:
             raise ValueError(f"unknown composer preset {preset_name!r}; "
                              f"choose from {sorted(FUSION_PRESETS)}")
+        opts = dict(FUSION_PRESET_OPTIONS.get(preset_name, {}))
+        if kind.startswith("otam:"):
+            opts["head"] = "otam"     # otam: overrides a preset's head option
+        else:
+            opts.setdefault("head", "trx")
         kw.update(depth=cfg.model.trans_num,
                   branches=FUSION_PRESETS[preset_name],
                   extract_branches=FUSION_PRESET_EXTRACT.get(preset_name),
-                  head="otam" if kind.startswith("otam:") else "trx",
-                  **FUSION_PRESET_OPTIONS.get(preset_name, {}))
+                  **opts)
     elif kind == "mfm":
         cls = MFMTeacher
         kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)

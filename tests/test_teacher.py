@@ -439,3 +439,37 @@ def test_three_trx_combination_dump_vs_live_asymmetry():
                           Branch("pair", (0, 1), 1, "f")), **kw)
     with pytest.raises(ValueError, match="module-for-module"):
         bad.init(jax.random.key(0), ctx, labels, tgt, False)
+
+
+def test_two_ctx_shuffle_time_head():
+    """TwoCTXShuffleTime (model.py:3083): the TwoTRXShuffleTime branch pair
+    classified by CTXBranch — a FRAME-level TCT (CrossTransformer = TCT with
+    set_size 1, model.py:3045-3077) instead of the tuple-level TrxBranch."""
+    from litemkd_tpu.models.teacher import (ComposedFusionTeacher,
+                                            FUSION_PRESETS,
+                                            FUSION_PRESET_OPTIONS)
+    rng = np.random.default_rng(17)
+    mods = ("rgb", "depth")
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    mk = lambda n: {m: jnp.asarray(rng.normal(size=(n, T, D)).astype(np.float32))
+                    for m in mods}
+    for name in ("TwoCTXShuffleTime", "TwoCTXShuffleTime_faithful"):
+        m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                  out_dim=24, depth=1, modalities=mods,
+                                  branches=FUSION_PRESETS[name],
+                                  **FUSION_PRESET_OPTIONS[name])
+        ctx, tgt = mk(WAY * SHOT), mk(WAY * QPC)
+        v = m.init(jax.random.key(0), ctx, labels, tgt, False)
+        out = m.apply(v, ctx, labels, tgt, False)
+        assert out["logits"].shape == (WAY * QPC, WAY), name
+        # frame-level head: the classifier's TCT stack is set-size 1 only
+        tcts = [k for k in v["params"]["classifier"]["transformers"]]
+        assert tcts == ["tct_1"], (name, tcts)
+
+    # unknown heads are rejected
+    bad = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                out_dim=24, depth=1, modalities=mods,
+                                branches=FUSION_PRESETS["TwoCTXShuffleTime"],
+                                head="nope")
+    with pytest.raises(ValueError, match="unknown head"):
+        bad.init(jax.random.key(0), mk(WAY * SHOT), labels, mk(WAY * QPC), False)
