@@ -1,5 +1,8 @@
 """Supervised per-modality pretraining (reference ``pretrain/pretrain.py``):
-epoch-based CE training of a resnet50 classifier over all videos of a split.
+epoch-based CE training of a resnet50 classifier over all videos of a split,
+with the reference's dual SGD groups (trunk ``--lr_1``, head ``--lr_2``,
+StepLR 10/0.1 stepped at epoch start) and its keep-the-best selection
+(epoch-end test-split eval, checkpoint saved only on improvement).
 
     python -m litemkd_tpu.cli.pretrain --rgb_path data/kinetics/l8/rgb_l8 \
         --traintestlist data/kinetics/splits/... -c /path/ckpt --epochs 50
@@ -22,6 +25,10 @@ def main(argv=None):
     add_train_args(p)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr_1", type=float, default=0.000001,
+                   help="trunk SGD learning rate (pretrain.py:31,84)")
+    p.add_argument("--lr_2", type=float, default=0.01,
+                   help="classifier-head SGD learning rate (pretrain.py:32,85)")
     p.add_argument("--arch", default="resnet50",
                    help="resnet18|resnet34|resnet50 (Action_Recognition_"
                         "Resnet50) or deit_small (model_distillation ViT)")
@@ -58,16 +65,31 @@ def main(argv=None):
         init_vars = load_pretrain_init(args.init_checkpoint, cfg, args.arch)
         logger.info(f"warm-started {args.arch} trunk from "
                     f"{args.init_checkpoint}")
+    bs = args.batch_size
+    # drop-last batch count, the StepLR epoch length (len(range(0, n-bs+1, bs)))
+    steps_per_epoch = max((len(records) - bs) // bs + 1, 1)
     state, model = create_pretrain_state(cfg, jax.random.key(cfg.train.seed),
                                          n_classes, jnp.asarray(sample),
                                          arch=args.arch,
-                                         init_variables=init_vars)
+                                         init_variables=init_vars,
+                                         lr_groups=(args.lr_1, args.lr_2),
+                                         steps_per_epoch=steps_per_epoch)
     step = jax.jit(make_pretrain_step(cfg, model), donate_argnums=0)
+    fwd = jax.jit(lambda v, clips: model.apply(v, clips, train=False))
     ckpt = CheckpointManager(cfg.train.checkpoint_dir) \
         if cfg.train.checkpoint_dir else None
+    if ckpt and cfg.train.resume_from_checkpoint:
+        state, _ = ckpt.restore(state)   # pretrain.py:40-41 --resume
+        logger.info(f"resumed from step {int(state.step)}")
+
+    # the test split drives the reference's keep-the-best selection
+    # (pretrain.py:142-170: epoch-end eval, save only on improvement)
+    test_index = vs.split(False)
+    test_records = [(r, r.class_id) for c in test_index.classes()
+                    for r in test_index.videos_for_class(c)]
+    best_acc = -1.0
 
     from ..data import Prefetcher
-    bs = args.batch_size
     for epoch in range(args.epochs):
         order = rng.permutation(len(records))
         starts = list(range(0, len(order) - bs + 1, bs))
@@ -104,11 +126,31 @@ def main(argv=None):
                 drain()
         drain()
         n_b = max(sums[2], 1)
+
+        # epoch-end eval on the test split; keep the best checkpoint only
+        # (pretrain.py:142-170). Exact accuracy — the reference divides by
+        # 8·n_batches even when the last batch is short (pretrain.py:162).
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        right = total = 0
+        for s in range(0, len(test_records), bs):
+            chunk = test_records[s:s + bs]
+            clips = np.stack([vs.load(r, False, rng) for r, _ in chunk])
+            labels = np.asarray([c for _, c in chunk], np.int32)
+            pred = np.argmax(np.asarray(fwd(variables, jnp.asarray(clips))), -1)
+            right += int((pred == labels).sum())
+            total += len(chunk)
+        test_acc = right / max(total, 1)
         logger.log(epoch, {"epoch_loss": sums[0] / n_b,
-                           "epoch_accuracy": sums[1] / n_b},
+                           "epoch_accuracy": sums[1] / n_b,
+                           "test_accuracy": test_acc},
                    force_print=True)
-        if ckpt:
-            ckpt.save(state)
+        if test_acc > best_acc:
+            best_acc = test_acc
+            if ckpt:
+                ckpt.save(state)
+                logger.info(f"epoch {epoch + 1} saved (test acc {test_acc:.4f})")
     return state
 
 

@@ -205,18 +205,43 @@ def make_pretrain_model(cfg: Config, num_classes: int,
 
 def create_pretrain_state(cfg: Config, rng, num_classes: int,
                           sample_clips, arch: str = "resnet50",
-                          init_variables=None) -> Tuple[TrainState, nn.Module]:
+                          init_variables=None, lr_groups=None,
+                          steps_per_epoch: int = 0) -> Tuple[TrainState, nn.Module]:
     """``init_variables``: PARTIAL variables (e.g. a zoo trunk from
     ``tools.torch_import.load_pretrain_init``) deep-merged over the fresh
     init — the ``pretrained=True`` warm-start of the reference's supervised
-    stage (``pretrain/pretrain.py``, ``model.py:2146``)."""
+    stage (``pretrain/pretrain.py``, ``model.py:2146``).
+
+    ``lr_groups=(lr_1, lr_2)`` reproduces the reference's dual SGD: the
+    trunk (``model.convnet``) at ``lr_1`` and the classifier head at
+    ``lr_2``, both momentum 0.9 (pretrain.py:31-32). With
+    ``steps_per_epoch`` set, each group follows the reference's
+    ``StepLR(step_size=10, gamma=0.1)`` stepped at EPOCH START
+    (pretrain.py:33-38, 108-109): epoch e runs at ``0.1 ** ((e+1) // 10)``
+    of the base rate. Default (None) keeps a single SGD at
+    ``cfg.train.learning_rate``."""
     model = make_pretrain_model(cfg, num_classes, arch)
     variables = model.init(rng, sample_clips[:1], train=False)
     if init_variables is not None:
         from ..utils.tree import deep_merge_variables
         variables = jax.tree_util.tree_map(
             jnp.asarray, deep_merge_variables(variables, init_variables))
-    tx = optax.sgd(cfg.train.learning_rate, momentum=0.9)
+    if lr_groups is None:
+        tx = optax.sgd(cfg.train.learning_rate, momentum=0.9)
+    else:
+        lr_1, lr_2 = lr_groups
+
+        def sched(base):
+            if not steps_per_epoch:
+                return base
+            return lambda step: base * 0.1 ** ((step // steps_per_epoch + 1)
+                                               // 10)
+
+        tx = optax.multi_transform(
+            {"trunk": optax.sgd(sched(lr_1), momentum=0.9),
+             "head": optax.sgd(sched(lr_2), momentum=0.9)},
+            lambda params: {k: "head" if k == "fc" else "trunk"
+                            for k in params})
     params = variables["params"]
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        episodes_seen=jnp.zeros((), jnp.int32),

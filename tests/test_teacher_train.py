@@ -334,3 +334,34 @@ def test_teacher_resume_continues_episode_stream(cfg, feature_root, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
         params_of(full), params_of(rest))
+
+
+def test_pretrain_dual_lr_groups_and_steplr(cfg):
+    """The reference pretrain uses TWO SGD groups — convnet at lr_1, fc at
+    lr_2, momentum 0.9 (pretrain.py:31-32) — with StepLR(10, 0.1) stepped at
+    epoch start (pretrain.py:33-38,108-109). lr_1=0 must freeze the trunk
+    while the head trains; the schedule decays epoch e by 0.1**((e+1)//10)."""
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.integers(0, 255, size=(4, T, 16, 16, 3),
+                                     dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 5, size=4).astype(np.int32))
+    state, model = create_pretrain_state(cfg, jax.random.key(0), 5, clips,
+                                         lr_groups=(0.0, 0.01),
+                                         steps_per_epoch=1)
+    step = jax.jit(make_pretrain_step(cfg, model))
+    trunk_before = jax.tree_util.tree_map(np.asarray, state.params["trunk"])
+    new_state, metrics = step(state, clips, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, trunk_before,
+        jax.tree_util.tree_map(np.asarray, new_state.params["trunk"]))
+    fc_moved = np.abs(np.asarray(new_state.params["fc"]["kernel"])
+                      - np.asarray(state.params["fc"]["kernel"])).max()
+    assert fc_moved > 0
+
+    # StepLR factor as create_pretrain_state builds it: epochs 0-8 at 1×,
+    # 9-18 at 0.1× (the torch step-at-epoch-start quirk), 19-28 at 0.01×
+    spe = 1
+    factor = lambda s: 0.1 ** ((s // spe + 1) // 10)
+    assert factor(0) == 1.0 and factor(8) == 1.0
+    np.testing.assert_allclose([factor(9), factor(19)], [0.1, 0.01])
