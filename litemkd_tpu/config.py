@@ -210,7 +210,7 @@ def preset(name: str, **overrides) -> Config:
         "expert_trx": Config(
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="resnet50_student", classifier="TRX"),
-            distill=DistillConfig(name="ce"),
+            distill=DistillConfig(name="TRXLoss"),
             train=TrainConfig(learning_rate=1e-4, training_iterations=50010,
                               micro_batch=4),
         ),
@@ -220,7 +220,7 @@ def preset(name: str, **overrides) -> Config:
         "expert_strm": Config(
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="cnn_strm", classifier="strmclassifiers"),
-            distill=DistillConfig(name="strm"),
+            distill=DistillConfig(name="strm_expert"),
             train=TrainConfig(learning_rate=3e-4, training_iterations=70010,
                               micro_batch=4),
         ),
@@ -229,7 +229,7 @@ def preset(name: str, **overrides) -> Config:
         "expert_baseline": Config(
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="resnet50_gap", classifier="e_dist"),
-            distill=DistillConfig(name="ce"),
+            distill=DistillConfig(name="CELoss"),
             train=TrainConfig(learning_rate=3e-4, training_iterations=70020,
                               micro_batch=4),
         ),
@@ -238,7 +238,7 @@ def preset(name: str, **overrides) -> Config:
         "expert_skeleton_trx": Config(
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="s3d", classifier="TRX"),
-            distill=DistillConfig(name="ce"),
+            distill=DistillConfig(name="TRXLoss"),
             train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
         ),
         # tiny geometry for tests / dryruns

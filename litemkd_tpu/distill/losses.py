@@ -118,6 +118,45 @@ def ce_only(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
     return {"loss": softmax_ce(student, labels) / tpb}
 
 
+# ---------------------------------------------------------------------------
+# Expert-stage losses (teacher run.py --loss, dispatched via LossBuilder):
+# the teacherless CE variants the per-modality expert scripts train with.
+# ---------------------------------------------------------------------------
+
+def _sum_ce(logits: Array, labels: Array) -> Array:
+    """Per-query CE SUMMED over the episode — LossBuilder TRXLoss's
+    logsumexp over NUM_SAMPLES=1 collapses to exactly this
+    (my_utiles/LossBuilder.py:24-38)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+@register("TRXLoss")
+def trx_expert(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
+    """run.py's default expert loss. The release divides by tasks_per_batch
+    TWICE — inside TRXLoss (LossBuilder.py:38) and again at the call site
+    (run.py:312) — so every released TRX/STRM expert trained at
+    sum-CE/tpb²; kept faithful (it rescales the effective lr)."""
+    return {"loss": _sum_ce(student, labels) / (tpb * tpb)}
+
+
+@register("CELoss")
+def ce_expert(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
+    """run.py --loss CELoss (the Baseline expert scripts): plain mean CE
+    (LossBuilder.py:76-80, no internal /tpb) divided once at run.py:312."""
+    return {"loss": softmax_ce(student, labels) / tpb}
+
+
+@register("strm_expert")
+def strm_expert(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
+    """CNN_STRM expert joint loss as released: TRXLoss (double /tpb, see
+    ``TRXLoss`` above) on the frame logits + 0.1× on the patch logits
+    (run.py:312-318; 'logits'=fr, 'logits_post_pat'=pat)."""
+    fr = _sum_ce(student["fr"], labels) / (tpb * tpb)
+    pat = _sum_ce(student["pat"], labels) / (tpb * tpb)
+    return {"fr_loss": fr, "pat_loss": pat, "loss": fr + 0.1 * pat}
+
+
 @register("wsl")
 def wsl(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
     soft = _focal_weight(student, teacher, labels) * kd_loss(student, teacher,

@@ -23,9 +23,10 @@ def test_presets_exist():
                  "expert_baseline", "expert_skeleton_trx", "tiny"]:
         cfg = preset(name)
         if name.startswith("expert_"):
-            # the expert stage trains without a fused teacher: plain episodic
-            # loss (run.py's CE / the STRM joint loss), qpc 4
-            assert cfg.distill.name in ("ce", "strm")
+            # the expert stage trains without a fused teacher: run.py's
+            # --loss variants (TRXLoss default / CELoss for Baseline /
+            # the STRM joint), qpc 4
+            assert cfg.distill.name in ("TRXLoss", "CELoss", "strm_expert")
             assert cfg.episode.query_per_class == 4
 
 

@@ -137,7 +137,7 @@ def test_every_distiller_jits_and_vmaps(name):
         "strm_fc_2_sup_dist", "strm_1fc_sup", "fc_1_sup", "fc_sup",
         "e_dist_1fc_sup"}
     dict_student_names = dict_teacher_names | {"fc_2", "fc_2_wsl", "strm",
-                                               "strm_KD"}
+                                               "strm_KD", "strm_expert"}
     s_in = dict_s if name in dict_student_names else plain_s
     t_in = dict_t if name in dict_teacher_names else plain_t
 
@@ -148,3 +148,38 @@ def test_every_distiller_jits_and_vmaps(name):
 
     out = float(batch_loss(s_in, t_in, labels))
     assert np.isfinite(out), (name, out)
+
+
+def test_expert_losses_match_run_py_semantics():
+    """run.py's expert losses: TRXLoss (LossBuilder.py:24-38) divides by
+    tasks_per_batch INTERNALLY and run.py:312 divides again → sum-CE/tpb²;
+    CELoss is mean-CE divided once; the CNN_STRM joint adds 0.1× the patch
+    term (run.py:312-318). Golden-checked against torch transcriptions."""
+    tpb = 16
+
+    def torch_trxloss(logits, labels):
+        lp = -F.cross_entropy(torch.tensor(logits),
+                              torch.tensor(labels).long(), reduction="none")
+        # logsumexp over NUM_SAMPLES=1 == identity (LossBuilder.py:33-37)
+        return float(-lp.sum() / tpb / tpb)     # internal /tpb + run.py:312
+
+    out = get_distiller("TRXLoss")(jnp.asarray(S), None, jnp.asarray(LABELS),
+                                   CFG, tpb)
+    np.testing.assert_allclose(float(out["loss"]), torch_trxloss(S, LABELS),
+                               rtol=1e-5)
+
+    out = get_distiller("CELoss")(jnp.asarray(S), None, jnp.asarray(LABELS),
+                                  CFG, tpb)
+    np.testing.assert_allclose(float(out["loss"]), torch_ce(S, LABELS) / tpb,
+                               rtol=1e-5)
+
+    PAT = rng.normal(size=(20, 5)).astype(np.float32)
+    out = get_distiller("strm_expert")({"fr": jnp.asarray(S),
+                                        "pat": jnp.asarray(PAT)}, None,
+                                       jnp.asarray(LABELS), CFG, tpb)
+    expect = torch_trxloss(S, LABELS) + 0.1 * torch_trxloss(PAT, LABELS)
+    np.testing.assert_allclose(float(out["loss"]), expect, rtol=1e-5)
+    # eval-time logit merge for the joint head (run.py:318)
+    merged = merge_logits("strm_expert", {"fr": jnp.asarray(S),
+                                          "pat": jnp.asarray(PAT)})
+    np.testing.assert_allclose(np.asarray(merged), S + 0.1 * PAT, rtol=1e-6)
