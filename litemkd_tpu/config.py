@@ -198,7 +198,12 @@ def preset(name: str, **overrides) -> Config:
             model=ModelConfig(backbone="feature", classifier="MFM",
                               trans_num=2, shirt_num=1),
             distill=DistillConfig(name="ce"),
-            train=TrainConfig(learning_rate=5e-5),
+            # canonical script (scripts/hmdb/multi_fusion_r+d+f.sh): 50015
+            # iterations, save 5000; multi_fusion.py's --sch DEFAULTS to
+            # [1000000] and no released script overrides it — the fusion
+            # teacher never decays its lr (unlike the student's 20k/40k)
+            train=TrainConfig(learning_rate=5e-5, training_iterations=50_015,
+                              save_freq=5000, sch=(1_000_000,)),
         ),
         # mobilenet student variant (Readme.md:160-163)
         "student_mobilenet": Config(
@@ -212,7 +217,7 @@ def preset(name: str, **overrides) -> Config:
             model=ModelConfig(backbone="resnet50_student", classifier="TRX"),
             distill=DistillConfig(name="TRXLoss"),
             train=TrainConfig(learning_rate=1e-4, training_iterations=50010,
-                              micro_batch=4),
+                              micro_batch=4, sch=(1_000_000,)),
         ),
         # per-modality CNN_STRM expert (scripts/*/trx/{rgb,flow,depth}_strm.sh:
         # resnet50 STRM trunk, run.py:330-337's task_loss + 0.1·pat joint CE,
@@ -222,7 +227,7 @@ def preset(name: str, **overrides) -> Config:
             model=ModelConfig(backbone="cnn_strm", classifier="strmclassifiers"),
             distill=DistillConfig(name="strm_expert"),
             train=TrainConfig(learning_rate=3e-4, training_iterations=70010,
-                              micro_batch=4),
+                              micro_batch=4, sch=(1_000_000,)),
         ),
         # per-modality Baseline expert (scripts/*/run/5-shot/*_Baseline_50.sh:
         # resnet50 GAP + euclidean class-mean prototypes, CELoss, lr 3e-4)
@@ -231,7 +236,7 @@ def preset(name: str, **overrides) -> Config:
             model=ModelConfig(backbone="resnet50_gap", classifier="e_dist"),
             distill=DistillConfig(name="CELoss"),
             train=TrainConfig(learning_rate=3e-4, training_iterations=70020,
-                              micro_batch=4),
+                              micro_batch=4, sch=(1_000_000,)),
         ),
         # skeleton-modality TRX expert (scripts/*/run/5-shot/
         # skeleton_trx_run.sh: skeleton encoder + TRX head, lr 1e-4)
@@ -239,7 +244,8 @@ def preset(name: str, **overrides) -> Config:
             episode=EpisodeConfig(query_per_class=4),
             model=ModelConfig(backbone="s3d", classifier="TRX"),
             distill=DistillConfig(name="TRXLoss"),
-            train=TrainConfig(learning_rate=1e-4, training_iterations=50010),
+            train=TrainConfig(learning_rate=1e-4, training_iterations=50010,
+                              sch=(1_000_000,)),
         ),
         # tiny geometry for tests / dryruns
         "tiny": Config(

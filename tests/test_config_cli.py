@@ -246,3 +246,16 @@ def test_deferred_host_sync_semantics():
     d.push(3, "c")                  # reusable after flush
     d.flush()
     assert seen == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_teacher_and_expert_presets_never_decay_lr():
+    """run.py:140 and multi_fusion.py:287-291 default --sch to [1000000] and
+    no released script overrides it — the teacher-half stages train at a
+    CONSTANT lr, unlike the student's 20k/40k milestones. The presets must
+    not inherit the student default."""
+    from litemkd_tpu.config import preset
+    for name in ("mfm_teacher", "expert_trx", "expert_strm",
+                 "expert_baseline", "expert_skeleton_trx"):
+        cfg = preset(name)
+        assert min(cfg.train.sch) > cfg.train.training_iterations, name
+    assert preset("mfm_teacher").train.training_iterations == 50_015

@@ -1,8 +1,9 @@
 """PyTorch-CPU baseline for the MFM fusion-teacher training step.
 
 The same computation as ``make_mfm_train_step`` (the reference's
-``multi_fusion.py`` ThreeTRXShiftLoopTime loop: Adam, per-episode backward
-with summed CE / tasks_per_batch, optimizer step every 16 tasks) written in
+``multi_fusion.py`` ThreeTRXShiftLoopTime loop: plain SGD — the released
+--opt default, no script overrides it — per-episode backward with summed
+CE / tasks_per_batch, optimizer step every 16 tasks) written in
 torch and run one episode at a time on this host's CPU, at the full
 production geometry (3 modalities, d=2048, depth-2 encoders, 5-way 5-shot,
 T=8). Merges ``torch_cpu_teacher_episodes_per_sec`` into BASELINE_LOCAL.json
@@ -81,7 +82,7 @@ def main(n_episodes: int = 2):
     torch.set_num_threads(os.cpu_count())
     model = TorchMFM()
     model.eval()    # dropout off, like the jax bench's deterministic step
-    opt = torch.optim.Adam(model.parameters(), lr=5e-5)
+    opt = torch.optim.SGD(model.parameters(), lr=5e-5)
 
     ctx = {m: torch.randn(S, T, D) for m in MODS}
     tgt = {m: torch.randn(Q, T, D) for m in MODS}
@@ -104,7 +105,7 @@ def main(n_episodes: int = 2):
             opt.zero_grad()
     dt = time.time() - t0
     if n_episodes % 16:
-        # the jax number being compared includes one Adam update per 16
+        # the jax number being compared includes one optimizer update per 16
         # episodes; when the loop doesn't hit the cadence (short runs), time
         # one step separately and charge the pro-rated share per episode
         ts = time.time()
