@@ -56,6 +56,10 @@ def main(argv=None):
                            run_name="pretrain", print_freq=cfg.train.print_freq,
                            use_wandb=args.wandb)
     logger.info(f"{len(records)} train videos over {n_classes} classes")
+    if args.learning_rate is not None:
+        logger.info("warning: --learning_rate is unused by pretrain — the "
+                    "reference trains dual SGD groups (pretrain.py:31-38); "
+                    "set --lr_1 (trunk) / --lr_2 (head) instead")
 
     rng = np.random.default_rng(cfg.train.seed)
     sample = np.stack([vs.load(records[0][0], True, rng)])
@@ -88,6 +92,12 @@ def main(argv=None):
     test_records = [(r, r.class_id) for c in test_index.classes()
                     for r in test_index.videos_for_class(c)]
     best_acc = -1.0
+    if not test_records:
+        # the reference crashes here (its eval loop leaves `acc` unbound);
+        # degrade to save-every-epoch so a crash/resume never silently
+        # rewinds to epoch-0 weights
+        logger.info("warning: test split is empty — keep-the-best selection "
+                    "is inactive, saving every epoch instead")
 
     from ..data import Prefetcher
     for epoch in range(args.epochs):
@@ -136,17 +146,22 @@ def main(argv=None):
         right = total = 0
         for s in range(0, len(test_records), bs):
             chunk = test_records[s:s + bs]
-            clips = np.stack([vs.load(r, False, rng) for r, _ in chunk])
+            loaded = [vs.load(r, False, rng) for r, _ in chunk]
+            # pad the ragged tail to the full batch shape: a second leading
+            # shape would trace a second fwd executable (multi-minute remote
+            # compile on this tunnel); padded rows are sliced off the preds
+            loaded += [loaded[-1]] * (bs - len(chunk))
             labels = np.asarray([c for _, c in chunk], np.int32)
+            clips = np.stack(loaded)
             pred = np.argmax(np.asarray(fwd(variables, jnp.asarray(clips))), -1)
-            right += int((pred == labels).sum())
+            right += int((pred[:len(chunk)] == labels).sum())
             total += len(chunk)
         test_acc = right / max(total, 1)
         logger.log(epoch, {"epoch_loss": sums[0] / n_b,
                            "epoch_accuracy": sums[1] / n_b,
                            "test_accuracy": test_acc},
                    force_print=True)
-        if test_acc > best_acc:
+        if test_acc > best_acc or not test_records:
             best_acc = test_acc
             if ckpt:
                 ckpt.save(state)

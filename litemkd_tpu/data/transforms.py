@@ -89,15 +89,17 @@ def crop_clip(clip, min_h: int, min_w: int, h: int, w: int):
                     f"{type(clip[0])}")
 
 
-def resize_clip(clip, size, interpolation: str = "nearest", *,
+def resize_clip(clip, size, interpolation: str = "bilinear", *,
                 corrected: bool = False):
     """Resize every frame (videotransforms/functional.py:24-63).
 
     ``size`` as a number = shorter-side resize (skipped when the shorter side
     already matches); as ``(h, w)`` = exact dims. The released interpolation
     mapping is SWAPPED — ``'bilinear'`` selects NEAREST and anything else
-    BILINEAR; kept faithful unless ``corrected``. Numpy clips (a
-    ``NotImplementedError`` in the release) round-trip through PIL.
+    BILINEAR; kept faithful unless ``corrected``, and the default matches the
+    reference signature's ``'bilinear'`` (functional.py:24), i.e. NEAREST.
+    Numpy clips (a ``NotImplementedError`` in the release) round-trip
+    through PIL.
     """
     was_numpy = _is_numpy_clip(clip)
     if was_numpy:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .resnet import ResNetTrunk, _STAGES
+from .resnet import ResNetTrunk, _STAGES, flatten_clip_frames
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 
 
@@ -112,10 +112,7 @@ class ActionRecognitionNet(nn.Module):
     def features(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         """(B, T, H, W, 3) → (B, T, D) global-avg-pooled trunk features —
         the per-video expert features dumped to feature.npy trees."""
-        b, t = clips.shape[0], clips.shape[1]
-        x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
-        if clips.dtype == jnp.uint8:
-            x = x / 255.0
+        x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = self.trunk(x, train=train)
         x = x.astype(jnp.float32).mean(axis=(1, 2))    # global average pool
         return x.reshape(b, t, -1)

@@ -16,8 +16,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .resnet import (adaptive_max_pool_2d, flatten_clip_frames,
-                     litemkd_feature_head)
+from .resnet import flatten_clip_frames, litemkd_feature_head
 from ...ops.torch_init import (torch_conv_kernel_init, torch_linear_kernel_init,
                                torch_linear_bias_init)
 

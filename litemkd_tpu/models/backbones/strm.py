@@ -17,7 +17,7 @@ from typing import Dict
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .resnet import ResNetTrunk, adaptive_max_pool_2d
+from .resnet import ResNetTrunk, adaptive_max_pool_2d, flatten_clip_frames
 from ...ops.strm import SelfAttnBot, MLPMixEnrich
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 
@@ -34,10 +34,7 @@ class STRMBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Dict[str, jnp.ndarray]:
-        b, t = clips.shape[0], clips.shape[1]
-        x = clips.reshape(b * t, *clips.shape[2:]).astype(self.compute_dtype)
-        if clips.dtype == jnp.uint8:
-            x = x / 255.0
+        x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
                         self.freeze_bn, name="trunk")(x, train=train)
         x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)

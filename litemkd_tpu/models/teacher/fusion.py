@@ -338,18 +338,25 @@ class MFMTeacher(nn.Module):
             return _roll_right(x, self.shirt_num)
         return x  # faithful to the released reference (model.py:1614-1620)
 
-    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
+    def fuse(self, feats: Dict[str, jnp.ndarray], train: bool, *,
+             dump: bool = False) -> jnp.ndarray:
         streams = [feats[m] for m in self.modalities]
         if len(streams) == 3:
             fused = self.three_fusion(streams[0], streams[1], streams[2], train)
         else:
             fused = self.three_fusion(streams, train)
         # pairwise branches: m2 rolled left by shirt_num; modalities ≥3 use the
-        # reference's no-op "shift" (identity; 'right' mode actually rolls)
+        # reference's no-op "shift" (identity; 'right' mode actually rolls).
+        # ``dump`` selects the released extract_feature's LEFT-roll for m3+
+        # in 'reference' mode (the dump-vs-live asymmetry, see extract()).
         fused = fused + self.fusion(
             streams[0], _roll_left(streams[1], self.shirt_num), train)
         for extra in streams[2:]:
-            fused = fused + self.fusion(streams[0], self._shift3(extra), train)
+            if dump and self.third_shift != "right":
+                shifted = _roll_left(extra, self.shirt_num)
+            else:
+                shifted = self._shift3(extra)
+            fused = fused + self.fusion(streams[0], shifted, train)
         return fused
 
     def __call__(self, context_feats, context_labels, target_feats, train: bool):
@@ -370,19 +377,7 @@ class MFMTeacher(nn.Module):
         is the interop surface, so extraction reproduces ``extract_feature``;
         ``third_shift='right'`` (the corrected mode) stays self-consistent
         with its forward instead."""
-        streams = [feats[m] for m in self.modalities]
-        if len(streams) == 3:
-            fused = self.three_fusion(streams[0], streams[1], streams[2],
-                                      False)
-        else:
-            fused = self.three_fusion(streams, False)
-        fused = fused + self.fusion(
-            streams[0], _roll_left(streams[1], self.shirt_num), False)
-        for extra in streams[2:]:
-            shifted = (self._shift3(extra) if self.third_shift == "right"
-                       else _roll_left(extra, self.shirt_num))
-            fused = fused + self.fusion(streams[0], shifted, False)
-        return fused
+        return self.fuse(feats, False, dump=True)
 
 
 class DGAdaIN(nn.Module):

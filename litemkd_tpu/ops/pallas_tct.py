@@ -130,6 +130,8 @@ def tct_attention_pallas(q_k: jnp.ndarray, q_v: jnp.ndarray,
             bytes_accessed=(2 * q * u * dk + 2 * w * s * u * dk + w * q) * 4,
             transcendentals=w * q * u * s * u,
         ),
+        interpret=_INTERPRET,   # like pallas_bn: the flag must reach the
+                                # call or flipping it off-TPU dies at lowering
     )(qk, qv, ck, cv)
     return -dist[:, :w]                                  # (Q, W) logits
 

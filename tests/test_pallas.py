@@ -20,10 +20,10 @@ def inputs():
 
 
 def test_pallas_matches_xla_forward(inputs, monkeypatch):
-    import functools
-    orig = pt.pl.pallas_call
-    monkeypatch.setattr(pt.pl, "pallas_call",
-                        functools.partial(orig, interpret=True))
+    # _INTERPRET alone must both enable off-TPU dispatch AND reach the
+    # pallas_call (regression: the flag once gated dispatch only, so
+    # flipping it off-TPU died at Mosaic lowering)
+    monkeypatch.setattr(pt, "_INTERPRET", True)
     want = pt.tct_attention_xla(*inputs)
     got = pt.tct_attention_pallas(*inputs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -31,10 +31,7 @@ def test_pallas_matches_xla_forward(inputs, monkeypatch):
 
 
 def test_fused_gradients_match_xla(inputs, monkeypatch):
-    import functools
-    orig = pt.pl.pallas_call
-    monkeypatch.setattr(pt.pl, "pallas_call",
-                        functools.partial(orig, interpret=True))
+    monkeypatch.setattr(pt, "_INTERPRET", True)
 
     def loss_fused(qk, qv, ck, cv):
         return jnp.sum(pt._tct_attention_fused(qk, qv, ck, cv) ** 2)
@@ -51,10 +48,6 @@ def test_fused_gradients_match_xla(inputs, monkeypatch):
 
 def test_tct_module_pallas_flag_matches(monkeypatch, inputs):
     """Whole-module parity: use_pallas=True (interpret) vs default path."""
-    import functools
-    orig = pt.pl.pallas_call
-    monkeypatch.setattr(pt.pl, "pallas_call",
-                        functools.partial(orig, interpret=True))
     monkeypatch.setattr(pt, "_INTERPRET", True)   # dispatcher takes the kernel
     from litemkd_tpu.ops import TemporalCrossTransformer
     rng = np.random.default_rng(1)
@@ -105,10 +98,7 @@ def test_pallas_ragged_query_counts(monkeypatch, q):
     """Grid tiling pads the last query chunk (q % 8 != 0) without corrupting
     real rows, and a vmapped episode batch (the nn.vmap path that blew the
     VMEM budget at micro_batch>=8) matches the XLA path per episode."""
-    import functools
-    orig = pt.pl.pallas_call
-    monkeypatch.setattr(pt.pl, "pallas_call",
-                        functools.partial(orig, interpret=True))
+    monkeypatch.setattr(pt, "_INTERPRET", True)
     rng = np.random.default_rng(q)
     E = 3
     q_k = jnp.asarray(rng.normal(size=(E, q, U, DK)).astype(np.float32))
