@@ -284,6 +284,7 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
         if ckpt and step_i % save_every == 0:
             deferred.flush()   # keep the JSONL chronological around the save
             ckpt.save(state, t_vars)
+            logger.save_artifact(ckpt.directory)
 
         while test_marks and episodes >= test_marks[0]:
             mark = test_marks.pop(0)
@@ -300,4 +301,5 @@ def run_training(cfg: Config, sampler, logger: Optional[MetricsLogger] = None,
         "host step counter drifted from the device TrainState"
     if ckpt:
         ckpt.save(state, t_vars)
+        logger.save_artifact(ckpt.directory)
     return state, t_vars, eval_history

@@ -73,6 +73,24 @@ class MetricsLogger:
             body = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
             print(f"[{self.run_name} {step}] {body}", flush=True)
 
+    def save_artifact(self, path: str) -> None:
+        """Mirror a saved checkpoint into the wandb run — the reference
+        uploads every saved ``.pt`` via ``wandb.save`` (trainwandb.py:172-180).
+        Orbax checkpoints are directories, so those are globbed relative to
+        their parent; a plain file path is passed through as-is. No-op
+        without an active wandb run."""
+        if not (self._wandb and self._wandb.run):
+            return
+        try:
+            if os.path.isdir(path):
+                base = os.path.dirname(os.path.abspath(path))
+                self._wandb.save(os.path.join(path, "**"), base_path=base)
+            else:
+                self._wandb.save(path)
+        except Exception as e:   # upload failures must not kill training
+            print(f"[metrics] wandb.save failed ({e}); continuing",
+                  file=sys.stderr)
+
     def info(self, msg: str) -> None:
         print(msg, flush=True)
         if self._jsonl:

@@ -660,6 +660,39 @@ def test_metrics_logger_text_files_per_instance(tmp_path):
     assert "beta line" not in open(a.text_path).read()
 
 
+def test_metrics_logger_save_artifact(tmp_path):
+    """save_artifact mirrors checkpoints into wandb (the reference uploads
+    each saved .pt via wandb.save, trainwandb.py:172-180): directories are
+    globbed relative to their parent, files pass through, upload failures
+    don't raise, and it's a no-op without an active run."""
+    from litemkd_tpu.utils.logging import MetricsLogger
+
+    class FakeWandb:
+        run = object()
+        def __init__(self):
+            self.calls = []
+        def save(self, glob_str, base_path=None):
+            self.calls.append((glob_str, base_path))
+
+    log = MetricsLogger(print_freq=0)
+    log.save_artifact(str(tmp_path))      # no wandb configured: no-op
+    log._wandb = fake = FakeWandb()
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    log.save_artifact(str(ckpt_dir))
+    assert fake.calls == [(str(ckpt_dir / "**"), str(tmp_path))]
+
+    f = tmp_path / "model.pt"
+    f.write_bytes(b"x")
+    log.save_artifact(str(f))
+    assert fake.calls[-1] == (str(f), None)
+
+    fake.save = lambda *a, **k: (_ for _ in ()).throw(OSError("offline"))
+    log.save_artifact(str(f))             # swallowed, training continues
+    log.close()
+
+
 def test_empty_accuracy_summary_is_quiet():
     """Zero-episode summary returns nan/0 without numpy RuntimeWarnings."""
     import warnings
