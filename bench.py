@@ -228,8 +228,10 @@ def main():
               "remat": cfg.model.remat, "pallas": cfg.model.use_pallas,
               "freeze_bn": cfg.model.freeze_bn, "steps": n_steps,
               "sync": _sync_mode(), **line}
+    history = (os.environ.get("BENCH_HISTORY_FILE")
+               or os.path.join(ROOT, "BENCH_HISTORY.jsonl"))
     try:
-        with open(os.path.join(ROOT, "BENCH_HISTORY.jsonl"), "a") as f:
+        with open(history, "a") as f:
             f.write(json.dumps(record) + "\n")
     except OSError as e:
         print(f"[bench] history append failed: {e}", file=sys.stderr)

@@ -138,6 +138,36 @@ def test_pipeline_bench_tool(capsys):
     assert "PIL decode" in out
 
 
+@pytest.mark.slow
+def test_bench_driver_contract(tmp_path):
+    """The driver runs ``python bench.py`` at the end of every round and
+    parses its stdout as ONE JSON line {metric, value, unit, vs_baseline} —
+    lock that contract in-suite (tiny preset, 2 steps, history redirected
+    to a tmp file so real-chip rows aren't polluted)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               BENCH_PRESET="tiny", BENCH_MODE="train", BENCH_STEPS="2",
+               BENCH_EPISODES_PER_STEP="2", BENCH_MICRO_BATCH="0",
+               BENCH_PALLAS="0",
+               BENCH_HISTORY_FILE=str(tmp_path / "hist.jsonl"))
+    proc = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    rec = _json.loads(lines[-1])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["metric"] == "train_episodes_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] is None      # no torch baseline for tiny
+    hist = _json.loads((tmp_path / "hist.jsonl").read_text())
+    assert hist["preset"] == "tiny" and hist["steps"] == 2
+
+
 def test_task_confusion_maps_real_classes():
     """task_confusion == reference utils.py:123-127: argmax over logits,
     indexed into the episode's real-class list; unbatched and batched."""
