@@ -27,6 +27,8 @@ TRAIN_FLOPS = 16.69e12
 TRAIN_BYTES = 1.006e12
 EVAL_FLOPS = 13.51e12
 EVAL_BYTES = 0.729e12
+TEACHER_FLOPS = 28.97e12
+TEACHER_BYTES = 0.586e12
 BAND = 0.25          # fails at a ~2x regression with 4x margin
 
 
@@ -84,3 +86,28 @@ def test_flagship_step_costs_stay_in_band():
                                err_msg="eval-step flops left the band")
     np.testing.assert_allclose(ecost["bytes accessed"], EVAL_BYTES, rtol=BAND,
                                err_msg="eval-step bytes left the band")
+
+
+@pytest.mark.slow
+def test_mfm_teacher_step_costs_stay_in_band():
+    """Same tripwire for the OTHER trainer: the canonical ``mfm_teacher``
+    fused 16-episode Adam step (feature-space inputs — a real init is cheap,
+    no 224px conv trunk)."""
+    from litemkd_tpu.cli.train_teacher import SyntheticMultiModalSource
+    from litemkd_tpu.train import create_mfm_train_state, make_mfm_train_step
+
+    cfg = preset("mfm_teacher")
+    assert cfg.train.tasks_per_batch == 16 and cfg.train.micro_batch == 0
+
+    src = SyntheticMultiModalSource(cfg, n_classes=16, seed=0)
+    batch = src.sample_batch(np.random.default_rng(0),
+                             cfg.train.tasks_per_batch)
+    state = create_mfm_train_state(cfg, jax.random.key(0), batch)
+    cost = jax.jit(make_mfm_train_step(cfg)).lower(
+        state, batch).cost_analysis() or {}
+    assert cost, "cost_analysis returned nothing"
+    np.testing.assert_allclose(cost["flops"], TEACHER_FLOPS, rtol=BAND,
+                               err_msg="teacher-step flops left the band")
+    np.testing.assert_allclose(cost["bytes accessed"], TEACHER_BYTES,
+                               rtol=BAND,
+                               err_msg="teacher-step bytes left the band")
