@@ -168,6 +168,21 @@ def test_bench_driver_contract(tmp_path):
     assert hist["preset"] == "tiny" and hist["steps"] == 2
 
 
+def test_profile_cli_smoke(tmp_path, capsys):
+    """cli.profile traces one step and prints an op-time summary (SURVEY §5.1
+    — the tracing subsystem the reference lacks). On the CPU backend the
+    XProf trace still materializes under plugins/profile/."""
+    from litemkd_tpu.cli.profile import main as profile_main
+
+    out = tmp_path / "trace"
+    profile_main(["--preset", "tiny", "--dataset", "synthetic",
+                  "--tasks_per_batch", "2", "--micro_batch", "0",
+                  "--out", str(out)])
+    text = capsys.readouterr().out
+    assert "device op time" in text or "no trace files found" in text
+    assert (out / "plugins" / "profile").exists()
+
+
 def test_task_confusion_maps_real_classes():
     """task_confusion == reference utils.py:123-127: argmax over logits,
     indexed into the episode's real-class list; unbatched and batched."""
