@@ -183,6 +183,40 @@ def test_profile_cli_smoke(tmp_path, capsys):
     assert (out / "plugins" / "profile").exists()
 
 
+def test_flops_cli_smoke(capsys):
+    """cli.flops (reference flops.py) reports params + forward GFLOPs."""
+    from litemkd_tpu.cli.flops import main as flops_main
+
+    out = flops_main(["--preset", "tiny", "--dataset", "synthetic"])
+    text = capsys.readouterr().out
+    assert "GFLOPs/episode" in text and "params" in text
+    assert out["params"] > 0 and out["gflops"] > 0
+
+
+def test_gen_fixed_split_cli_synthetic(tmp_path):
+    """cli.gen_fixed_split works on the synthetic dataset (it used to crash —
+    the synthetic source has no videos/features stores) and the emitted file
+    replays deterministically through the sampler's spec path."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.cli.gen_fixed_split import main as gen_main
+    from litemkd_tpu.data import SyntheticEpisodeSource, load_fixed_episodes
+
+    out = tmp_path / "fixed.json"
+    gen_main(["--preset", "tiny", "--dataset", "synthetic",
+              "--n_episodes", "3", "--out", str(out)])
+    specs = load_fixed_episodes(str(out))
+    assert len(specs) == 3
+
+    cfg = preset("tiny")
+    src = SyntheticEpisodeSource(cfg, n_classes=16, seed=0)
+    a = src.sample_batch(np.random.default_rng(1), 3, train=False, specs=specs)
+    b = src.sample_batch(np.random.default_rng(2), 3, train=False, specs=specs)
+    # fixed specs pin the episode CONTENT (clips), not the label shuffle
+    np.testing.assert_array_equal(
+        np.sort(a.support_clips.reshape(3, -1), axis=-1),
+        np.sort(b.support_clips.reshape(3, -1), axis=-1))
+
+
 def test_task_confusion_maps_real_classes():
     """task_confusion == reference utils.py:123-127: argmax over logits,
     indexed into the episode's real-class list; unbatched and batched."""
