@@ -33,18 +33,11 @@ def main(argv=None):
     cfg = build_config(args)
 
     sampler = build_sampler(cfg, need_teacher=False)
-    if cfg.data.dataset == "synthetic":
-        # the synthetic source decodes any (class, video-index) pair
-        # deterministically, so a nominal per-class video count is all an
-        # episode spec needs (SyntheticEpisodeSource.sample_batch replay)
-        from ..data import SplitIndex, VideoRecord
-        index = SplitIndex()
-        for c in range(sampler.n_classes):
-            for v in range(32):
-                index.add(VideoRecord(class_id=c, video_id=f"synthetic_{c}_{v}"))
-    else:
-        index = (sampler.videos if getattr(sampler, "videos", None) is not None
-                 else sampler.features).split(False)
+    store = (getattr(sampler, "videos", None)
+             or getattr(sampler, "features", None))
+    # synthetic sources expose a nominal split() themselves (content is
+    # keyed on (class, video-index), so specs replay exactly)
+    index = (store if store is not None else sampler).split(False)
     rng = np.random.default_rng(args.seed)
     ep = cfg.episode
     specs = [draw_episode_spec(index, ep.way, ep.shot, ep.query_per_class_test,

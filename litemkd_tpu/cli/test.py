@@ -66,9 +66,11 @@ def main(argv=None):
         def _reference_specs():
             # reference gen_fixed_split.py format (dict keyed by episode
             # index, global video_idx entries) — convert against our index
+            # (synthetic sources expose a nominal split() of their own)
             from ..data import load_reference_fixed_episodes
-            index = (sampler.videos if getattr(sampler, "videos", None)
-                     is not None else sampler.features).split(False)
+            store = (getattr(sampler, "videos", None)
+                     or getattr(sampler, "features", None))
+            index = (store if store is not None else sampler).split(False)
             return load_reference_fixed_episodes(path, index)
 
         if path.endswith((".yaml", ".yml")):

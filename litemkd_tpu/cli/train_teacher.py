@@ -33,6 +33,11 @@ class SyntheticMultiModalSource:
             with_teacher_feats=True)
             for i, m in enumerate(cfg.model.modalities)}
 
+    def split(self, train: bool = False):
+        """Nominal index for fixed-episode generation/replay — modalities
+        share episode geometry, so any one source's index serves."""
+        return next(iter(self.sources.values())).split(train)
+
     def sample_batch(self, rng, n_episodes, train=True, specs=None):
         from ..train.steps import EpisodeBatch
         # correlated class structure across modalities: reuse one sampler's
@@ -164,15 +169,18 @@ def main(argv=None):
             from ..data import (load_fixed_episodes,
                                 load_reference_fixed_episodes)
             path = cfg.data.fixed_episode_file
+            # synthetic multi-modal sources expose a nominal split() of
+            # their own; real runs index the feature store
+            index_src = getattr(sampler, "store", None) or sampler
             if path.endswith((".yaml", ".yml")):
                 specs = load_reference_fixed_episodes(
-                    path, sampler.store.split(False))
+                    path, index_src.split(False))
             else:
                 try:
                     specs = load_fixed_episodes(path)
                 except (KeyError, TypeError, AttributeError):
                     specs = load_reference_fixed_episodes(
-                        path, sampler.store.split(False))
+                        path, index_src.split(False))
             logger.info(f"replaying {len(specs)} fixed episodes")
         # run_eval brings the student loop's prefetch overlap and mesh
         # handling instead of a hand-rolled synchronous chunk loop

@@ -52,6 +52,24 @@ class SyntheticEpisodeSource:
             size=(n_classes, ep.seq_len, m.trans_linear_in_dim)
         ).astype(np.float32)
 
+    # nominal per-class video count for spec generation/replay: synthetic
+    # content is keyed on (class, video-index), so any count ≥ shot+queries
+    # works, and the SAME count must be used to build and to invert the
+    # reference fixed_test schema's global video_idx offsets
+    NOMINAL_VIDEOS_PER_CLASS = 32
+
+    def split(self, train: bool = False):
+        """A nominal SplitIndex so fixed-episode files (ours and the
+        reference's global-video_idx schema) generate/replay against
+        synthetic data exactly like against a real tree."""
+        from .splits import SplitIndex, VideoRecord
+        index = SplitIndex()
+        for c in range(self.n_classes):
+            for v in range(self.NOMINAL_VIDEOS_PER_CLASS):
+                index.add(VideoRecord(class_id=c,
+                                      video_id=f"synthetic_{c}_{v}"))
+        return index
+
     def sample_batch(self, rng: np.random.Generator, n_episodes: int,
                      train: bool = True, return_meta: bool = False,
                      specs=None):

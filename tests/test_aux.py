@@ -217,6 +217,28 @@ def test_gen_fixed_split_cli_synthetic(tmp_path):
         np.sort(b.support_clips.reshape(3, -1), axis=-1))
 
 
+def test_fixed_episode_formats_replay_identically_on_synthetic(tmp_path):
+    """Both fixed-episode formats (native JSON and the reference's
+    global-video_idx yaml schema) generate AND replay on the synthetic
+    dataset through the real CLIs, with identical eval results — the
+    reference schema's offsets invert exactly against the synthetic
+    sources' nominal split()."""
+    from litemkd_tpu.cli.gen_fixed_split import main as gen_main
+    from litemkd_tpu.cli.test import main as test_main
+
+    native, ref = tmp_path / "fixed.json", tmp_path / "fixed.yaml"
+    common = ["--preset", "tiny", "--dataset", "synthetic",
+              "--n_episodes", "2", "--seed", "7"]
+    gen_main(common + ["--out", str(native)])
+    gen_main(common + ["--out", str(ref), "--format", "reference"])
+
+    run = ["--preset", "tiny", "--dataset", "synthetic"]
+    s_native = test_main(run + ["--fixed_episode_file", str(native)])
+    s_ref = test_main(run + ["--fixed_episode_file", str(ref)])
+    assert s_native["n_tasks"] == s_ref["n_tasks"] == 2
+    assert s_native["accuracy"] == s_ref["accuracy"]
+
+
 def test_task_confusion_maps_real_classes():
     """task_confusion == reference utils.py:123-127: argmax over logits,
     indexed into the episode's real-class list; unbatched and batched."""
