@@ -56,6 +56,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args, base=load_saved_config(args.test_model_path))
+    if args.mode_extract == "expert" and not cfg.data.rgb_path:
+        p.error("expert extraction reads a frame tree: pass --rgb_path "
+                "(the synthetic dataset has none)")
+    if args.mode_extract == "mfm" and not args.feature_root:
+        p.error("mfm extraction reads per-modality feature trees: pass "
+                "--feature_root")
     m = cfg.model
     cfg = cfg.replace(model=m.__class__(**{
         **m.__dict__,
