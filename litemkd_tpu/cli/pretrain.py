@@ -41,6 +41,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
+    if not cfg.data.rgb_path:
+        p.error("pretraining reads a frame tree: pass --rgb_path "
+                "(the synthetic dataset has none)")
 
     from ..data import VideoStore
     from ..train.checkpoint import CheckpointManager
