@@ -129,6 +129,9 @@ def main(argv=None):
     from .common import save_run_config
     save_run_config(cfg)
 
+    if cfg.data.dataset != "synthetic" and not args.feature_root:
+        p.error("teacher training reads per-modality feature trees: pass "
+                "--feature_root (or --dataset synthetic for a smoke run)")
     sampler = build_mm_sampler(cfg, args)
     rng = np.random.default_rng(cfg.train.seed)
     e = cfg.train.tasks_per_batch
