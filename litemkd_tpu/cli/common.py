@@ -300,6 +300,17 @@ def save_run_config(cfg: Config) -> None:
         f.write(cfg.to_json())
 
 
+def episode_index(sampler, train: bool = False):
+    """Resolve the Split index behind any sampler kind: video-backed
+    (``videos``), feature-backed (``features``), multi-modal (``store``),
+    or synthetic (which exposes a nominal ``split()`` of its own, keyed on
+    (class, video-index) so fixed-episode specs replay exactly)."""
+    store = (getattr(sampler, "videos", None)
+             or getattr(sampler, "features", None)
+             or getattr(sampler, "store", None))
+    return (store if store is not None else sampler).split(train)
+
+
 def build_sampler(cfg: Config, need_teacher: bool = True):
     """Construct the episode sampler for the configured dataset."""
     if cfg.data.dataset == "synthetic":

@@ -11,7 +11,8 @@ import argparse
 
 import numpy as np
 
-from .common import add_common_args, build_config, build_sampler
+from .common import (add_common_args, build_config, build_sampler,
+                     episode_index)
 from ..data import draw_episode_spec, save_fixed_episodes
 
 
@@ -33,11 +34,7 @@ def main(argv=None):
     cfg = build_config(args)
 
     sampler = build_sampler(cfg, need_teacher=False)
-    store = (getattr(sampler, "videos", None)
-             or getattr(sampler, "features", None))
-    # synthetic sources expose a nominal split() themselves (content is
-    # keyed on (class, video-index), so specs replay exactly)
-    index = (store if store is not None else sampler).split(False)
+    index = episode_index(sampler, train=False)
     rng = np.random.default_rng(args.seed)
     ep = cfg.episode
     specs = [draw_episode_spec(index, ep.way, ep.shot, ep.query_per_class_test,

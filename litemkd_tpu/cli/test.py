@@ -66,12 +66,10 @@ def main(argv=None):
         def _reference_specs():
             # reference gen_fixed_split.py format (dict keyed by episode
             # index, global video_idx entries) — convert against our index
-            # (synthetic sources expose a nominal split() of their own)
             from ..data import load_reference_fixed_episodes
-            store = (getattr(sampler, "videos", None)
-                     or getattr(sampler, "features", None))
-            index = (store if store is not None else sampler).split(False)
-            return load_reference_fixed_episodes(path, index)
+            from .common import episode_index
+            return load_reference_fixed_episodes(
+                path, episode_index(sampler, train=False))
 
         if path.endswith((".yaml", ".yml")):
             specs = _reference_specs()

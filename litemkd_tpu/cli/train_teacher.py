@@ -25,7 +25,9 @@ from ..utils.logging import MetricsLogger
 class SyntheticMultiModalSource:
     """In-memory multi-modal feature episodes for smoke runs/tests."""
 
-    def __init__(self, cfg, n_classes=12, seed=0, noise=0.3):
+    def __init__(self, cfg, n_classes=16, seed=0, noise=0.3):
+        # n_classes default matches build_sampler's SyntheticEpisodeSource so
+        # gen_fixed_split-produced files (16-class index) replay here
         from ..data.synthetic import SyntheticEpisodeSource
         self.cfg = cfg
         self.sources = {m: SyntheticEpisodeSource(
@@ -114,6 +116,12 @@ def main(argv=None):
         "modalities": tuple(args.modalities) if args.modalities else m.modalities,
     }))
 
+    # usage errors must fire before any side effects (wandb run, log dirs,
+    # config.json writes)
+    if cfg.data.dataset != "synthetic" and not args.feature_root:
+        p.error("teacher training reads per-modality feature trees: pass "
+                "--feature_root (or --dataset synthetic for a smoke run)")
+
     from ..train.checkpoint import CheckpointManager, verify_checkpoint_dir
     from ..train.teacher_steps import (create_mfm_train_state,
                                        make_mfm_eval_step, make_mfm_train_step)
@@ -129,9 +137,6 @@ def main(argv=None):
     from .common import save_run_config
     save_run_config(cfg)
 
-    if cfg.data.dataset != "synthetic" and not args.feature_root:
-        p.error("teacher training reads per-modality feature trees: pass "
-                "--feature_root (or --dataset synthetic for a smoke run)")
     sampler = build_mm_sampler(cfg, args)
     rng = np.random.default_rng(cfg.train.seed)
     e = cfg.train.tasks_per_batch
@@ -171,19 +176,17 @@ def main(argv=None):
         if cfg.data.fixed_episode_file:
             from ..data import (load_fixed_episodes,
                                 load_reference_fixed_episodes)
+            from .common import episode_index
             path = cfg.data.fixed_episode_file
-            # synthetic multi-modal sources expose a nominal split() of
-            # their own; real runs index the feature store
-            index_src = getattr(sampler, "store", None) or sampler
             if path.endswith((".yaml", ".yml")):
                 specs = load_reference_fixed_episodes(
-                    path, index_src.split(False))
+                    path, episode_index(sampler, train=False))
             else:
                 try:
                     specs = load_fixed_episodes(path)
                 except (KeyError, TypeError, AttributeError):
                     specs = load_reference_fixed_episodes(
-                        path, index_src.split(False))
+                        path, episode_index(sampler, train=False))
             logger.info(f"replaying {len(specs)} fixed episodes")
         # run_eval brings the student loop's prefetch overlap and mesh
         # handling instead of a hand-rolled synchronous chunk loop

@@ -76,15 +76,20 @@ class MetricsLogger:
     def save_artifact(self, path: str) -> None:
         """Mirror a saved checkpoint into the wandb run — the reference
         uploads every saved ``.pt`` via ``wandb.save`` (trainwandb.py:172-180).
-        Orbax checkpoints are directories, so those are globbed relative to
-        their parent; a plain file path is passed through as-is. No-op
-        without an active wandb run."""
+        Orbax checkpoints are directories, so each contained file is saved
+        relative to the directory's parent (wandb.save resolves its source
+        glob NON-recursively, so a single ``dir/**`` pattern would match only
+        the top-level entries and upload nothing); a plain file path is
+        passed through as-is. No-op without an active wandb run."""
         if not (self._wandb and self._wandb.run):
             return
         try:
             if os.path.isdir(path):
                 base = os.path.dirname(os.path.abspath(path))
-                self._wandb.save(os.path.join(path, "**"), base_path=base)
+                for root, _dirs, files in os.walk(path):
+                    for name in files:
+                        self._wandb.save(os.path.join(root, name),
+                                         base_path=base)
             else:
                 self._wandb.save(path)
         except Exception as e:   # upload failures must not kill training

@@ -239,6 +239,28 @@ def test_fixed_episode_formats_replay_identically_on_synthetic(tmp_path):
     assert s_native["accuracy"] == s_ref["accuracy"]
 
 
+def test_fixed_episode_replay_through_teacher_cli(tmp_path):
+    """gen_fixed_split-produced files (both formats) replay through
+    train_teacher --test_only: the synthetic multi-modal source's class
+    count matches the generator's 16-class index (a 12-class default used
+    to reject most generated specs with 'references class 13')."""
+    from litemkd_tpu.cli.gen_fixed_split import main as gen_main
+    from litemkd_tpu.cli.train_teacher import main as teacher_main
+
+    native, ref = tmp_path / "fixed.json", tmp_path / "fixed.yaml"
+    common = ["--preset", "tiny", "--dataset", "synthetic",
+              "--n_episodes", "2", "--seed", "7"]
+    gen_main(common + ["--out", str(native)])
+    gen_main(common + ["--out", str(ref), "--format", "reference"])
+
+    run = ["--preset", "tiny", "--dataset", "synthetic", "--test_only",
+           "--debug"]
+    s_native = teacher_main(run + ["--fixed_episode_file", str(native)])
+    s_ref = teacher_main(run + ["--fixed_episode_file", str(ref)])
+    assert s_native["n_tasks"] == s_ref["n_tasks"] == 2
+    assert s_native["accuracy"] == s_ref["accuracy"]
+
+
 def test_task_confusion_maps_real_classes():
     """task_confusion == reference utils.py:123-127: argmax over logits,
     indexed into the episode's real-class list; unbatched and batched."""

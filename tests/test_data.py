@@ -662,9 +662,11 @@ def test_metrics_logger_text_files_per_instance(tmp_path):
 
 def test_metrics_logger_save_artifact(tmp_path):
     """save_artifact mirrors checkpoints into wandb (the reference uploads
-    each saved .pt via wandb.save, trainwandb.py:172-180): directories are
-    globbed relative to their parent, files pass through, upload failures
-    don't raise, and it's a no-op without an active run."""
+    each saved .pt via wandb.save, trainwandb.py:172-180): every file inside
+    a checkpoint directory is saved individually relative to the dir's
+    parent (wandb.save globs non-recursively, so nested orbax payloads need
+    per-file saves), files pass through, upload failures don't raise, and
+    it's a no-op without an active run."""
     from litemkd_tpu.utils.logging import MetricsLogger
 
     class FakeWandb:
@@ -679,9 +681,14 @@ def test_metrics_logger_save_artifact(tmp_path):
     log._wandb = fake = FakeWandb()
 
     ckpt_dir = tmp_path / "ckpts"
-    ckpt_dir.mkdir()
+    (ckpt_dir / "42" / "state").mkdir(parents=True)
+    (ckpt_dir / "42" / "_METADATA").write_text("m")
+    (ckpt_dir / "42" / "state" / "params.bin").write_bytes(b"p")
     log.save_artifact(str(ckpt_dir))
-    assert fake.calls == [(str(ckpt_dir / "**"), str(tmp_path))]
+    assert sorted(fake.calls) == [
+        (str(ckpt_dir / "42" / "_METADATA"), str(tmp_path)),
+        (str(ckpt_dir / "42" / "state" / "params.bin"), str(tmp_path)),
+    ]
 
     f = tmp_path / "model.pt"
     f.write_bytes(b"x")
