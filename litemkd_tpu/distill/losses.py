@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DistillConfig
+from ..ops.distances import safe_norm as _safe_norm  # the repo-wide
+# gradient-safe norm (CLAUDE.md convention), under the alias its call
+# sites already use
 
 Array = jnp.ndarray
 LossDict = Dict[str, Array]
@@ -69,10 +72,6 @@ def softmax_ce(logits: Array, labels: Array) -> Array:
     return jnp.mean(nll)
 
 
-def _safe_norm(x: Array, axis: int) -> Array:
-    """sqrt(sum(x^2)) with finite gradient at 0 (jnp.linalg.norm's gradient is
-    NaN at exactly zero — reachable here when softmax rows go uniform)."""
-    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-16)
 
 
 def pearson_correlation(x: Array, y: Array, eps: float = 1e-8) -> Array:

@@ -34,11 +34,13 @@ class TRXMulti(nn.Module):
     out_dim: int = 1152
     temp_set: Tuple[int, ...] = (2, 3)
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, context, context_labels, target, train: bool):
         return MultiSetTCT(way=self.way, shot=self.shot, seq_len=self.seq_len,
                            in_dim=self.in_dim, out_dim=self.out_dim,
                            temp_set=self.temp_set, dropout=self.dropout,
+                           use_pallas=self.use_pallas,
                            name="transformers")(context, context_labels,
                                                 target, train=train)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.tct import TemporalCrossTransformer
-from ...ops.distances import support_dk_logits
+from ...ops.distances import support_dk_logits, safe_norm
 
 
 class TRX(nn.Module):
@@ -71,7 +71,7 @@ class TRX_sup(TRX):
         # proto: (Q, W, U, dk) → flatten per class, cosine over class pairs
         q, w = proto.shape[0], proto.shape[1]
         flat = proto.reshape(q, w, -1).astype(jnp.float32)
-        norm = flat / (jnp.sqrt(jnp.sum(flat * flat, -1, keepdims=True) + 1e-16) + 1e-8)
+        norm = flat / (safe_norm(flat, -1, keepdims=True) + 1e-8)
         sim = jnp.einsum("qid,qjd->qij", norm, norm)
         return {"support_set": sim, "query": logits}
 
@@ -122,3 +122,28 @@ class TRX_2fcsup_fixed(TRX):
 # (TCT → 'kl' + SupportDK → 'sup'); trainability is the call site's choice
 # (stop_gradient), so one class serves both registry names
 TRX_1fc_sup = TRX_2fcsup_fixed
+
+
+class TRX_2fcsup_2(TRX):
+    """TRX_2fcsup with SupportDK on BOTH streams — pairs with the
+    ``fc_2_sup_2`` distiller (distillers.py:501-548).
+
+    The release never shipped this head's source (`model_select.py:190`
+    registers it and `classifiers/__init__.py:17` lists it in ``__all__``
+    without importing it, so selecting it crashes); its behavior is
+    recovered from the repository's compiled
+    ``__pycache__/TRX_2fcsup_2.cpython-37.pyc`` (forward @ line 205):
+    one shared TCT on both streams (kl/ce) plus SupportDK per stream
+    (sup_kl/sup_ce). The compiled ``TRX_2fcsup_2_fixed`` teacher variant is
+    behaviorally identical to :class:`TRX_2fcsup_fixed`."""
+
+    @nn.compact
+    def __call__(self, context, context_labels, target, train: bool):
+        tct = self._tct()
+        kl = tct(context["f1"], context_labels, target["f1"], train=train)
+        ce = tct(context["f2"], context_labels, target["f2"], train=train)
+        sup_kl = support_dk_logits(context["f1"], context_labels,
+                                   self.way, self.shot, self.seq_len)
+        sup_ce = support_dk_logits(context["f2"], context_labels,
+                                   self.way, self.shot, self.seq_len)
+        return {"kl": kl, "ce": ce, "sup_kl": sup_kl, "sup_ce": sup_ce}

@@ -28,7 +28,7 @@ from .backbones.mobilenet import MobileNetV3Backbone
 from .backbones.strm import STRMBackbone
 from .backbones.skeleton import SkeletonEncoder
 from .classifiers.trx import (TRX, TRX_sup, TRX_2fc, TRX_2fcsup,
-                              TRX_2fcsup_fixed, TRX_1fc_sup)
+                              TRX_2fcsup_fixed, TRX_1fc_sup, TRX_2fcsup_2)
 from .classifiers.edist import (EDist, CosDistance, EDistFC2, EDistFC2Sup,
                                 EDist1FCSup)
 from .classifiers.strm import STRMClassifier, STRMClassifierSup, STRM1FCSup
@@ -79,6 +79,9 @@ CLASSIFIERS: Dict[str, Any] = {
     "TRX_2fcsup": TRX_2fcsup,
     "TRX_2fcsup_fixed": TRX_2fcsup_fixed,
     "TRX_1fc_sup": TRX_1fc_sup,
+    # recovered from the release's compiled-only classifier (see trx.py)
+    "TRX_2fcsup_2": TRX_2fcsup_2,
+    "TRX_2fcsup_2_fixed": TRX_2fcsup_fixed,
     "cos": CosDistance,
     "e_dist": EDist,
     "e_dist_fc2": EDistFC2,
@@ -140,7 +143,7 @@ def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
                   out_dim=cfg.model.trans_linear_out_dim,
                   temp_set=cfg.model.temp_set,
                   dropout=cfg.model.trans_dropout)
-    if issubclass(CLASSIFIERS[name], TRX):
+    if issubclass(cls, (TRX, TRXMulti)):
         kw.update(use_pallas=cfg.model.use_pallas)
     return kw
 

@@ -358,6 +358,12 @@ class ComposedFusionTeacher(nn.Module):
             b = _as_branch(spec)
             if not b.sides[side]:
                 continue
+            if b.kind in ("multi", "self") and b.shift != 0:
+                # no reference fusion class shifts a multi/self stream; a
+                # shifted spec here would otherwise be silently unshifted
+                raise ValueError(
+                    f"shift is only defined for pair/cross/batch branches, "
+                    f"got {b.kind!r} with shift={b.shift!r}")
             if b.kind == "multi":
                 picked = [streams[i] for i in b.idxs]
                 # dispatch must mirror setup: 3-stream WITHOUT an nhead

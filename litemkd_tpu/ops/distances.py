@@ -64,6 +64,13 @@ def edist_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     return -d.mean(axis=-1)
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndarray:
+    """``sqrt(sum(x²)+1e-16)`` — the repo-wide gradient-safe norm
+    (CLAUDE.md convention: ``jnp.linalg.norm`` has NaN gradient at exactly
+    zero, reachable from uniform softmax rows / zero-filled modalities)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-16)
+
+
 def cosine_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
                   queries: jnp.ndarray, way: int, shot: int,
                   eps: float = 1e-8) -> jnp.ndarray:
@@ -71,6 +78,6 @@ def cosine_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     q = queries.mean(axis=-2).astype(jnp.float32)
     s = class_sort(support, support_labels, way, shot).mean(axis=(1, -2))
     s = s.astype(jnp.float32)                                      # (W, D)
-    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-16) + eps)
-    sn = s / (jnp.sqrt(jnp.sum(s * s, -1, keepdims=True) + 1e-16) + eps)
+    qn = q / (safe_norm(q, -1, keepdims=True) + eps)
+    sn = s / (safe_norm(s, -1, keepdims=True) + eps)
     return qn @ sn.T

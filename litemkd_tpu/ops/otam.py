@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .distances import safe_norm
+
 
 def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
     """dists (Q, S, L, M) frame distances → (Q, S) cumulative distances.
@@ -73,8 +75,8 @@ def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     # data stays loudly NaN instead of training silently on zero-filled frames
     qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
     sf = jnp.nan_to_num(support.reshape(s_n * t, dim).astype(jnp.float32))
-    qnorm = jnp.sqrt(jnp.sum(qf * qf, -1, keepdims=True) + 1e-16)
-    snorm = jnp.sqrt(jnp.sum(sf * sf, -1, keepdims=True) + 1e-16)
+    qnorm = safe_norm(qf, -1, keepdims=True)
+    snorm = safe_norm(sf, -1, keepdims=True)
     sim = (qf @ sf.T) / (qnorm @ snorm.T + eps)          # (QT, ST)
     dists = 1.0 - sim.reshape(q_n, t, s_n, t).transpose(0, 2, 1, 3)  # (Q,S,T,T)
 

@@ -126,6 +126,7 @@ class MultiSetTCT(nn.Module):
     temp_set: Tuple[int, ...] = (2,)
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, support, support_labels, queries, *, train: bool):
@@ -134,6 +135,7 @@ class MultiSetTCT(nn.Module):
                 way=self.way, shot=self.shot, seq_len=self.seq_len,
                 in_dim=self.in_dim, out_dim=self.out_dim, set_size=s,
                 dropout=self.dropout, compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
                 name=f"tct_{s}")(support, support_labels, queries, train=train)
             for s in self.temp_set
         ]

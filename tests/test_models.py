@@ -96,8 +96,62 @@ def test_student_train_mode_needs_dropout_rng(tiny_cfg):
 def test_classifier_registry_builds(tiny_cfg):
     cfg = tiny_cfg
     for name in ["TRX", "TRX_sup", "TRX_2fcsup", "TRX_2fcsup_fixed",
-                 "e_dist", "cos", "e_dist_fc2_sup", "e_dist_1fc_sup"]:
+                 "e_dist", "cos", "e_dist_fc2_sup", "e_dist_1fc_sup",
+                 "TRX_2fcsup_2", "TRX_2fcsup_2_fixed"]:
         make_classifier(name, cfg)
+
+
+def test_use_pallas_reaches_multiset_heads(tiny_cfg):
+    """cfg.model.use_pallas must reach TRX_multi/TRM heads too (it used to be
+    forwarded only to TRX subclasses, so the flag was a silent no-op there)."""
+    cfg = tiny_cfg.replace(model=tiny_cfg.model.__class__(**{
+        **tiny_cfg.model.__dict__, "use_pallas": True, "temp_set": (2, 3)}))
+    assert make_classifier("TRX_multi", cfg).use_pallas
+    assert make_classifier("TRX", cfg).use_pallas
+
+
+def test_student_forward_2fcsup_2(tiny_cfg):
+    """TRX_2fcsup_2 (recovered from the release's compiled-only classifier —
+    the .py was never shipped): shared TCT on both streams + SupportDK on
+    BOTH streams. At identical params, kl/ce match TRX_2fcsup's and sup_ce
+    matches its sup; sup_kl is stream1's SupportDK. This is the head the
+    fc_2_sup_2 distiller consumes, which was unusable before."""
+    cfg2 = tiny_cfg.replace(model=tiny_cfg.model.__class__(**{
+        **tiny_cfg.model.__dict__, "classifier": "TRX_2fcsup_2"}))
+    rng = np.random.default_rng(3)
+    ctx, labels, tgt = _episode_inputs(cfg2, rng)
+    m2 = Student(cfg2)
+    variables = m2.init(jax.random.key(0), ctx, labels, tgt, train=False)
+    out2 = m2.apply(variables, ctx, labels, tgt, train=False)["logits"]
+    assert set(out2) == {"kl", "ce", "sup_kl", "sup_ce"}
+    assert out2["sup_kl"].shape == (cfg2.episode.way, cfg2.episode.way - 1)
+
+    # same params drive TRX_2fcsup (identical tree: one shared TCT)
+    out1 = Student(tiny_cfg).apply(variables, ctx, labels, tgt,
+                                   train=False)["logits"]
+    for a, b in (("kl", "kl"), ("ce", "ce"), ("sup_ce", "sup")):
+        np.testing.assert_allclose(np.asarray(out2[a]), np.asarray(out1[b]),
+                                   rtol=1e-6, err_msg=a)
+
+    # the fc_2_sup_2 distiller consumes this head end-to-end in a train step
+    from litemkd_tpu.train import create_train_state, make_train_step
+    from litemkd_tpu.train.steps import EpisodeBatch
+    ep = cfg2.episode
+    d = cfg2.model.trans_linear_in_dim
+    cfg2 = cfg2.replace(distill=cfg2.distill.__class__(name="fc_2_sup_2"))
+    batch = EpisodeBatch(
+        support_clips=ctx[None], support_labels=labels[None],
+        query_clips=tgt[None],
+        query_labels=jnp.asarray(np.repeat(np.arange(ep.way),
+                                           ep.query_per_class)[None]),
+        support_feats=jnp.asarray(rng.standard_normal(
+            (1, ep.n_support, ep.seq_len, d)).astype(np.float32)),
+        query_feats=jnp.asarray(rng.standard_normal(
+            (1, ep.n_queries(True), ep.seq_len, d)).astype(np.float32)),
+    )
+    state, t_vars = create_train_state(cfg2, jax.random.key(1), batch)
+    state, metrics = jax.jit(make_train_step(cfg2))(state, t_vars, batch)
+    assert np.isfinite(float(metrics["task_loss"]))
 
 
 def test_mobilenet_remat_matches_plain():

@@ -192,6 +192,25 @@ def test_composed_fusion_presets():
         assert fused.shape == (4, T, D)
 
 
+def test_composer_rejects_shifted_multi_branch():
+    """shift is only defined for pair/cross/batch branches; a shifted
+    multi/self spec must fail loudly instead of silently fusing unshifted
+    (no reference fusion class shifts a multi or self stream)."""
+    import pytest
+    from litemkd_tpu.models.teacher import ComposedFusionTeacher
+    from litemkd_tpu.models.teacher.composer import Branch
+    rng = np.random.default_rng(9)
+    mods = ("rgb", "depth", "flow")
+    feats = {m: jnp.asarray(rng.normal(size=(WAY * SHOT, T, D))
+                            .astype(np.float32)) for m in mods}
+    labels = jnp.asarray(np.repeat(np.arange(WAY), SHOT).astype(np.int32))
+    m = ComposedFusionTeacher(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                              out_dim=24, depth=1, modalities=mods,
+                              branches=(Branch("multi", (0, 1, 2), shift=1),))
+    with pytest.raises(ValueError, match="pair/cross/batch"):
+        m.init(jax.random.key(0), feats, labels, feats, False)
+
+
 def test_faithful_composer_presets():
     """The *_faithful presets reproduce the released cat-order quirks: the
     TwoTRXShuffleTime query side and the LR/Four/Five third-modality shifts
