@@ -1,15 +1,20 @@
 """CTX head: temporal self-attention encoding + frame-level cross transformer.
 
-Rebuild of the reference's ``CTX`` pipeline pieces (``teacher/code/model.py``):
-``TimeTransformer`` (l.2819-2839: trainable PE + 2-layer nhead-8 encoder) and
-``CrossTransformer`` (l.2840-2936: a TCT over single frames instead of frame
-pairs — here simply the shared TCT with ``set_size=1``).
+The student registry's ``CTX`` is shipped by the release ONLY as bytecode
+(``model/classifiers/__pycache__/CTX.cpython-37.pyc`` — no ``.py``; read with
+``tools/pyc_reader.py``). That compiled classifier is the parity target here:
 
-Documented divergence: the released TimeTransformer omits
-``batch_first=True`` (l.2828), so torch attends across the N videos at each
-frame position instead of across time — batch-composition-dependent and
-clearly unintended (the core fusions pass batch_first=True). We attend over
-time.
+- ``Time_Transformer`` (pyc lines 69-92): trainable PE → transpose(0,1) →
+  2-layer nhead-8 TransformerEncoder → ``dropout(f1(·))`` with an in→in
+  Linear. The transpose means it attends over TIME — which settles the
+  ambiguity in the teacher-side copy (``teacher/code/model.py:2819-2839``):
+  that one omits the transpose (attending across videos, batch-composition-
+  dependent) and never calls its ``f1``; the compiled classifier shows the
+  intended behavior, and we follow it.
+- ``TemporalCrossTransformer_gai`` (pyc lines 95-178): the TCT over single
+  frames instead of frame pairs — here the shared TCT with ``set_size=1``.
+- ``CTX.forward`` (pyc line 202): time-encode both sides, then the
+  frame-level TCT → {'logits'}.
 """
 from __future__ import annotations
 
@@ -21,6 +26,8 @@ from ..teacher.fusion import Encoder
 
 
 class TimeTransformer(nn.Module):
+    """PE → time-axis encoder → f1 → dropout (compiled CTX.py:69-92)."""
+
     d: int = 2048
     depth: int = 2
     nhead: int = 8
@@ -30,8 +37,11 @@ class TimeTransformer(nn.Module):
     def __call__(self, x, *, train: bool):
         t = x.shape[-2]
         x = TrainablePE(t, self.d, self.dropout, name="pe")(x, train=train)
-        return Encoder(self.d, self.nhead, self.depth, self.dropout,
-                       name="encoder")(x, train)
+        x = Encoder(self.d, self.nhead, self.depth, self.dropout,
+                    name="encoder")(x, train)
+        x = nn.Dense(self.d, name="f1")(x)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(x)
 
 
 class CTXClassifier(nn.Module):
@@ -40,7 +50,7 @@ class CTXClassifier(nn.Module):
     seq_len: int
     in_dim: int = 2048
     out_dim: int = 1152
-    set_size: int = 1          # frame-level attention (CrossTransformer)
+    set_size: int = 1          # frame-level attention (TCT_gai)
     dropout: float = 0.1
 
     @nn.compact

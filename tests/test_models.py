@@ -101,6 +101,32 @@ def test_classifier_registry_builds(tiny_cfg):
         make_classifier(name, cfg)
 
 
+def test_ctx_classifier_matches_compiled_reference_structure(tiny_cfg):
+    """The student registry's CTX head is shipped only as bytecode
+    (model/classifiers/__pycache__/CTX.cpython-37.pyc, read via
+    tools/pyc_reader.py). Lock the recovered structure: a shared
+    TimeTransformer (PE → time-axis encoder → f1 Dense → dropout) feeding a
+    frame-level (set_size=1) TCT, → (Q, way) logits."""
+    cfg = tiny_cfg
+    ep, d = cfg.episode, cfg.model.trans_linear_in_dim
+    rng = np.random.default_rng(7)
+    ctx = jnp.asarray(rng.normal(size=(ep.n_support, ep.seq_len, d))
+                      .astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(ep.n_queries(True), ep.seq_len, d))
+                      .astype(np.float32))
+    labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot)
+                         .astype(np.int32))
+    head = make_classifier("CTX", cfg)
+    assert head.set_size == 1  # TemporalCrossTransformer_gai: single frames
+    variables = head.init(jax.random.key(0), ctx, labels, tgt, False)
+    # compiled Time_Transformer.forward ends dropout(f1(encoder(...)))
+    tt = variables["params"]["time_trans"]
+    assert tt["f1"]["kernel"].shape == (d, d)
+    logits = head.apply(variables, ctx, labels, tgt, False)
+    assert logits.shape == (ep.n_queries(True), ep.way)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_use_pallas_reaches_multiset_heads(tiny_cfg):
     """cfg.model.use_pallas must reach TRX_multi/TRM heads too (it used to be
     forwarded only to TRX subclasses, so the flag was a silent no-op there)."""
