@@ -22,6 +22,7 @@ import flax.linen as nn
 
 from ...ops.positional import TrainablePE
 from ...ops.tct import TemporalCrossTransformer
+from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 from ..teacher.fusion import Encoder
 
 
@@ -39,7 +40,9 @@ class TimeTransformer(nn.Module):
         x = TrainablePE(t, self.d, self.dropout, name="pe")(x, train=train)
         x = Encoder(self.d, self.nhead, self.depth, self.dropout,
                     name="encoder")(x, train)
-        x = nn.Dense(self.d, name="f1")(x)
+        x = nn.Dense(self.d, kernel_init=torch_linear_kernel_init(),
+                     bias_init=torch_linear_bias_init(self.d),
+                     name="f1")(x)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop")(x)
 
@@ -52,6 +55,7 @@ class CTXClassifier(nn.Module):
     out_dim: int = 1152
     set_size: int = 1          # frame-level attention (TCT_gai)
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, context, context_labels, target, train: bool):
@@ -63,4 +67,5 @@ class CTXClassifier(nn.Module):
             way=self.way, shot=self.shot, seq_len=self.seq_len,
             in_dim=self.in_dim, out_dim=self.out_dim,
             set_size=self.set_size, dropout=self.dropout,
+            use_pallas=self.use_pallas,
             name="transformers")(ctx, context_labels, tgt, train=train)

@@ -23,12 +23,14 @@ class STRMClassifier(nn.Module):
     out_dim: int = 1152
     set_size: int = 2
     dropout: float = 0.1
+    use_pallas: bool = False
 
     def _tct(self):
         return TemporalCrossTransformer(
             way=self.way, shot=self.shot, seq_len=self.seq_len,
             in_dim=self.in_dim, out_dim=self.out_dim, set_size=self.set_size,
-            dropout=self.dropout, name="transformers")
+            dropout=self.dropout, use_pallas=self.use_pallas,
+            name="transformers")
 
     def _distance(self):
         return STRMDistance(way=self.way, shot=self.shot, seq_len=self.seq_len,

@@ -143,7 +143,7 @@ def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
                   out_dim=cfg.model.trans_linear_out_dim,
                   temp_set=cfg.model.temp_set,
                   dropout=cfg.model.trans_dropout)
-    if issubclass(cls, (TRX, TRXMulti)):
+    if issubclass(cls, (TRX, TRXMulti, STRMClassifier, CTXClassifier)):
         kw.update(use_pallas=cfg.model.use_pallas)
     return kw
 

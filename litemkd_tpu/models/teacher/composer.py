@@ -272,6 +272,7 @@ class ComposedFusionTeacher(nn.Module):
     head: str = "trx"            # "trx" | "otam" | "ctx" (frame-level TCT)
     combine: str = "sum"         # "sum" | "cross"
     post: Optional[str] = None   # None | "mlp"
+    use_pallas: bool = False
     # dump-path overrides (PRESET_EXTRACT): same modules, different shifts
     extract_branches: Optional[Tuple[BranchSpec, ...]] = None
 
@@ -342,7 +343,8 @@ class ComposedFusionTeacher(nn.Module):
             # frames (CrossTransformer) instead of frame tuples
             self.classifier = TrxBranch(
                 self.way, self.shot, self.seq_len, self.in_dim, self.out_dim,
-                (1,) if self.head == "ctx" else self.temp_set, self.dropout)
+                (1,) if self.head == "ctx" else self.temp_set, self.dropout,
+                use_pallas=self.use_pallas)
         elif self.head != "otam":
             raise ValueError(f"unknown head {self.head!r}; "
                              "choose trx | otam | ctx")
@@ -358,9 +360,11 @@ class ComposedFusionTeacher(nn.Module):
             b = _as_branch(spec)
             if not b.sides[side]:
                 continue
-            if b.kind in ("multi", "self") and b.shift != 0:
+            if (b.kind in ("multi", "self")
+                    and any(s != 0 for _, s in _normalize_shift(b.shift))):
                 # no reference fusion class shifts a multi/self stream; a
                 # shifted spec here would otherwise be silently unshifted
+                # (zero-amount specs are no-ops per _apply_side_shift)
                 raise ValueError(
                     f"shift is only defined for pair/cross/batch branches, "
                     f"got {b.kind!r} with shift={b.shift!r}")

@@ -278,12 +278,14 @@ class TrxBranch(nn.Module):
     out_dim: int = 1152
     temp_set: Tuple[int, ...] = (2,)
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, context, context_labels, target, train: bool):
         return MultiSetTCT(way=self.way, shot=self.shot, seq_len=self.seq_len,
                            in_dim=self.in_dim, out_dim=self.out_dim,
                            temp_set=self.temp_set, dropout=self.dropout,
+                           use_pallas=self.use_pallas,
                            name="transformers")(context, context_labels, target,
                                                 train=train)
 
@@ -316,6 +318,7 @@ class MFMTeacher(nn.Module):
     dropout: float = 0.1
     third_shift: str = "reference"    # 'reference' (identity) | 'right'
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         n = len(self.modalities)
@@ -331,7 +334,8 @@ class MFMTeacher(nn.Module):
         self.fusion = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
                                       self.dropout, self.compute_dtype)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
-                                self.out_dim, self.temp_set, self.dropout)
+                                self.out_dim, self.temp_set, self.dropout,
+                                use_pallas=self.use_pallas)
 
     def _shift3(self, x):
         if self.third_shift == "right":
@@ -414,6 +418,7 @@ class DGAFusionTeacher(nn.Module):
     modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
     dropout: float = 0.1
     with_enrich: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         self.fusion1 = TwoStreamFusion(self.seq_len, self.in_dim, self.depth,
@@ -423,7 +428,8 @@ class DGAFusionTeacher(nn.Module):
             from ...ops.strm import MLPMixEnrich
             self.mlp1 = MLPMixEnrich(self.in_dim, self.seq_len)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
-                                self.out_dim, self.temp_set, self.dropout)
+                                self.out_dim, self.temp_set, self.dropout,
+                                use_pallas=self.use_pallas)
 
     def fuse(self, feats, train: bool):
         m1, m2, m3 = self.modalities
@@ -472,6 +478,7 @@ class TwoRoadFusionTeacher(nn.Module):
     depth: int = 4                       # reference hardcodes num_layers=4
     modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
     dropout: float = 0.1
+    use_pallas: bool = False
 
     def setup(self):
         from ...ops.strm import BottleneckMLP2
@@ -489,7 +496,8 @@ class TwoRoadFusionTeacher(nn.Module):
         self.mlp1 = BottleneckMLP2(half)
         self.mlp2 = BottleneckMLP2(half)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
-                                self.out_dim, self.temp_set, self.dropout)
+                                self.out_dim, self.temp_set, self.dropout,
+                                use_pallas=self.use_pallas)
 
     def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
         d, half = self.in_dim, self.in_dim // 2
@@ -527,6 +535,7 @@ class ScoreFusion(nn.Module):
     modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
     weights: Tuple[float, ...] = (1.0, 1.0, 1.0)
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, context_feats, context_labels, target_feats, train: bool):
@@ -539,6 +548,7 @@ class ScoreFusion(nn.Module):
         for m, w in zip(self.modalities, self.weights):
             logits = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
                                self.out_dim, self.temp_set, self.dropout,
+                               use_pallas=self.use_pallas,
                                name=f"branch_{m}")(
                 context_feats[m], context_labels, target_feats[m], train)
             per_mod[m] = logits

@@ -46,7 +46,8 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
               in_dim=cfg.model.trans_linear_in_dim,
               out_dim=cfg.model.trans_linear_out_dim,
               temp_set=cfg.model.temp_set, modalities=cfg.model.modalities,
-              dropout=cfg.model.trans_dropout)
+              dropout=cfg.model.trans_dropout,
+              use_pallas=cfg.model.use_pallas)
     if kind == "tsf":
         cls = ScoreFusion
         kw["weights"] = (tuple(score_weights) if score_weights is not None

@@ -127,13 +127,18 @@ def test_ctx_classifier_matches_compiled_reference_structure(tiny_cfg):
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_use_pallas_reaches_multiset_heads(tiny_cfg):
-    """cfg.model.use_pallas must reach TRX_multi/TRM heads too (it used to be
-    forwarded only to TRX subclasses, so the flag was a silent no-op there)."""
+def test_use_pallas_reaches_every_tct_head(tiny_cfg):
+    """cfg.model.use_pallas must reach EVERY TCT-bearing head — TRX_multi/TRM,
+    the STRM classifiers, CTX, and the fusion teachers (it used to be
+    forwarded only to TRX subclasses, so the flag was a silent no-op
+    everywhere else)."""
     cfg = tiny_cfg.replace(model=tiny_cfg.model.__class__(**{
         **tiny_cfg.model.__dict__, "use_pallas": True, "temp_set": (2, 3)}))
-    assert make_classifier("TRX_multi", cfg).use_pallas
-    assert make_classifier("TRX", cfg).use_pallas
+    for name in ("TRX_multi", "TRX", "strmclassifiers", "strm_1fc_sup", "CTX"):
+        assert make_classifier(name, cfg).use_pallas, name
+    from litemkd_tpu.train.teacher_steps import make_mfm
+    for kind in ("mfm", "tsf", "dga", "two_road", "TwoTRXShuffleTime"):
+        assert make_mfm(cfg, kind=kind).use_pallas, kind
 
 
 def test_student_forward_2fcsup_2(tiny_cfg):
