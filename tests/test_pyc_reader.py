@@ -98,6 +98,12 @@ def test_ctx_time_transformer_attends_over_time_with_f1_head():
     # PE → transpose → encoder ordering (not encoder → transpose)
     assert listing.index("positionEncoding") < listing.index("transpose") \
         < listing.index("transformer_encoder")
+    # TCT_gai ≡ the shared TCT at set_size=1: norm_k applied to both key
+    # streams, norm_v never applied (the shipped-TCT quirk ops/tct.py keeps),
+    # and the -||diff||²/seq_len distance
+    gai = codes[("forward", 112)]
+    assert "norm_k" in gai.names and "norm_v" not in gai.names
+    assert {"norm", "div", "seq_len"} <= set(gai.names)
 
 
 def test_extract_backbone_is_resnet18_patch_head():
