@@ -262,6 +262,35 @@ def import_stream_fusion(sd: Dict[str, np.ndarray], prefix: str,
     return p
 
 
+def import_ctx_classifier(sd: Dict[str, np.ndarray],
+                          prefix: str = "classifier") -> dict:
+    """Compiled-only CTX student head (``classifiers/CTX.pyc``:
+    ``Time_Transformer`` + ``TemporalCrossTransformer_gai``; no source in the
+    release — see tools/pyc_reader.py) → ``CTXClassifier`` params.
+
+    Layout (attribute names from the bytecode): ``<prefix>.time_trans.
+    {positionEncoding, transformer_encoder.layers.N, f1}`` and
+    ``<prefix>.transformers.{k_linear, v_linear, norm_k[, norm_v unused]}``.
+    Encoder depth is inferred from the layer keys (the compiled head fixes
+    num_layers=2)."""
+    tt = f"{prefix}.time_trans"
+    d = sd[f"{tt}.f1.weight"].shape[0]
+    depth = 0
+    while f"{tt}.transformer_encoder.layers.{depth}.linear1.weight" in sd:
+        depth += 1
+    if depth == 0:
+        raise KeyError(f"no Time_Transformer encoder layers under {tt!r}")
+    time_trans = {
+        "pe": _trainable_pe_params(sd, f"{tt}.positionEncoding"),
+        "encoder": {f"layer{i}": _encoder_layer_params(
+            sd, f"{tt}.transformer_encoder.layers.{i}", d)
+            for i in range(depth)},
+        "f1": _lin(sd, f"{tt}.f1"),
+    }
+    return {"time_trans": time_trans,
+            "transformers": import_tct(sd, f"{prefix}.transformers")}
+
+
 def load_mfm_checkpoint(path: str, cfg: Config) -> dict:
     """Reference ``ThreeTRXShiftLoopTime`` checkpoint (model.py:1588-1663:
     three_fusion = ThreeTransforTemproal l.1300-1331, fusion =
@@ -490,8 +519,12 @@ def load_student_checkpoint(path: str, cfg: Config) -> dict:
                              f"backbone '{cfg.model.backbone}' expects "
                              f"resnet{depth}")
         bb = import_backbone_2fc(backbone_sd, depth)
-    prefix = _find_tct_prefix(sd)
     params = {"backbone": bb["params"]}
-    if prefix is not None:
-        params["classifier"] = {"transformers": import_tct(sd, prefix)}
+    if "classifier.time_trans.f1.weight" in sd:
+        # CTX head: TCT alone would silently leave time_trans at random init
+        params["classifier"] = import_ctx_classifier(sd)
+    else:
+        prefix = _find_tct_prefix(sd)
+        if prefix is not None:
+            params["classifier"] = {"transformers": import_tct(sd, prefix)}
     return {"params": params, "batch_stats": {"backbone": bb["batch_stats"]}}

@@ -469,6 +469,96 @@ def test_stream_fusion_import_matches_torch():
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+class _TorchCompiledCTX(torch.nn.Module):
+    """Transcription of the compiled-only classifiers/CTX.pyc head (read via
+    tools/pyc_reader.py): Time_Transformer = trainable PE → transpose →
+    2-layer nhead-8 TransformerEncoder (NOT batch_first — after the
+    transpose it attends over time) → f1 Linear (+ eval-no-op dropouts),
+    applied to both sides, then TemporalCrossTransformer_gai = the shipped
+    TCT (TRX.py:75-150) over single-frame tuples: sinusoidal PE, norm_k on
+    both key streams, norm_v defined but UNUSED, -||diff||²/seq_len."""
+
+    def __init__(self, t, d, dk, way):
+        super().__init__()
+        import math
+        self.way, self.dk, self.t = way, dk, t
+        self.positionEncoding = _TorchTrainablePE(t, d)
+        layer = torch.nn.TransformerEncoderLayer(d, 8)
+        self.transformer_encoder = torch.nn.TransformerEncoder(layer, 2)
+        self.f1 = torch.nn.Linear(d, d)
+        self.k_linear = torch.nn.Linear(d, dk)
+        self.v_linear = torch.nn.Linear(d, dk)
+        self.norm_k = torch.nn.LayerNorm(dk)
+        self.norm_v = torch.nn.LayerNorm(dk)   # the unused-norm_v quirk
+        pe = torch.zeros(t, d)
+        pos = torch.arange(t).unsqueeze(1).float()
+        div = torch.exp(torch.arange(0, d, 2).float()
+                        * -(math.log(1e4) / d))
+        pe[:, 0::2] = torch.sin(pos * div) * 0.1
+        pe[:, 1::2] = torch.cos(pos * div) * 0.1
+        self.register_buffer("sin_pe", pe)
+
+    def _time(self, x):                        # (N,T,D) → (N,T,D)
+        x = self.positionEncoding(x)
+        f = self.transformer_encoder(x.transpose(0, 1))
+        return self.f1(f).transpose(0, 1)      # CTX.forward transposes back
+
+    def forward(self, ctx, labels, tgt):
+        import math
+        s, q = self._time(ctx) + self.sin_pe, self._time(tgt) + self.sin_pe
+        s_k, q_k = self.norm_k(self.k_linear(s)), self.norm_k(self.k_linear(q))
+        s_v, q_v = self.v_linear(s), self.v_linear(q)
+        out = torch.zeros(q.shape[0], self.way)
+        for c in range(self.way):
+            idx = (labels == c).nonzero().reshape(-1)
+            ck, cv = s_k[idx], s_v[idx]                           # (S,T,dk)
+            scores = torch.einsum("qud,svd->qusv", q_k, ck) \
+                / math.sqrt(self.dk)
+            att = torch.softmax(
+                scores.reshape(q.shape[0], self.t, -1), dim=-1)
+            att = att.reshape(q.shape[0], self.t, -1, self.t)
+            proto = torch.einsum("qusv,svd->qud", att, cv)
+            diff = q_v - proto
+            out[:, c] = -(torch.norm(diff, dim=[-2, -1]) ** 2) / self.t
+        return out
+
+
+def test_ctx_import_matches_torch_forward():
+    """import_ctx_classifier: a reference-layout CTX student classifier
+    (classifier.time_trans.* + classifier.transformers.*) loads into
+    CTXClassifier with full forward parity — previously the TCT alone would
+    import, silently leaving time_trans at random init."""
+    from litemkd_tpu.models.classifiers.ctx import CTXClassifier
+    from litemkd_tpu.tools import import_ctx_classifier
+
+    WAY_, SHOT_, T_, D_, DK_ = 3, 2, 4, 32, 16
+    torch.manual_seed(7)
+    tm = _TorchCompiledCTX(T_, D_, DK_, WAY_).eval()
+    sd = {}
+    for k, v in tm.state_dict().items():
+        if k == "sin_pe":
+            continue   # parameterless sinusoidal buffer
+        where = ("time_trans" if k.startswith(
+            ("positionEncoding", "transformer_encoder", "f1"))
+            else "transformers")
+        sd[f"classifier.{where}.{k}"] = v.numpy()
+    params = import_ctx_classifier(sd)
+
+    rng = np.random.default_rng(8)
+    ctx = rng.standard_normal((WAY_ * SHOT_, T_, D_)).astype(np.float32)
+    tgt = rng.standard_normal((4, T_, D_)).astype(np.float32)
+    labels = np.repeat(np.arange(WAY_), SHOT_).astype(np.int32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(ctx), torch.from_numpy(labels).long(),
+                  torch.from_numpy(tgt)).numpy()
+
+    head = CTXClassifier(way=WAY_, shot=SHOT_, seq_len=T_, in_dim=D_,
+                         out_dim=DK_)
+    got = head.apply({"params": params}, jnp.asarray(ctx),
+                     jnp.asarray(labels), jnp.asarray(tgt), False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
 def test_load_mfm_checkpoint_runs_extraction(tmp_path):
     """A reference-layout ThreeTRXShiftLoopTime .pt loads into MFMTeacher and
     fused-feature extraction numerically matches the reference's
