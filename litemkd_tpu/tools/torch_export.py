@@ -176,14 +176,24 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
         sd = export_resnet_trunk(params["backbone"]["trunk"],
                                  stats["backbone"]["trunk"], depth,
                                  prefix="backbone.resnet.", seq_naming=True)
-    for fc in ("fc1", "fc2"):
-        if fc in params["backbone"]:
+    if "fc2" in params["backbone"]:
+        for fc in ("fc1", "fc2"):
             _put_lin(sd, f"backbone.{fc}", params["backbone"][fc])
+    elif "fc1" in params["backbone"]:
+        # the reference's single-fc attribute names: res18_2048
+        # (resnet18_student.py:34) vs fc (meta_baseline.py:38,
+        # moblienetv3.py:106)
+        name = ("res18_2048" if cfg.model.backbone.startswith(
+            ("resnet18_student", "resnet34_student")) else "fc")
+        _put_lin(sd, f"backbone.{name}", params["backbone"]["fc1"])
     if "classifier" in params:
-        for i, tct in enumerate(_tct_sets(params["classifier"],
-                                          cfg.model.temp_set)):
-            sd.update(export_tct(tct, f"classifier.transformers.{i}",
-                                 d_model=cfg.model.trans_linear_in_dim))
+        if "time_trans" in params["classifier"]:
+            sd.update(export_ctx_classifier(params["classifier"], cfg))
+        else:
+            for i, tct in enumerate(_tct_sets(params["classifier"],
+                                              cfg.model.temp_set)):
+                sd.update(export_tct(tct, f"classifier.transformers.{i}",
+                                     d_model=cfg.model.trans_linear_in_dim))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)
@@ -204,6 +214,32 @@ def _put_encoder_layer(sd: Dict[str, np.ndarray], prefix: str, p: dict) -> None:
     _put_lin(sd, f"{prefix}.linear2", p["mlp_out"])
     _put_ln(sd, f"{prefix}.norm1", p["norm1"])
     _put_ln(sd, f"{prefix}.norm2", p["norm2"])
+
+
+def export_ctx_classifier(classifier: dict, cfg: Config) -> Dict[str, np.ndarray]:
+    """CTXClassifier params → the compiled CTX head's key layout
+    (``classifiers/CTX.pyc``: ``time_trans.{positionEncoding,
+    transformer_encoder.layers.N, f1}`` + an UN-indexed ``transformers.*`` —
+    the compiled class assigns its TCT directly, not via ModuleList).
+    Inverse of torch_import.import_ctx_classifier."""
+    sd: Dict[str, np.ndarray] = {}
+    tt = classifier["time_trans"]
+    pe = tt["pe"]
+    sd["classifier.time_trans.positionEncoding.position_embeddings.weight"] \
+        = _np(pe["position_embeddings"])
+    _put_ln(sd, "classifier.time_trans.positionEncoding.LayerNorm",
+            pe["LayerNorm_0"])
+    for name, lay in tt["encoder"].items():
+        idx = name[len("layer"):]
+        _put_encoder_layer(
+            sd, f"classifier.time_trans.transformer_encoder.layers.{idx}", lay)
+    _put_lin(sd, "classifier.time_trans.f1", tt["f1"])
+    # TCT_gai's sinusoidal PE buffer uses max_len=int(1.5*seq_len)
+    # (unlike the shipped TRX's 5000) — the buffer shape must match
+    sd.update(export_tct(classifier["transformers"], "classifier.transformers",
+                         d_model=cfg.model.trans_linear_in_dim,
+                         max_len=int(1.5 * cfg.episode.seq_len)))
+    return sd
 
 
 def export_stream_fusion(p: dict, prefix: str) -> Dict[str, np.ndarray]:

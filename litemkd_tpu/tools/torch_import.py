@@ -178,7 +178,8 @@ def import_backbone_mobilenet(sd: Dict[str, np.ndarray],
     feats = {"features." + k[len("mobile.0."):]: v for k, v in sd.items()
              if k.startswith("mobile.0.")}
     trunk_p, trunk_s = import_mobilenet_trunk(feats, variant)
-    params = {"trunk": trunk_p, "fc1": _lin(sd, "fc1")}
+    params = {"trunk": trunk_p, "fc1": _lin(sd, "fc1" if "fc1.weight" in sd
+                                            else "fc")}
     if "fc2.weight" in sd:
         params["fc2"] = _lin(sd, "fc2")
     return {"params": params, "batch_stats": {"trunk": trunk_s}}
@@ -335,9 +336,20 @@ def load_mfm_checkpoint(path: str, cfg: Config) -> dict:
 
 
 def import_backbone_2fc(sd: Dict[str, np.ndarray], depth: int = 18) -> dict:
-    """Reference resnet*_2fc student backbone → ResNetBackbone variables."""
+    """Reference resnet student backbone → ResNetBackbone variables.
+
+    Handles the 2fc layout (fc1/fc2, resnet18_2fc.py:34-35) AND the
+    reference's single-fc attribute names — ``res18_2048``
+    (resnet18_student.py:34) and ``fc`` (meta_baseline.py:38) — which land
+    on our ``fc1``. num_fc=0 trunks (resnet50_student) have no fc keys."""
     trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")
-    params = {"trunk": trunk_p, "fc1": _lin(sd, "fc1"), "fc2": _lin(sd, "fc2")}
+    params = {"trunk": trunk_p}
+    for theirs in ("fc1", "res18_2048", "fc"):
+        if f"{theirs}.weight" in sd:
+            params["fc1"] = _lin(sd, theirs)
+            break
+    if "fc2.weight" in sd:
+        params["fc2"] = _lin(sd, "fc2")
     return {"params": params, "batch_stats": {"trunk": trunk_s}}
 
 

@@ -174,10 +174,15 @@ def test_full_student_pipeline_matches_torch():
         np.argmax(t_kl + t_ce, -1))
 
 
-@pytest.mark.parametrize("backbone", ["resnet18_2fc", "mobilenetv3_large_2fc"])
-def test_torch_export_roundtrip(tmp_path, backbone):
+@pytest.mark.parametrize("backbone,classifier", [
+    ("resnet18_2fc", "TRX_2fcsup"),
+    ("mobilenetv3_large_2fc", "TRX_2fcsup"),
+    ("resnet18_student", "CTX"),   # compiled-head layout incl. time_trans
+])
+def test_torch_export_roundtrip(tmp_path, backbone, classifier):
     """export_student_checkpoint → load_student_checkpoint returns the same
-    trunk/fc/TCT weights (the jax→torch→jax interop loop)."""
+    trunk/fc/classifier weights (the jax→torch→jax interop loop; the CTX
+    case locks the full compiled-head layout, time_trans included)."""
     import jax
     import jax.numpy as jnp
     from litemkd_tpu import preset
@@ -188,7 +193,7 @@ def test_torch_export_roundtrip(tmp_path, backbone):
 
     base = preset("tiny")
     cfg = base.replace(model=base.model.__class__(
-        backbone=backbone, classifier="TRX_2fcsup",
+        backbone=backbone, classifier=classifier,
         trans_linear_in_dim=32, trans_linear_out_dim=24))
     src = SyntheticEpisodeSource(cfg, n_classes=6, seed=0,
                                  with_teacher_feats=False)
