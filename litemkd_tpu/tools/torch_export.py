@@ -128,10 +128,16 @@ def export_mobilenet_trunk(params: dict, stats: dict, variant: str = "large",
 
 
 def export_tct(tct: dict, prefix: str, d_model: int = 2048,
-               max_len: int = 5000) -> Dict[str, np.ndarray]:
+               max_len: int = 12) -> Dict[str, np.ndarray]:
     """TCT params → reference TemporalCrossTransformer keys, including the
     sinusoidal ``pe.pe`` buffer and identity ``norm_v`` (unused in the
-    reference forward but present in its state dict)."""
+    reference forward but present in its state dict).
+
+    ``max_len`` must be ``int(1.5 * seq_len)`` — every reference TCT
+    builds its buffer at that size (TRX.py:57, model.py:233) and every
+    reference loader is a strict ``load_state_dict``
+    (model_select.py:153, multi_fusion.py:895, run.py:421), so any other
+    shape fails to load there. The default matches seq_len=8."""
     sd: Dict[str, np.ndarray] = {}
     _put_lin(sd, f"{prefix}.k_linear", tct["k_linear"])
     _put_lin(sd, f"{prefix}.v_linear", tct["v_linear"])
@@ -193,7 +199,8 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
             for i, tct in enumerate(_tct_sets(params["classifier"],
                                               cfg.model.temp_set)):
                 sd.update(export_tct(tct, f"classifier.transformers.{i}",
-                                     d_model=cfg.model.trans_linear_in_dim))
+                                     d_model=cfg.model.trans_linear_in_dim,
+                                     max_len=int(1.5 * cfg.episode.seq_len)))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)
@@ -282,7 +289,8 @@ def export_mfm_checkpoint(variables: dict, cfg: Config, path: str,
                                         for s in cfg.model.temp_set]
     for i, tct in enumerate(tcts):
         sd.update(export_tct(tct, f"bracnch.transformers.{i}",
-                             d_model=cfg.model.trans_linear_in_dim))
+                             d_model=cfg.model.trans_linear_in_dim,
+                             max_len=int(1.5 * cfg.episode.seq_len)))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)
@@ -298,7 +306,8 @@ def export_teacher_checkpoint(teacher_vars: dict, cfg: Config, path: str,
     for i, tct in enumerate(_tct_sets(teacher_vars["params"]["classifier"],
                                       cfg.model.temp_set)):
         sd.update(export_tct(tct, f"bracnch.transformers.{i}",
-                             d_model=cfg.model.trans_linear_in_dim))
+                             d_model=cfg.model.trans_linear_in_dim,
+                             max_len=int(1.5 * cfg.episode.seq_len)))
     torch.save({"iteration": iteration,
                 "model_state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                path)

@@ -201,7 +201,14 @@ def test_torch_export_roundtrip(tmp_path, backbone, classifier):
     state, _ = create_train_state(cfg, jax.random.key(0), batch)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     path = str(tmp_path / "student.pt")
-    export_student_checkpoint(variables, cfg, path, iteration=7)
+    sd = export_student_checkpoint(variables, cfg, path, iteration=7)
+    # every reference loader is a strict load_state_dict and every reference
+    # TCT registers its pe buffer at int(1.5*seq_len) (TRX.py:57) — any other
+    # exported shape fails to load in the reference codebase
+    pe_keys = [k for k in sd if k.endswith("pe.pe")]
+    assert pe_keys
+    for k in pe_keys:
+        assert sd[k].shape[1] == int(1.5 * cfg.episode.seq_len), k
 
     restored = load_student_checkpoint(path, cfg)
     want_flat = jax.tree_util.tree_leaves_with_path(variables)
