@@ -196,9 +196,16 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
         if "time_trans" in params["classifier"]:
             sd.update(export_ctx_classifier(params["classifier"], cfg))
         else:
-            for i, tct in enumerate(_tct_sets(params["classifier"],
-                                              cfg.model.temp_set)):
-                sd.update(export_tct(tct, f"classifier.transformers.{i}",
+            # every reference STUDENT classifier assigns its TCT directly
+            # (classifier.transformers.*, e.g. TRX.py:178, TRX_2fcsup.py:202)
+            # — ModuleList indexing (.0) exists only on the teacher's bracnch
+            # (model.py:1094). load_student is strict, so an indexed key set
+            # fails there. Multi-set heads keep indices (no reference analog).
+            sets = _tct_sets(params["classifier"], cfg.model.temp_set)
+            for i, tct in enumerate(sets):
+                prefix = ("classifier.transformers" if len(sets) == 1
+                          else f"classifier.transformers.{i}")
+                sd.update(export_tct(tct, prefix,
                                      d_model=cfg.model.trans_linear_in_dim,
                                      max_len=int(1.5 * cfg.episode.seq_len)))
     torch.save({"iteration": iteration,

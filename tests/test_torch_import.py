@@ -209,6 +209,10 @@ def test_torch_export_roundtrip(tmp_path, backbone, classifier):
     assert pe_keys
     for k in pe_keys:
         assert sd[k].shape[1] == int(1.5 * cfg.episode.seq_len), k
+    if classifier == "TRX_2fcsup":
+        # student classifiers hold their TCT directly (TRX_2fcsup.py:202) —
+        # an indexed .0 key set fails the reference's strict load_student
+        assert "classifier.transformers.k_linear.weight" in sd
 
     restored = load_student_checkpoint(path, cfg)
     want_flat = jax.tree_util.tree_leaves_with_path(variables)
@@ -390,7 +394,9 @@ def test_mobilenet_student_checkpoint_import(tmp_path):
                       ("norm_k", torch.nn.LayerNorm(32)),
                       ("norm_v", torch.nn.LayerNorm(32))):
         for p, v in lin.state_dict().items():
-            sd[f"classifier.transformers.0.{name}.{p}"] = v
+            # student classifiers assign their TCT directly — no ModuleList
+            # index in real reference checkpoints (TRX_2fcsup.py:202)
+            sd[f"classifier.transformers.{name}.{p}"] = v
     path = tmp_path / "student.pt"
     torch.save({"model_state_dict": sd}, path)
 
