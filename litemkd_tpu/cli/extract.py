@@ -83,7 +83,15 @@ def main(argv=None):
         sample = np.zeros((1, cfg.episode.seq_len, cfg.episode.img_size,
                            cfg.episode.img_size, 3), np.uint8)
         variables = net.init(jax.random.key(0), jnp.asarray(sample), train=False)
-        if args.test_model_path:
+        if args.test_model_path and os.path.isfile(args.test_model_path):
+            # a torch .pt: the reference's own pretrain (convnet.*) or expert
+            # (resnet.*) artifact, or a raw torchvision zoo file — the dump
+            # only needs the trunk (model.py:679-703)
+            from ..tools.torch_import import load_pretrain_init
+            from ..utils.tree import deep_merge_variables
+            warm = load_pretrain_init(args.test_model_path, cfg, args.arch)
+            variables = deep_merge_variables(variables, warm)
+        elif args.test_model_path:
             from ..train.checkpoint import CheckpointManager
             import orbax.checkpoint as ocp
             mngr = CheckpointManager(args.test_model_path)
@@ -92,7 +100,7 @@ def main(argv=None):
             variables = {"params": restored["params"],
                          "batch_stats": restored["batch_stats"]}
         fn = jax.jit(lambda clips: net.apply(variables, clips, train=False,
-                                             method=net.features))
+                                             method=net.expert_features))
         n = extract_expert_features(cfg, vs, fn, args.out, vs.class_names,
                                     batch_size=args.batch_size)
         print(f"extracted {n} videos → {args.out}")

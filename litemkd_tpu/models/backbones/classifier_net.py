@@ -111,11 +111,23 @@ class ActionRecognitionNet(nn.Module):
 
     def features(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         """(B, T, H, W, 3) → (B, T, D) global-avg-pooled trunk features —
-        the per-video expert features dumped to feature.npy trees."""
+        the classification path's pooling (``model.py:3357``:
+        ``convnet(x).squeeze()`` with torchvision's avgpool retained)."""
         x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = self.trunk(x, train=train)
         x = x.astype(jnp.float32).mean(axis=(1, 2))    # global average pool
         return x.reshape(b, t, -1)
+
+    def expert_features(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        """(B, T, H, W, 3) → (B, T, D) expert-dump features: AdaptiveMaxPool2d
+        (4,4) → mean over the 16 patches — the math ``extract_feature.py``
+        actually dumps (``model.py:679-703``), which differs from the GAP
+        classification features above."""
+        from .resnet import adaptive_max_pool_2d
+        x, b, t = flatten_clip_frames(clips, self.compute_dtype)
+        x = self.trunk(x, train=train)
+        x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)
+        return x.reshape(b * t, 16, -1).mean(axis=1).reshape(b, t, -1)
 
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         """(B, T, H, W, 3) → (B, num_classes) logits."""

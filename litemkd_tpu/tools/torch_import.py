@@ -423,6 +423,14 @@ def load_pretrain_init(path: str, cfg: Config, arch: str) -> dict:
                          f"only (--arch {arch})")
     elif any(k.startswith("trunk.") for k in sd):    # our exported layout
         prefix = "trunk."
+    elif any(k.startswith("convnet.") for k in sd):
+        # the reference's own pretrain artifact: Action_Recognition_Resnet50
+        # saves convnet.N.* Sequential keys (model.py:3351, pretrain.py:173)
+        prefix = "convnet."
+    elif any(k.startswith("resnet.") for k in sd):
+        # a released expert checkpoint (run.py artifact, model.py:558):
+        # the trunk lives under resnet.N.* — warm-start from its trunk
+        prefix = "resnet."
     else:
         raise ValueError(f"{path} is not a resnet zoo / pretrain checkpoint")
     have = _resnet_sd_depth(sd, prefix)

@@ -58,6 +58,39 @@ def test_resnet_trunk_import_matches_torch_forward():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
 
+def test_expert_features_match_torch_extract_feature():
+    """ActionRecognitionNet.expert_features ≡ the reference expert dump
+    (model.py:679-703): trunk → AdaptiveMaxPool2d((4,4)) → mean over the 16
+    patches. The dump math is NOT the GAP pooling of the classification
+    path (model.py:3357) — the trees extract_feature.py writes use this."""
+    from litemkd_tpu.models.backbones.classifier_net import ActionRecognitionNet
+
+    torch.manual_seed(9)
+    tm = ResNet18Trunk().eval()
+    sd = _baseline_to_torchvision_names(tm)
+    params, stats = import_resnet_trunk(sd, depth=18)
+
+    B, T = 2, 3
+    x = np.random.default_rng(1).random((B, T, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.tensor(x.reshape(-1, 64, 64, 3)).permute(0, 3, 1, 2)
+        f = tm(xt)                                          # (BT, 512, h, w)
+        f = torch.nn.AdaptiveMaxPool2d((4, 4))(f)
+        want = (f.reshape(f.shape[0], 512, 16).permute(0, 2, 1)
+                .mean(dim=1).reshape(B, T, 512).numpy())
+
+    net = ActionRecognitionNet(num_classes=2, depth=18,
+                               compute_dtype=jnp.float32)
+    variables = net.init(jax.random.key(0),
+                         jnp.zeros((1, 1, 64, 64, 3), jnp.float32),
+                         train=False)
+    variables = {"params": {**variables["params"], "trunk": params},
+                 "batch_stats": {"trunk": stats}}
+    got = net.apply(variables, jnp.asarray(x), train=False,
+                    method=net.expert_features)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 def test_tct_import_matches_torch_forward():
     torch.manual_seed(1)
     tm = TorchTCT().eval()
@@ -1012,6 +1045,32 @@ def test_load_pretrain_init_deit_and_resnet(tmp_path):
         load_pretrain_init(str(p2), cfg, "resnet34")
     with pytest.raises(ValueError, match="resnet18"):
         load_pretrain_init(str(p2), cfg, "resnet50")
+
+    # the reference's OWN artifacts use Sequential indices under a prefix —
+    # pretrain saves convnet.N.* (model.py:3351, pretrain.py:173), experts
+    # save resnet.N.* (model.py:558); both warm-start the trunk and
+    # deep-merge over the expert-extraction net (cli.extract -m foo.pt)
+    from litemkd_tpu.models.backbones.classifier_net import ActionRecognitionNet
+    from litemkd_tpu.utils.tree import deep_merge_variables
+    attr_to_seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+                   "layer3": "6", "layer4": "7"}
+    for prefix in ("convnet", "resnet"):
+        seq = {}
+        for k, v in tv.items():
+            root = k.split(".")[0]
+            seq[f"{prefix}.{attr_to_seq[root]}{k[len(root):]}"] = v
+        p3 = tmp_path / f"{prefix}_artifact.pt"
+        torch.save({"model_state_dict": seq}, p3)
+        init3 = load_pretrain_init(str(p3), cfg, "resnet18")
+        np.testing.assert_allclose(
+            np.asarray(init3["params"]["trunk"]["conv1"]["kernel"]),
+            np.transpose(tv["conv1.weight"].numpy(), (2, 3, 1, 0)), rtol=1e-6)
+        net = ActionRecognitionNet(num_classes=2, depth=18,
+                                   compute_dtype=jnp.float32)
+        base = net.init(jax.random.key(0),
+                        jnp.zeros((1, 1, 32, 32, 3), jnp.float32), train=False)
+        merged = deep_merge_variables(base, init3)
+        assert "fc" in merged["params"]   # head keeps its fresh init
 
 
 def test_multiset_tct_export_order_and_resnet34(tmp_path):
