@@ -46,6 +46,10 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "resnet34_student": partial(ResNetBackbone, depth=34, num_fc=1),
     "resnet34_2fc": partial(ResNetBackbone, depth=34, num_fc=2),
     "resnet50_student": partial(ResNetBackbone, depth=50, num_fc=0),
+    # run.py expert trunks at --method resnet18/34 (model.py:551-556):
+    # adap-max patch-mean features at the trunk width, no fc
+    "resnet18_expert": partial(ResNetBackbone, depth=18, num_fc=0),
+    "resnet34_expert": partial(ResNetBackbone, depth=34, num_fc=0),
     "resnet50_gap": partial(ResNetBackbone, depth=50, num_fc=0, pool="gap"),
     "resnet18_gap": partial(ResNetBackbone, depth=18, num_fc=0, pool="gap"),
     "resnet50_2fc": partial(ResNetBackbone, depth=50, num_fc=2),

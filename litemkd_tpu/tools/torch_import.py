@@ -512,6 +512,37 @@ def load_torchvision_trunk(path: str, cfg: Config) -> dict:
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
 
 
+def _load_expert_checkpoint(sd: Dict[str, np.ndarray], cfg: Config,
+                            path: str) -> dict:
+    """A run.py expert artifact (the raw model's state dict, no Student
+    wrapper — ``model.py:558``: ``resnet.N.*`` trunk + ``transformers.{i}``
+    ModuleList, plus attn_pat/fr_enrich params the released forward never
+    uses) → Student variables for our expert presets (resnet trunk backbone,
+    num_fc=0, + TRX/TRX_multi head). ModuleList entries land on ``tct_{s}``
+    in ``cfg.model.temp_set`` order (reference builds one per entry,
+    model.py:1106-1107); a single entry maps to the flat TCT."""
+    depth = _resnet_sd_depth(normalize_resnet_keys(sd, "resnet."))
+    trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")
+    n_sets = 0
+    while f"transformers.{n_sets}.k_linear.weight" in sd:
+        n_sets += 1
+    params: dict = {"backbone": {"trunk": trunk_p}}
+    if n_sets == 1:
+        params["classifier"] = {"transformers":
+                                import_tct(sd, "transformers.0")}
+    elif n_sets > 1:
+        if n_sets != len(cfg.model.temp_set):
+            raise ValueError(
+                f"{path} holds {n_sets} TCT sets but temp_set="
+                f"{cfg.model.temp_set} — pass --temp_set matching the "
+                "trained expert")
+        params["classifier"] = {"transformers": {
+            f"tct_{s}": import_tct(sd, f"transformers.{i}")
+            for i, s in enumerate(cfg.model.temp_set)}}
+    return {"params": params,
+            "batch_stats": {"backbone": {"trunk": trunk_s}}}
+
+
 def load_student_checkpoint(path: str, cfg: Config) -> dict:
     """Full reference student checkpoint (Student = backbone + classifier) →
     BatchedStudent variables. Key prefixes per model_select.py:17-36:
@@ -521,6 +552,9 @@ def load_student_checkpoint(path: str, cfg: Config) -> dict:
     sd = load_state_dict(path)
     if detect_torchvision_zoo(sd) is not None:
         return load_torchvision_trunk(path, cfg)
+    if (not any(k.startswith("backbone.") for k in sd)
+            and any(k.startswith("resnet.") for k in sd)):
+        return _load_expert_checkpoint(sd, cfg, path)
     backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
                    if k.startswith("backbone.")}
     if cfg.model.backbone.startswith("mobilenetv3"):

@@ -1073,6 +1073,62 @@ def test_load_pretrain_init_deit_and_resnet(tmp_path):
         assert "fc" in merged["params"]   # head keeps its fresh init
 
 
+def test_load_expert_checkpoint(tmp_path):
+    """A run.py expert artifact (raw model state dict, model.py:558 —
+    resnet.N.* Sequential trunk + transformers.{i} ModuleList + params the
+    released forward never uses) loads into our expert preset (trunk
+    backbone + TRX_multi head) and runs an episode."""
+    from litemkd_tpu.models import Student
+    from litemkd_tpu.tools import load_student_checkpoint
+
+    torch.manual_seed(11)
+    attr_to_seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+                   "layer3": "6", "layer4": "7"}
+    sd = {}
+    for k, v in _baseline_to_torchvision_names(ResNet18Trunk()).items():
+        root = k.split(".")[0]
+        sd[f"resnet.{attr_to_seq[root]}{k[len(root):]}"] = torch.tensor(v)
+    D_, DK_ = 512, 32
+    for i, ss in enumerate((2, 3)):
+        for name, lin in (("k_linear", torch.nn.Linear(D_ * ss, DK_)),
+                          ("v_linear", torch.nn.Linear(D_ * ss, DK_)),
+                          ("norm_k", torch.nn.LayerNorm(DK_)),
+                          ("norm_v", torch.nn.LayerNorm(DK_))):
+            for p, v in lin.state_dict().items():
+                sd[f"transformers.{i}.{name}.{p}"] = v
+    # dead weight the released forward never touches (model.py:606-634)
+    sd["attn_pat.query_proj.weight"] = torch.zeros(D_, D_)
+    path = str(tmp_path / "expert.pt")
+    torch.save({"iteration": 5, "model_state_dict": sd}, path)
+
+    base = preset("tiny")
+    cfg = base.replace(model=base.model.__class__(
+        backbone="resnet18_expert", classifier="TRX_multi",
+        trans_linear_in_dim=D_, trans_linear_out_dim=DK_, temp_set=(2, 3)))
+    variables = load_student_checkpoint(path, cfg)
+    t = variables["params"]["classifier"]["transformers"]
+    assert set(t) == {"tct_2", "tct_3"}
+    assert t["tct_2"]["k_linear"]["kernel"].shape == (2 * D_, DK_)
+    assert t["tct_3"]["k_linear"]["kernel"].shape == (3 * D_, DK_)
+
+    ep = cfg.episode
+    rng = np.random.default_rng(4)
+    ctx = jnp.asarray(rng.random((ep.n_support, ep.seq_len, ep.img_size,
+                                  ep.img_size, 3)).astype(np.float32))
+    tgt = ctx[:ep.n_queries(True)]
+    labels = jnp.asarray(np.repeat(np.arange(ep.way), ep.shot)
+                         .astype(np.int32))
+    out = Student(cfg).apply(variables, ctx, labels, tgt, train=False)
+    assert out["logits"].shape == (ep.n_queries(True), ep.way)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+    # a temp_set mismatch must fail loudly, not scramble set order
+    bad = base.replace(model=cfg.model.__class__(**{
+        **cfg.model.__dict__, "temp_set": (2,)}))
+    with pytest.raises(ValueError, match="temp_set"):
+        load_student_checkpoint(path, bad)
+
+
 def test_multiset_tct_export_order_and_resnet34(tmp_path):
     """Multi-temp_set heads export EVERY TCT set as transformers.{i} in
     temp_set order (not lexically-sorted-first-only), and resnet34 students
