@@ -151,7 +151,8 @@ def main(argv=None):
         if bad:
             p.error(f"--branch_ckpt expects MODALITY=CKPT_DIR, got {bad}")
         pairs = dict(s.split("=", 1) for s in args.branch_ckpt)
-        state = state.replace(params=load_tsf_branches(state.params, pairs))
+        state = state.replace(params=load_tsf_branches(
+            state.params, pairs, temp_set=cfg.model.temp_set))
         logger.info(f"grafted TSF branches from {sorted(pairs)}")
 
     if args.test_model_path:

@@ -151,13 +151,17 @@ def make_mfm_eval_step(cfg: Config, kind: str = "mfm",
 # Supervised pretraining (per-modality resnet classifier)
 # ---------------------------------------------------------------------------
 
-def load_tsf_branches(params, branch_ckpts) -> Any:
+def load_tsf_branches(params, branch_ckpts, temp_set=None) -> Any:
     """Graft separately-trained per-modality experts into a ScoreFusion's
     branches (reference ``score_fusion_run.py`` ``--rgb/skeleton/flow_
     test_model_path``): each expert checkpoint's episodic head
     (``params/classifier/transformers``) replaces ``branch_<modality>``.
 
-    ``branch_ckpts``: {modality: checkpoint_dir}. Returns updated params.
+    ``branch_ckpts``: {modality: checkpoint_dir_or_torch_pt}. A ``.pt``/
+    ``.pth`` value is read as a released run.py expert artifact
+    (``transformers.{i}`` ModuleList, model.py:558) — exactly what the
+    reference's score-fusion flags consumed; ``temp_set`` gives the
+    ModuleList order for multi-set experts. Returns updated params.
     """
     from .checkpoint import restore_params
     new = dict(params)
@@ -166,9 +170,29 @@ def load_tsf_branches(params, branch_ckpts) -> Any:
         if key not in new:
             raise KeyError(f"{key} not in ScoreFusion params "
                            f"({sorted(new)}) — is --fusion tsf set?")
-        expert = restore_params(path)
-        head = expert.get("classifier", expert)
-        src = head.get("transformers", head)
+        if str(path).endswith((".pt", ".pth")):
+            from ..tools.torch_import import load_state_dict, import_tct
+            sd = load_state_dict(path)
+            n = 0
+            while f"transformers.{n}.k_linear.weight" in sd:
+                n += 1
+            if n == 0:
+                raise KeyError(f"{path} has no transformers.N TCT sets — "
+                               "not a run.py expert checkpoint")
+            if n == 1:
+                src = import_tct(sd, "transformers.0")
+            else:
+                if temp_set is None or len(temp_set) != n:
+                    raise ValueError(
+                        f"{path} holds {n} TCT sets; pass temp_set with that "
+                        f"many entries (got {temp_set}) for the ModuleList "
+                        "order")
+                src = {f"tct_{s}": import_tct(sd, f"transformers.{i}")
+                       for i, s in enumerate(temp_set)}
+        else:
+            expert = restore_params(path)
+            head = expert.get("classifier", expert)
+            src = head.get("transformers", head)
         tpl = new[key]["transformers"]
         if set(tpl) != set(src):
             if any(k.startswith("tct_") for k in src):

@@ -235,6 +235,26 @@ def test_tsf_branch_graft(cfg, tmp_path):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    # a RELEASED run.py expert .pt grafts too (the artifact kind the
+    # reference's --rgb/skeleton/flow_test_model_path actually consumed)
+    import torch
+    dk = cfg.model.trans_linear_out_dim
+    sd = {}
+    for name, lin in (("k_linear", torch.nn.Linear(2 * D, dk)),
+                      ("v_linear", torch.nn.Linear(2 * D, dk)),
+                      ("norm_k", torch.nn.LayerNorm(dk)),
+                      ("norm_v", torch.nn.LayerNorm(dk))):
+        for p, v in lin.state_dict().items():
+            sd[f"transformers.0.{name}.{p}"] = v
+    pt = str(tmp_path / "expert.pt")
+    torch.save({"model_state_dict": sd}, pt)
+    new2 = load_tsf_branches(tstate.params, {"flow": pt},
+                             temp_set=cfg.model.temp_set)
+    np.testing.assert_allclose(
+        np.asarray(new2["branch_flow"]["transformers"]["tct_2"]
+                   ["k_linear"]["kernel"], np.float32),
+        sd["transformers.0.k_linear.weight"].numpy().T, rtol=1e-6)
+
 
 def test_all_fusion_presets_trace(cfg):
     """Every registered fusion kind builds through make_mfm and its train
