@@ -165,8 +165,9 @@ def export_student_checkpoint(variables: dict, cfg: Config, path: str,
                               iteration: int = 0,
                               depth: Optional[int] = None) -> Dict[str, np.ndarray]:
     """BatchedStudent/Student variables → a reference-format checkpoint file
-    loadable by ``model_select.load_student`` (Student = resnet*_2fc backbone
-    + TRX-family classifier)."""
+    loadable by ``model_select.load_student``: resnet/mobilenet backbones
+    (2fc or single-fc, with the reference's per-backbone fc attribute
+    names), TRX-family and CTX classifiers."""
     import torch
     params = variables["params"]
     stats = variables.get("batch_stats", {})
