@@ -385,17 +385,21 @@ class MFMTeacher(nn.Module):
 
 
 class DGAdaIN(nn.Module):
-    """Adaptive-instance-norm fusion (model.py:2454-2468): instance-normalize
-    the content stream over its token axis, then scale/shift with affine maps
-    of the style stream (scale = 1 + A_s(w), bias = A_b(w))."""
+    """Adaptive-instance-norm fusion (model.py:2454-2468): normalize the
+    content stream, then scale/shift with affine maps of the style stream
+    (scale = 1 + A_s(w), bias = A_b(w)).
+
+    Normalization axis: the reference reshapes to (1, N·T, D) before the
+    call (model.py:2505-2510), so torch's ``InstanceNorm1d`` sees N·T as
+    channels and D as length — each TOKEN is normalized over its D channels
+    (not the token axis)."""
 
     dim: int = 2048
 
     @nn.compact
     def __call__(self, x, w):
-        # InstanceNorm1d over the token axis per channel, no affine
-        mu = x.mean(axis=-2, keepdims=True)
-        var = x.var(axis=-2, keepdims=True)
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
         x_n = (x - mu) / jnp.sqrt(var + 1e-5)
         scale = 1.0 + _dense(self.dim, self.dim, "affine_scale")(w)
         bias = _dense(self.dim, self.dim, "affine_bias")(w)
@@ -434,12 +438,11 @@ class DGAFusionTeacher(nn.Module):
     def fuse(self, feats, train: bool):
         m1, m2, m3 = self.modalities
         fused = self.fusion1(feats[m2], feats[m3], train)
-        n = fused.shape[0]
-        # AdaIN over the flattened (video·frame) token axis, as the reference
-        # reshapes to (1, N·T, D) before conditioning
-        fused = self.fusion2(fused.reshape(1, -1, self.in_dim),
-                             feats[m1].reshape(1, -1, self.in_dim))
-        fused = fused.reshape(n, self.seq_len, self.in_dim)
+        # fusion2(rgb, fused) per the reference (model.py:2509): RGB is the
+        # normalized CONTENT, the (m2,m3) fusion provides the style affines.
+        # Both the norm and the affines act per token, so the reference's
+        # (1, N·T, D) reshape is a no-op here.
+        fused = self.fusion2(feats[m1], fused)
         if self.with_enrich:
             fused = self.mlp1(fused, train=train)
         return fused

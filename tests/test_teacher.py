@@ -148,6 +148,37 @@ def test_four_modality_mfm():
     assert out["logits"].shape == (WAY * QPC, WAY)
 
 
+def test_dgadain_matches_torch():
+    """DGAdaIN numerics vs a torch transcription of model.py:2454-2468 at
+    the reference's calling shape (x reshaped to (1, N·T, D) →
+    InstanceNorm1d normalizes each TOKEN over its D channels), with
+    fusion2(rgb, fused): RGB is the normalized content."""
+    import torch
+    from litemkd_tpu.models.teacher.fusion import DGAdaIN
+
+    D_ = 16
+    torch.manual_seed(3)
+    scale_l = torch.nn.Linear(D_, D_)
+    bias_l = torch.nn.Linear(D_, D_)
+    norm = torch.nn.InstanceNorm1d(D_, affine=False)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((4, T, D_)).astype(np.float32)   # content (rgb)
+    w = rng.standard_normal((4, T, D_)).astype(np.float32)   # style (fused)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).reshape(1, -1, D_)
+        wt = torch.from_numpy(w).reshape(1, -1, D_)
+        want = (norm(xt) * (1 + scale_l(wt)) + bias_l(wt)) \
+            .reshape(4, T, D_).numpy()
+
+    params = {"affine_scale": {"kernel": scale_l.weight.detach().numpy().T,
+                               "bias": scale_l.bias.detach().numpy()},
+              "affine_bias": {"kernel": bias_l.weight.detach().numpy().T,
+                              "bias": bias_l.bias.detach().numpy()}}
+    got = DGAdaIN(D_).apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 def test_dga_fusion_teacher():
     from litemkd_tpu.models.teacher import DGAFusionTeacher
     rng = np.random.default_rng(4)
