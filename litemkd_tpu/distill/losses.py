@@ -230,7 +230,8 @@ def strm_kd(student, teacher, labels, cfg: DistillConfig, tpb: int) -> LossDict:
     kl = cfg.soft_loss_weight * kd_loss(student["fr"], teacher, cfg.temperature)
     pat = softmax_ce(student["pat"], labels) / tpb
     fr = softmax_ce(student["fr"], labels) / tpb
-    return {"pat_loss": pat, "fr_loss": fr, "soft_loss": kl,
+    # 'softloss' (no underscore) is the reference's exact key, distillers.py:224
+    return {"pat_loss": pat, "fr_loss": fr, "softloss": kl,
             "loss": 0.1 * pat + fr + kl}
 
 
