@@ -46,6 +46,24 @@ def main(argv=None):
     c.add_argument("--top", type=int, default=10,
                    help="print the N most-confused class pairs")
 
+    m = sub.add_parser("cam", help="Grad-CAM overlay jpg (heatmap_vis.py)")
+    m.add_argument("--image", required=True, help="input frame jpg/png")
+    m.add_argument("--out", default="cam.jpg")
+    m.add_argument("--ckpt", default=None,
+                   help="cli.pretrain orbax checkpoint (ActionRecognitionNet "
+                        "layout); when absent, a random-init trunk is used "
+                        "(torchvision's pretrained weights are not "
+                        "downloadable offline)")
+    m.add_argument("--arch", default="resnet18",
+                   choices=["resnet18", "resnet34", "resnet50"])
+    m.add_argument("--num_classes", type=int, default=None,
+                   help="probe width for the random-init fallback "
+                        "(ignored with --ckpt; default 101)")
+    m.add_argument("--class_idx", type=int, default=None,
+                   help="target class (default: the model's argmax — the "
+                        "reference's target_category=None)")
+    m.add_argument("--img_size", type=int, default=224)
+
     s = sub.add_parser("skeleton", help="3D skeleton plot (3d_visualization.py)")
     s.add_argument("--npy", required=True, help="(V,3) or (T,V,3) skeleton .npy")
     s.add_argument("--out", default="skeleton.jpg")
@@ -71,6 +89,44 @@ def main(argv=None):
         if args.png:
             render_png(m, ids, args.png)
             print(f"heatmap → {args.png}")
+        return args.out
+    if args.cmd == "cam":
+        # heatmap_vis.py:24-49 — read one jpg, Grad-CAM the last trunk stage,
+        # write the jet overlay artifact
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from ..utils.saliency import (backbone_grad_cam, backbone_predict,
+                                      cam_overlay)
+        depth = int(args.arch.replace("resnet", ""))
+        img = Image.open(args.image).convert("RGB").resize(
+            (args.img_size, args.img_size))
+        rgb = np.asarray(img, dtype=np.float32) / 255.0
+        if args.ckpt:
+            from ..train.checkpoint import restore_payload
+            payload = restore_payload(args.ckpt)
+            variables = {"params": payload["params"],
+                         "batch_stats": payload.get("batch_stats", {})}
+            n_classes = int(np.asarray(
+                payload["params"]["fc"]["kernel"]).shape[-1])
+        else:
+            from ..train.teacher_steps import make_pretrain_model
+            from .. import preset
+            n_classes = args.num_classes or 101
+            cfg = preset("tiny")
+            model = make_pretrain_model(cfg, n_classes, args.arch)
+            variables = model.init(jax.random.key(0),
+                                   jnp.zeros((1, 1, args.img_size,
+                                              args.img_size, 3), jnp.float32),
+                                   train=False)
+        images = jnp.asarray(rgb[None])
+        cls = args.class_idx
+        if cls is None:
+            cls = int(np.argmax(backbone_predict(variables, images, depth)[0]))
+        cam = backbone_grad_cam(variables, images, cls, n_classes, depth)
+        Image.fromarray(cam_overlay(cam[0], rgb)).save(args.out)
+        print(f"Grad-CAM class {cls} → {args.out}")
         return args.out
     if args.cmd == "grid":
         rows = []

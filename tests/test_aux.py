@@ -29,6 +29,20 @@ def test_grad_cam_shapes_and_range():
     assert (cam >= 0).all() and (cam <= 1.0 + 1e-6).all()
 
 
+def test_cam_cli_writes_overlay(tmp_path):
+    """One command, one jpg — the reference's ``python heatmap_vis.py``
+    workflow (heatmap_vis.py:24-49) through ``cli.figures cam``."""
+    from litemkd_tpu.cli import figures as cli_figures
+    src = str(tmp_path / "in.jpg")
+    out = str(tmp_path / "cam.jpg")
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (48, 56, 3), dtype=np.uint8)).save(src)
+    cli_figures.main(["cam", "--image", src, "--out", out,
+                      "--img_size", "32", "--num_classes", "5"])
+    overlay = np.asarray(Image.open(out))
+    assert overlay.shape == (32, 32, 3) and overlay.dtype == np.uint8
+
+
 def test_skeleton_preprocess():
     rng = np.random.default_rng(0)
     data = rng.normal(size=(2, 3, 10, 25, 2)).astype(np.float32)
