@@ -208,6 +208,26 @@ def test_native_decoder_matches_pil(dataset_dir, cfg):
         assert c_nat.shape == (T, IMG, IMG, 3) and c_nat.dtype == np.uint8
 
 
+def test_native_path_selected_when_available(dataset_dir, monkeypatch):
+    """VideoStore's default (use_native=True) must actually take the C++
+    decode path when the library loads — a silent permanent PIL fallback
+    would erase the data-plane win without failing anything (VERDICT r2
+    item 7)."""
+    from litemkd_tpu import native
+    from litemkd_tpu.data import video as video_mod
+    if not native.available():
+        pytest.skip("native decoder unavailable (no g++/libjpeg)")
+    vs = VideoStore(str(dataset_dir / "rgb_l8"), str(dataset_dir / "splits"),
+                    3, T, IMG)                        # defaults: native on
+    rec = vs.train_split.get(0, 0)
+    monkeypatch.setattr(
+        video_mod, "load_clip",
+        lambda *a, **k: pytest.fail("PIL fallback used although the native "
+                                    "decoder is available"))
+    clip = vs.load(rec, train=True, rng=np.random.default_rng(3))
+    assert clip.shape == (T, IMG, IMG, 3) and clip.dtype == np.uint8
+
+
 def test_native_decoder_exact_on_identity_resize(tmp_path):
     """With shorter side == resize_to the resize is the identity in both
     backends → outputs must be byte-identical."""
