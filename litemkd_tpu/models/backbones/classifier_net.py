@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .resnet import ResNetTrunk, _STAGES, flatten_clip_frames
+from ...ops.dtypes import anchor, anchor_dtype
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 
 
@@ -74,22 +75,22 @@ class ViTClassifier(nn.Module):
         x = x + pos.astype(cd)
         for i in range(self.depth):
             # pre-LN block (ViT/DeiT)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(x)
+            h = nn.LayerNorm(dtype=anchor_dtype(cd), name=f"norm1_{i}")(x)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=cd, deterministic=not train,
                 dropout_rate=self.dropout, name=f"attn_{i}")(h, h)
             x = x + h.astype(x.dtype)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(x)
+            h = nn.LayerNorm(dtype=anchor_dtype(cd), name=f"norm2_{i}")(x)
             h = nn.Dense(self.dim * self.mlp_ratio, dtype=cd,
                          name=f"mlp_in_{i}")(h)
             h = nn.Dense(self.dim, dtype=cd, name=f"mlp_out_{i}")(nn.gelu(h))
             x = x + h.astype(x.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(dtype=anchor_dtype(cd), name="norm")(x)
         feat = (x[:, 0] + x[:, 1]) / 2.0          # mean of cls + dist tokens
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+        logits = nn.Dense(self.num_classes, dtype=anchor_dtype(cd),
                           kernel_init=torch_linear_kernel_init(),
                           bias_init=torch_linear_bias_init(self.dim),
-                          name="fc")(feat.astype(jnp.float32))
+                          name="fc")(anchor(feat))
         if frames_per_clip is not None:
             logits = logits.reshape(-1, frames_per_clip,
                                     self.num_classes).mean(axis=1)
@@ -105,7 +106,8 @@ class ActionRecognitionNet(nn.Module):
     def setup(self):
         self.trunk = ResNetTrunk(self.depth, self.compute_dtype, self.remat)
         trunk_dim = _STAGES[self.depth][2]
-        self.fc = nn.Dense(self.num_classes, dtype=jnp.float32,
+        self.fc = nn.Dense(self.num_classes,
+                           dtype=anchor_dtype(self.compute_dtype),
                            kernel_init=torch_linear_kernel_init(),
                            bias_init=torch_linear_bias_init(trunk_dim))
 
@@ -115,7 +117,7 @@ class ActionRecognitionNet(nn.Module):
         ``convnet(x).squeeze()`` with torchvision's avgpool retained)."""
         x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = self.trunk(x, train=train)
-        x = x.astype(jnp.float32).mean(axis=(1, 2))    # global average pool
+        x = anchor(x).mean(axis=(1, 2))               # global average pool
         return x.reshape(b, t, -1)
 
     def expert_features(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -126,7 +128,7 @@ class ActionRecognitionNet(nn.Module):
         from .resnet import adaptive_max_pool_2d
         x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = self.trunk(x, train=train)
-        x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)
+        x = anchor(adaptive_max_pool_2d(x, (4, 4)))
         return x.reshape(b * t, 16, -1).mean(axis=1).reshape(b, t, -1)
 
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> jnp.ndarray:

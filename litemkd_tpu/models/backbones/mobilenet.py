@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .resnet import flatten_clip_frames, litemkd_feature_head
+from ...ops.dtypes import anchor_dtype
 from ...ops.torch_init import (torch_conv_kernel_init, torch_linear_kernel_init,
                                torch_linear_bias_init)
 
@@ -77,13 +78,14 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = x.mean(axis=(1, 2))
+        se_dt = anchor_dtype(x.dtype)
         # torchvision SE uses 1x1 Conv2d with default init: biases draw
         # U(±1/sqrt(fan_in)) like every other torch linear, not zeros
-        s = nn.relu(nn.Dense(self.squeeze, dtype=jnp.float32,
+        s = nn.relu(nn.Dense(self.squeeze, dtype=se_dt,
                              kernel_init=torch_linear_kernel_init(),
                              bias_init=torch_linear_bias_init(self.channels),
                              name="fc1")(s))
-        s = hard_sigmoid(nn.Dense(self.channels, dtype=jnp.float32,
+        s = hard_sigmoid(nn.Dense(self.channels, dtype=se_dt,
                                   kernel_init=torch_linear_kernel_init(),
                                   bias_init=torch_linear_bias_init(self.squeeze),
                                   name="fc2")(s))

@@ -18,6 +18,7 @@ from typing import Dict, Tuple, Union
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.dtypes import anchor
 from ...ops.pallas_bn import PallasBatchNorm
 from ...ops.torch_init import (torch_conv_kernel_init, torch_linear_kernel_init,
                                torch_linear_bias_init)
@@ -173,16 +174,16 @@ def litemkd_feature_head(x, b, t, *, num_fc: int, out_dim: int,
     ``__call__`` — the fc1/fc2 Dense params land in the caller's scope, so
     every backbone keeps the same checkpoint layout."""
     if pool == "gap":
-        x = x.astype(jnp.float32).mean(axis=(1, 2))
+        x = anchor(x).mean(axis=(1, 2))
     else:
         # max-pool in the trunk dtype (max is precision-exact; the f32
         # upcast before pooling doubled the backward's scatter-add traffic)
         x = adaptive_max_pool_2d(x, pool_hw)
-        x = x.reshape(b * t, -1, x.shape[-1]).astype(jnp.float32).mean(axis=1)
+        x = anchor(x.reshape(b * t, -1, x.shape[-1])).mean(axis=1)
     trunk_dim = x.shape[-1]
     if num_fc == 0:
         return x.reshape(b, t, trunk_dim)
-    dense = partial(nn.Dense, out_dim, dtype=jnp.float32,
+    dense = partial(nn.Dense, out_dim, dtype=x.dtype,
                     kernel_init=torch_linear_kernel_init(),
                     bias_init=torch_linear_bias_init(trunk_dim))
     f1 = dense(name="fc1")(x).reshape(b, t, out_dim)

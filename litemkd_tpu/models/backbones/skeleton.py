@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.dtypes import anchor
 from ...ops.positional import SinusoidalPE
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 from ..teacher.fusion import Encoder
@@ -34,7 +35,7 @@ class SkeletonEncoder(nn.Module):
     @nn.compact
     def __call__(self, skeletons: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         b, t = skeletons.shape[0], skeletons.shape[1]
-        x = skeletons.reshape(b, t, -1).astype(jnp.float32)
+        x = anchor(skeletons.reshape(b, t, -1))
         d = self.out_dim
 
         def dense(out, fan_in, name):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .resnet import ResNetTrunk, adaptive_max_pool_2d, flatten_clip_frames
+from ...ops.dtypes import anchor
 from ...ops.strm import SelfAttnBot, MLPMixEnrich
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
 
@@ -37,19 +38,19 @@ class STRMBackbone(nn.Module):
         x, b, t = flatten_clip_frames(clips, self.compute_dtype)
         x = ResNetTrunk(self.depth, self.compute_dtype, self.remat,
                         self.freeze_bn, name="trunk")(x, train=train)
-        x = adaptive_max_pool_2d(x, (4, 4)).astype(jnp.float32)
+        x = anchor(adaptive_max_pool_2d(x, (4, 4)))
         trunk_dim = x.shape[-1]
         x = x.reshape(b * t, 16, trunk_dim)
         x = SelfAttnBot(trunk_dim, 16, name="attn_pat")(x, train=train)
         x = x.mean(axis=1)                                   # (BT, trunk)
-        lift = nn.Dense(self.out_dim, dtype=jnp.float32,
+        lift = nn.Dense(self.out_dim, dtype=x.dtype,
                         kernel_init=torch_linear_kernel_init(),
                         bias_init=torch_linear_bias_init(trunk_dim),
                         name="lift")
         x = lift(x).reshape(b, t, self.out_dim)
         pat = x                                              # pre-enrichment
         fr = MLPMixEnrich(self.out_dim, t, name="fr_enrich")(x, train=train)
-        dense = partial(nn.Dense, self.out_dim, dtype=jnp.float32,
+        dense = partial(nn.Dense, self.out_dim, dtype=fr.dtype,
                         kernel_init=torch_linear_kernel_init(),
                         bias_init=torch_linear_bias_init(self.out_dim))
         if self.num_fc == 2:

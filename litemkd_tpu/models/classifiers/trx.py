@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from ...ops.tct import TemporalCrossTransformer
 from ...ops.distances import support_dk_logits, safe_norm
+from ...ops.dtypes import anchor
 
 
 class TRX(nn.Module):
@@ -70,7 +71,7 @@ class TRX_sup(TRX):
             context, context_labels, target, train=train)
         # proto: (Q, W, U, dk) → flatten per class, cosine over class pairs
         q, w = proto.shape[0], proto.shape[1]
-        flat = proto.reshape(q, w, -1).astype(jnp.float32)
+        flat = anchor(proto.reshape(q, w, -1))
         norm = flat / (safe_norm(flat, -1, keepdims=True) + 1e-8)
         sim = jnp.einsum("qid,qjd->qij", norm, norm)
         return {"support_set": sim, "query": logits}

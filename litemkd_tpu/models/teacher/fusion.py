@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.dtypes import anchor_dtype
 from ...ops.positional import TrainablePE
 from ...ops.tct import MultiSetTCT
 from ...ops.torch_init import torch_linear_kernel_init, torch_linear_bias_init
@@ -83,23 +84,24 @@ class EncoderLayer(nn.Module):
         q = _attn_dense(d, "attn_q", cd, qkv=True)(x).reshape(n, t, h, hd)
         k = _attn_dense(d, "attn_k", cd, qkv=True)(x).reshape(n, t, h, hd)
         v = _attn_dense(d, "attn_v", cd, qkv=True)(x).reshape(n, t, h, hd)
+        adt = anchor_dtype(cd)
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
-                            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+                            preferred_element_type=adt) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(adt), axis=-1)
         drop = lambda z, name: nn.Dropout(self.dropout, deterministic=not train,
                                           name=name)(z)
         # torch TransformerEncoderLayer forwards its dropout into
         # MultiheadAttention, which drops the post-softmax probabilities too
         attn = drop(attn, "drop_probs")
         ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=adt)
         ctx = _attn_dense(d, "attn_out", cd, qkv=False)(ctx.reshape(n, t, d))
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=adt, name="norm1")(
             x + drop(ctx, "drop_attn"))
         y = _dense(self.dim_ff, d, "mlp_in", cd)(x)
         y = drop(nn.relu(y), "drop_mlp1")
         y = _dense(d, self.dim_ff, "mlp_out", cd)(y)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=adt, name="norm2")(
             x + drop(y, "drop_mlp2"))
         return x
 
@@ -213,17 +215,18 @@ class CrossAttentionFusion(nn.Module):
         q = _dense(d, d, "query", cd)(x1).reshape(n, t, h, hd)
         k = _dense(d, d, "key", cd)(x2).reshape(n, -1, h, hd)
         v = _dense(d, d, "value", cd)(x2).reshape(n, -1, h, hd)
+        adt = anchor_dtype(cd)
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k,
-                            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+                            preferred_element_type=adt) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(adt), axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train,
                           name="drop_probs")(attn)
         ctx = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(cd), v,
-                         preferred_element_type=jnp.float32).reshape(n, t, d)
+                         preferred_element_type=adt).reshape(n, t, d)
         out = _dense(d, d, "out", cd)(ctx)
         out = nn.Dropout(self.dropout, deterministic=not train,
                          name="drop_out")(out)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,  # torch eps
+        return nn.LayerNorm(epsilon=1e-5, dtype=adt,  # torch eps
                             name="norm")(out + x1)
 
 

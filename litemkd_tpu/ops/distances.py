@@ -14,6 +14,7 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
+from .dtypes import anchor
 from .tct import class_sort
 
 
@@ -32,7 +33,7 @@ def support_dk_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     matching the reference's nested loop fill order.
     """
     s = class_sort(support, support_labels, way, shot)  # (W, S, T, D)
-    proto = s.mean(axis=1).astype(jnp.float32)          # (W, T, D)
+    proto = anchor(s.mean(axis=1))                      # (W, T, D)
     diff = proto[:, None] - proto[None, :]              # (W, W, T, D)
     dist = -jnp.sum(diff * diff, axis=(-2, -1)) / seq_len
     # drop the diagonal, preserving ascending-j order per row (static gather —
@@ -57,9 +58,9 @@ def edist_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     mean* of distances to each of that class's shot embeddings (the reference
     averages the cdist row, not the prototypes).
     """
-    q = queries.mean(axis=-2).astype(jnp.float32)                  # (Q, D)
+    q = anchor(queries.mean(axis=-2))                              # (Q, D)
     s = class_sort(support, support_labels, way, shot)             # (W,S,T,D)
-    s = s.mean(axis=-2).astype(jnp.float32)                        # (W, S, D)
+    s = anchor(s.mean(axis=-2))                                    # (W, S, D)
     d = _cdist(q, s.reshape(way * shot, -1)).reshape(-1, way, shot)
     return -d.mean(axis=-1)
 
@@ -75,9 +76,9 @@ def cosine_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
                   queries: jnp.ndarray, way: int, shot: int,
                   eps: float = 1e-8) -> jnp.ndarray:
     """True cosine-similarity logits (Q, way) against class prototypes."""
-    q = queries.mean(axis=-2).astype(jnp.float32)
+    q = anchor(queries.mean(axis=-2))
     s = class_sort(support, support_labels, way, shot).mean(axis=(1, -2))
-    s = s.astype(jnp.float32)                                      # (W, D)
+    s = anchor(s)                                                  # (W, D)
     qn = q / (safe_norm(q, -1, keepdims=True) + eps)
     sn = s / (safe_norm(s, -1, keepdims=True) + eps)
     return qn @ sn.T

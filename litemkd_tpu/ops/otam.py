@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .distances import safe_norm
+from .dtypes import anchor
 
 
 def otam_cum_dist(dists: jnp.ndarray, lbda: float = 0.1) -> jnp.ndarray:
@@ -73,8 +74,8 @@ def otam_logits(support: jnp.ndarray, support_labels: jnp.ndarray,
     # cotangent chain). Query NaN is deliberately NOT sanitized — the
     # reference guards only support (model.py:3321-3324), so corrupted query
     # data stays loudly NaN instead of training silently on zero-filled frames
-    qf = queries.reshape(q_n * t, dim).astype(jnp.float32)
-    sf = jnp.nan_to_num(support.reshape(s_n * t, dim).astype(jnp.float32))
+    qf = anchor(queries.reshape(q_n * t, dim))
+    sf = jnp.nan_to_num(anchor(support.reshape(s_n * t, dim)))
     qnorm = safe_norm(qf, -1, keepdims=True)
     snorm = safe_norm(sf, -1, keepdims=True)
     sim = (qf @ sf.T) / (qnorm @ snorm.T + eps)          # (QT, ST)

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
+from .dtypes import anchor
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -222,7 +224,7 @@ class PallasBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
         if self.use_running_average:
             mul = scale * lax.rsqrt(ra_var.value + self.epsilon)
-            y = (x.astype(jnp.float32) - ra_mean.value) * mul + bias
+            y = (anchor(x) - ra_mean.value) * mul + bias
             return y.astype(self.dtype)
         y, mean, var = batch_norm_train(x, scale, bias, self.epsilon,
                                         self.use_pallas)

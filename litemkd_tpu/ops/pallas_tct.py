@@ -140,14 +140,16 @@ def tct_attention_xla(q_k, q_v, class_k, class_v, return_proto: bool = False):
     """Reference einsum path (identical math; used off-TPU, in tests, and —
     with ``return_proto=True`` — by the prototype-emitting TRX_sup head, so
     the two call sites cannot drift numerically)."""
+    from .dtypes import anchor_dtype
     q, u, dk = q_k.shape
     w, s = class_k.shape[0], class_k.shape[1]
+    acc = anchor_dtype(q_k.dtype)    # fp32 accumulation; fp64 under x64 flows
     scores = jnp.einsum("qud,wsvd->qwusv", q_k, class_k,
-                        preferred_element_type=jnp.float32) / np.sqrt(dk)
+                        preferred_element_type=acc) / np.sqrt(dk)
     attn = jax.nn.softmax(scores.reshape(q, w, u, s * u), axis=-1)
     attn = attn.reshape(q, w, u, s, u)
     proto = jnp.einsum("qwusv,wsvd->qwud", attn, class_v,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=acc)
     diff = q_v[:, None, :, :] - proto
     dist = jnp.sum(diff * diff, axis=(-2, -1)) / u
     return (-dist, proto) if return_proto else -dist

@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .dtypes import anchor_dtype
 from .torch_init import torch_embedding_init
 
 
@@ -53,7 +54,7 @@ class TrainablePE(nn.Module):
         emb = self.param("position_embeddings", torch_embedding_init(),
                          (self.max_len, self.d_model), jnp.float32)
         t = x.shape[-2]
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(  # torch LN eps
+        x = nn.LayerNorm(epsilon=1e-5, dtype=anchor_dtype(x.dtype))(  # torch eps
             x + emb[:t].astype(x.dtype))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

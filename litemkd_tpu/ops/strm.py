@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .positional import SinusoidalPE
+from .dtypes import anchor
 from .tuples import tuple_indices, gather_tuples
 from .tct import class_sort
 from .torch_init import torch_linear_kernel_init, torch_linear_bias_init
@@ -125,8 +126,8 @@ class STRMDistance(nn.Module):
         s_t = gather_tuples(support, idx)        # (WS, U, 2D)
         q_t = gather_tuples(queries, idx)        # (Q, U, 2D)
         clsW = _dense(self.in_dim // 2, tuple_dim, "clsW")
-        s_e = nn.relu(clsW(s_t)).astype(jnp.float32)
-        q_e = nn.relu(clsW(q_t)).astype(jnp.float32)
+        s_e = anchor(nn.relu(clsW(s_t)))
+        q_e = anchor(nn.relu(clsW(q_t)))
         class_e = class_sort(s_e, support_labels, self.way, self.shot)  # (W,S,U,h)
         class_e = class_e.reshape(self.way, self.shot * u, -1)
         # pairwise distances (Q, U, W, S*U)

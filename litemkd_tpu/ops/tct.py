@@ -18,6 +18,12 @@ Faithfulness notes:
 - support rows are class-sorted with a stable argsort — all within-class
   reductions are permutation-invariant so this matches the reference's
   mask-gather per class (l.118-119).
+- NOT reproduced: the reference writes its per-class distances into a
+  default-dtype ``torch.zeros`` buffer (l.116), quantizing logits to fp32
+  even under ``.double()`` (same in SupportDK, l.184). Our logits keep the
+  computation dtype — identical in fp32 flows, full-precision in fp64
+  (the ~6e-8 rel gap is asserted as the tolerance floor of the fp64 golden
+  tests in tests/test_reference_golden.py).
 """
 from __future__ import annotations
 
@@ -28,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .dtypes import anchor_dtype
 from .positional import SinusoidalPE
 from .tuples import tuple_indices, gather_tuples
 from .torch_init import torch_linear_kernel_init, torch_linear_bias_init
@@ -87,13 +94,14 @@ class TemporalCrossTransformer(nn.Module):
         v_linear = nn.Dense(dk, kernel_init=torch_linear_kernel_init(),
                             bias_init=torch_linear_bias_init(tuple_dim),
                             dtype=self.compute_dtype, name="v_linear")
-        norm_k = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,  # torch eps
+        adt = anchor_dtype(self.compute_dtype)
+        norm_k = nn.LayerNorm(epsilon=1e-5, dtype=adt,  # torch eps
                               name="norm_k")
 
         s_k = norm_k(k_linear(s_t))
         q_k = norm_k(k_linear(q_t))
-        s_v = v_linear(s_t).astype(jnp.float32)   # value LayerNorm unused (ref l.106)
-        q_v = v_linear(q_t).astype(jnp.float32)
+        s_v = v_linear(s_t).astype(adt)   # value LayerNorm unused (ref l.106)
+        q_v = v_linear(q_t).astype(adt)
 
         # group support by class: (W, S, U, dk)
         class_k = class_sort(s_k, support_labels, self.way, self.shot)
