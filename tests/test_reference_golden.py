@@ -9,6 +9,7 @@ reference's own forward/loss bytecode. This retires transcription-drift risk
 import numpy as np
 import pytest
 import torch
+import jax
 import jax.numpy as jnp
 
 import refexec
@@ -121,6 +122,365 @@ def test_trx_2fcsup_fixed_teacher_matches_reference():
                                rtol=2e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got["sup"]), t2n(want["sup"]),
                                rtol=2e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# MFM fusion teacher (teacher/code/model.py:1588-1710)
+# ---------------------------------------------------------------------------
+
+def _mfm_cfg():
+    from litemkd_tpu import preset
+    return preset("mfm_teacher")
+
+
+def test_mfm_forward_matches_reference(tmp_path):
+    """MFMTeacher episode logits == the reference ThreeTRXShiftLoopTime's
+    executing forward (model.py:1597-1636), including the live path's
+    identity third-shift quirk (l.1614-1620), with the reference's own
+    checkpoint loaded through load_mfm_checkpoint."""
+    from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    nt = refexec.teacher_half()
+    args = refexec.teacher_args(m1="rgb", m2="depth", m3="flow")
+    torch.manual_seed(21)
+    ref = nt.model.ThreeTRXShiftLoopTime(args).eval()
+    path = str(tmp_path / "mfm_ref.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    cfg = _mfm_cfg()
+    variables = load_mfm_checkpoint(path, cfg)
+    model = make_mfm(cfg, batched=False)
+
+    r = np.random.default_rng(5)
+    ctx = {m: r.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+           for m in cfg.model.modalities}
+    tgt = {m: r.normal(size=(Q, T, D)).astype(np.float32)
+           for m in cfg.model.modalities}
+    with torch.no_grad():
+        want = t2n(ref({m: torch.tensor(v) for m, v in ctx.items()},
+                       torch.tensor(LABELS),
+                       {m: torch.tensor(v) for m, v in tgt.items()})
+                   ["logits"])[0]  # split_first_dim_linear adds a lead 1
+
+    got = model.apply(variables, {m: jnp.asarray(v) for m, v in ctx.items()},
+                      jnp.asarray(LABELS),
+                      {m: jnp.asarray(v) for m, v in tgt.items()},
+                      False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=2e-2)
+
+
+def test_mfm_extract_feature_matches_reference(tmp_path):
+    """Fused per-video dump == the reference's extract_feature
+    (model.py:1648-1663) — the path whose LEFT-rolled flow differs from the
+    live forward's identity shift (the dump-vs-live asymmetry)."""
+    from litemkd_tpu.tools.torch_import import load_mfm_checkpoint
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    nt = refexec.teacher_half()
+    args = refexec.teacher_args(m1="rgb", m2="depth", m3="flow")
+    torch.manual_seed(22)
+    ref = nt.model.ThreeTRXShiftLoopTime(args).eval()
+    path = str(tmp_path / "mfm_ref2.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    cfg = _mfm_cfg()
+    variables = load_mfm_checkpoint(path, cfg)
+    model = make_mfm(cfg, batched=False)
+
+    r = np.random.default_rng(6)
+    feats = {m: r.normal(size=(3, T, D)).astype(np.float32)
+             for m in cfg.model.modalities}
+    with torch.no_grad():
+        want = t2n(ref.extract_feature(
+            {m: torch.tensor(v) for m, v in feats.items()}))
+
+    got = model.apply(variables,
+                      {m: jnp.asarray(v) for m, v in feats.items()},
+                      method=model.extract)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# One full train_task optimizer step (trainwandb.py:190-287), float64
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_train_task_step_matches_reference_fp64(tmp_path):
+    """Two full optimizer steps of the reference's OWN train_task
+    (trainwandb.py:190-287: Student fwd → Teacher fwd → fc_2_sup_dist →
+    backward) + SGD step vs our make_train_step, in float64, sharing weights
+    through load_student/teacher_checkpoint. rtol 1e-6 on every updated
+    parameter — fp32 chaos is out of the picture.
+
+    Trunk BatchNorms run on running stats (eval()) on the torch side and
+    freeze_bn=True on ours: the episode-fused redesign normalizes
+    context+target as ONE BN batch while the reference runs two forwards
+    (resnet18_2fc.py:40-41) — the documented divergence in models/student.py.
+    With frozen stats both computations are algebraically identical, so the
+    comparison isolates everything else: trunk, heads, loss, backward, SGD.
+    Dropout off via the reference's own --trans_dropout flag."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.tools import (load_student_checkpoint,
+                                   load_teacher_checkpoint)
+    from litemkd_tpu.train import create_train_state, make_train_step
+    from litemkd_tpu.train.steps import EpisodeBatch
+
+    IMG, QPC, N_STEPS = 64, 1, 2
+    S_, Q_ = WAY * SHOT, WAY * QPC
+    ns = refexec.student_half()
+    args = refexec.student_args(
+        ns, model_backbone="resnet18_2fc", model_classifier="TRX_2fcsup",
+        model_teacher="test_teacher_TRX_2fcsup_fixed",
+        distill_name="fc_2_sup_dist", trans_dropout=0.0,
+        query_per_class=QPC, img_size=IMG, num_gpus=1)
+
+    torch.manual_seed(31)
+    student = ns.model_model_select.Student(args).double()
+    teacher = ns.model_model_select.Teacher(args).double()
+    for m in student.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eval()
+    distiller = ns.distillers.Distiller("fc_2_sup_dist", args.cfg,
+                                        torch.device("cpu"))
+    opt = torch.optim.SGD(student.parameters(), lr=args.learning_rate)
+    opt.zero_grad()
+
+    s_path, t_path = str(tmp_path / "s.pt"), str(tmp_path / "t.pt")
+    torch.save({"model_state_dict": student.state_dict()}, s_path)
+    torch.save({"model_state_dict": teacher.state_dict()}, t_path)
+
+    r = np.random.default_rng(9)
+    episodes = []
+    for _ in range(N_STEPS):
+        episodes.append(dict(
+            ctx=r.random((S_, T, IMG, IMG, 3)),
+            tgt=r.random((Q_, T, IMG, IMG, 3)),
+            t_ctx=r.normal(size=(S_, T, D)),
+            t_tgt=r.normal(size=(Q_, T, D)),
+            labels=np.repeat(np.arange(WAY), SHOT).astype(np.int64),
+            qlabels=np.arange(WAY).astype(np.int64)))
+
+    ref_losses = []
+    for ep in episodes:
+        # (N, T, H, W, 3) float in [0,1] → the reference's flattened NCHW
+        nchw = lambda x: torch.tensor(
+            x.reshape(-1, IMG, IMG, 3)).permute(0, 3, 1, 2).contiguous()
+        task_dict = {
+            "support_set": nchw(ep["ctx"]).unsqueeze(0),
+            "support_labels": torch.tensor(ep["labels"]).unsqueeze(0),
+            "target_set": nchw(ep["tgt"]).unsqueeze(0),
+            "target_labels": torch.tensor(ep["qlabels"]).unsqueeze(0),
+            "support_set_feature_teacher":
+                torch.tensor(ep["t_ctx"]).unsqueeze(0),
+            "target_set_feature_teacher":
+                torch.tensor(ep["t_tgt"]).unsqueeze(0),
+            "real_target_labels": torch.zeros(1, Q_),
+            "batch_class_list": torch.zeros(1, WAY),
+        }
+        loss, _acc, _d = ns.trainwandb.train_task(
+            task_dict, student, teacher, distiller,
+            ns.utils.aggregate_accuracy, args)
+        opt.step()
+        opt.zero_grad()
+        ref_losses.append(float(loss.detach()))
+
+    prev = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        base = preset("tiny")
+        cfg = base.replace(
+            episode=base.episode.__class__(
+                way=WAY, shot=SHOT, query_per_class=QPC,
+                query_per_class_test=1, seq_len=T, img_size=IMG),
+            model=base.model.__class__(
+                backbone="resnet18_2fc", classifier="TRX_2fcsup",
+                teacher="TRX_2fcsup_fixed", trans_linear_in_dim=D,
+                trans_linear_out_dim=1152, trans_dropout=0.0,
+                compute_dtype="float64", freeze_bn=True),
+            train=base.train.__class__(
+                tasks_per_batch=16, micro_batch=0,
+                learning_rate=args.learning_rate, optimizer="sgd",
+                sch=(10 ** 9,), sch_gamma=0.1))
+        batches = [EpisodeBatch(
+            support_clips=jnp.asarray(ep["ctx"]),
+            support_labels=jnp.asarray(ep["labels"].astype(np.int32)),
+            query_clips=jnp.asarray(ep["tgt"]),
+            query_labels=jnp.asarray(ep["qlabels"].astype(np.int32)),
+            support_feats=jnp.asarray(ep["t_ctx"]),
+            query_feats=jnp.asarray(ep["t_tgt"]))
+            for ep in episodes]
+        batches = [jax.tree_util.tree_map(lambda x: x[None], b)
+                   for b in batches]
+
+        state, _ = create_train_state(cfg, jax.random.PRNGKey(0), batches[0],
+                                      episodes_per_step=1)
+        s_vars = load_student_checkpoint(s_path, cfg)
+        t_vars = load_teacher_checkpoint(t_path, cfg)
+        state = state.replace(params=s_vars["params"],
+                              batch_stats=s_vars["batch_stats"])
+        step = jax.jit(make_train_step(cfg), donate_argnums=())
+        our_losses = []
+        for b in batches:
+            state, metrics = step(state, t_vars, b)
+            our_losses.append(float(metrics["task_loss"]))
+
+        # rtol floor — the REFERENCE's own logits are fp32 even under
+        # .double(): TemporalCrossTransformer and SupportDK write their
+        # per-class columns into default-dtype `torch.zeros` buffers
+        # (TRX_2fcsup.py:116 `all_distances_tensor`, :184 `new_dis`),
+        # quantizing every logit to fp32 (~6e-8 rel; verified: the executing
+        # TCT's fp64 output is bit-insensitive to 1e-7 input perturbations).
+        # At logit magnitude ~4e2 that is ~2e-5 ABSOLUTE, and CE/KL losses are
+        # sensitive to absolute logit differences → observed loss deviation
+        # 1e-5 rel. Our jax path is true float64 end to end (ops/dtypes.py
+        # anchors); the tolerance reflects the reference's quirk, not ours.
+        np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-5)
+
+        # torch's post-step weights, imported back → must match ours to a
+        # fraction of each leaf's UPDATE magnitude. Gradients on the torch
+        # side flow through the fp32 logit buffers above; through softmax
+        # sharpening and cancellation-heavy leaves (e.g. bn biases, whose
+        # grads are sums of near-cancelling terms) that quantization shows
+        # up as ~5e-4 of the update norm — far below any semantic error
+        # (a wrong LR or dropped episode is ~1x the update).
+        u_path = str(tmp_path / "s_updated.pt")
+        torch.save({"model_state_dict": student.state_dict()}, u_path)
+        want = load_student_checkpoint(u_path, cfg)["params"]
+        flat_got = jax.tree_util.tree_leaves_with_path(state.params)
+        flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+        flat_prev = dict(jax.tree_util.tree_leaves_with_path(s_vars["params"]))
+        assert len(flat_got) == len(flat_want)
+        # the 3e-7 absolute term is the quantization noise floor: the fp32
+        # logit rounding (~2e-5 abs) back-propagates into ~1e-7 absolute
+        # gradient noise on cancellation-heavy leaves (deep BN biases) no
+        # matter how small their true update is
+        total_upd = 0.0
+        for path, got in flat_got:
+            w = np.asarray(flat_want[path])
+            upd = float(np.abs(w - np.asarray(flat_prev[path])).max())
+            dev = float(np.abs(np.asarray(got) - w).max())
+            total_upd += upd
+            assert dev <= 3e-3 * upd + 3e-7, (
+                f"{jax.tree_util.keystr(path)}: update inf-norm {upd:.3e}, "
+                f"deviation {dev:.3e}")
+        # global (not per-leaf: the TCT v bias has an analytically-zero
+        # gradient — it cancels between q_v and the attention prototype)
+        assert total_upd > 1e-6, "torch made no update"
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+
+# ---------------------------------------------------------------------------
+# Round-trip: OUR export through the reference's OWN loader + eval forward
+# (model_select.py:140-153 load_student, test.py:97-115 episode scoring)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_reference_strict_loads_our_export_and_eval_matches(tmp_path):
+    """Train a flagship-dim student with cli.train, export with cli.export,
+    then have the REFERENCE's load_student (strict load_state_dict,
+    model_select.py:140-153) consume the .pt and run the episode forward
+    test.py's Evaluator runs (`model(context_images, context_labels,
+    target_images)['logits']`, test.py:107-115). The reference executes as
+    the loader AND the scorer — proving the interop matrix with the
+    reference's own bytecode, not with our transcription of its layout."""
+    from litemkd_tpu.cli import export as cli_export, train as cli_train
+    from litemkd_tpu.cli.common import load_saved_config
+    from litemkd_tpu.models.student import Student as OurStudent
+    from litemkd_tpu.train.checkpoint import restore_payload
+
+    # way is pinned to 5: the reference's SupportDK hardcodes zeros(5,4) and
+    # range(5) (TRX_2fcsup.py:180-188) and crashes at any other width
+    W_, S_, QPC, T_, IMG = 5, 2, 1, 4, 48
+    ck = tmp_path / "ck"
+    cli_train.main([
+        "--dataset", "synthetic", "--way", str(W_), "--shot", str(S_),
+        "--query_per_class", str(QPC), "--seq_len", str(T_),
+        "--img_size", str(IMG),
+        "--trans_linear_in_dim", "2048", "--trans_linear_out_dim", "1152",
+        "--model_backbone", "resnet18_2fc", "--model_classifier", "TRX_2fcsup",
+        "--distill_name", "fc_2_sup_dist", "--training_iterations", "2",
+        "--tasks_per_batch", "2", "-lr", "1e-3", "-c", str(ck),
+        "--print_freq", "0"])
+    out_pt = str(tmp_path / "export.pt")
+    cli_export.main(["--ckpt", str(ck), "--out", out_pt])
+
+    ns = refexec.student_half()
+    args = refexec.student_args(
+        ns, model_backbone="resnet18_2fc", model_classifier="TRX_2fcsup",
+        way=W_, shot=S_, query_per_class=QPC, seq_len=T_, img_size=IMG,
+        num_gpus=1, test_model_path=out_pt)
+    ref = ns.model_model_select.load_student(args).eval()  # STRICT load
+
+    r = np.random.default_rng(17)
+    ctx = r.random((W_ * S_, T_, IMG, IMG, 3)).astype(np.float32)
+    tgt = r.random((W_ * QPC, T_, IMG, IMG, 3)).astype(np.float32)
+    labels = np.repeat(np.arange(W_), S_).astype(np.int64)
+
+    nchw = lambda x: torch.tensor(
+        x.reshape(-1, IMG, IMG, 3)).permute(0, 3, 1, 2).contiguous()
+    with torch.no_grad():
+        want = ref(nchw(ctx), torch.tensor(labels), nchw(tgt))["logits"]
+
+    cfg = load_saved_config(str(ck))
+    payload = restore_payload(str(ck))
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    got = OurStudent(cfg).apply(
+        variables, jnp.asarray(ctx), jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(tgt), train=False)["logits"]
+    for key in ("kl", "ce", "sup"):
+        np.testing.assert_allclose(np.asarray(got[key]), t2n(want[key]),
+                                   rtol=2e-3, atol=5e-3, err_msg=key)
+
+
+def test_reference_load_teacher_grafts_our_mfm_export(tmp_path):
+    """The reference's ``load_teacher`` (model_select.py:81-139) grafts
+    ``bracnch.transformers.0.*`` from an MFM checkpoint into a TRX_fixed
+    classifier; feed it OUR ``export_mfm_checkpoint`` artifact and assert the
+    grafted reference teacher's episode logits equal our TCT branch applied
+    to the same features — the reference executing as loader AND scorer for
+    the teacher half of the interop matrix."""
+    from litemkd_tpu import preset
+    from litemkd_tpu.ops import TemporalCrossTransformer
+    from litemkd_tpu.tools.torch_export import export_mfm_checkpoint
+    from litemkd_tpu.train.teacher_steps import make_mfm
+
+    cfg = preset("mfm_teacher")
+    model = make_mfm(cfg, batched=False)
+    r = np.random.default_rng(23)
+    feats = {m: r.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+             for m in cfg.model.modalities}
+    variables = model.init(jax.random.key(3),
+                           {m: jnp.asarray(v) for m, v in feats.items()},
+                           jnp.asarray(LABELS),
+                           {m: jnp.asarray(v) for m, v in feats.items()},
+                           False)
+    path = str(tmp_path / "mfm_ours.pt")
+    export_mfm_checkpoint(variables, cfg, path)
+
+    ns = refexec.student_half()
+    args = refexec.student_args(ns, trans_dropout=0.0,
+                                teacher_checkpoint=path)
+    torch.manual_seed(29)
+    ref_teacher = ns.model_model_select.load_teacher(
+        ns.model_classifiers.TRX_fixed(args), args).eval()
+
+    sup = r.normal(size=(WAY * SHOT, T, D)).astype(np.float32)
+    qry = r.normal(size=(Q, T, D)).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(ref_teacher(torch.tensor(sup), torch.tensor(LABELS),
+                               torch.tensor(qry))["logits"])
+
+    t = variables["params"]["branch"]["transformers"]
+    tct_params = t if "k_linear" in t else t[f"tct_{cfg.model.temp_set[0]}"]
+    m = TemporalCrossTransformer(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                                 out_dim=cfg.model.trans_linear_out_dim)
+    got = np.asarray(m.apply({"params": tct_params}, jnp.asarray(sup),
+                             jnp.asarray(LABELS), jnp.asarray(qry),
+                             train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-4)
 
 
 # ---------------------------------------------------------------------------
