@@ -140,7 +140,7 @@ class TwoStreamFusion(nn.Module):
         x = jnp.concatenate([pe1(m1, train=train), pe2(m2, train=train)], -1)
         x = Encoder(2 * self.d, 2, self.depth, self.dropout,
                     self.compute_dtype, name="encoder")(x, train)
-        x = _dense(self.d, 2 * self.d, "fuse_proj")(x)
+        x = _dense(self.d, 2 * self.d, "fuse_proj", self.compute_dtype)(x)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop_out")(x)
 
@@ -160,7 +160,7 @@ class ThreeStreamFusion(nn.Module):
                              for pe, m in zip(pes, (m1, m2, m3))], -1)
         x = Encoder(3 * self.d, 3, self.depth, self.dropout,
                     self.compute_dtype, name="encoder")(x, train)
-        x = _dense(self.d, 3 * self.d, "fuse_proj")(x)
+        x = _dense(self.d, 3 * self.d, "fuse_proj", self.compute_dtype)(x)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop_out")(x)
 
@@ -190,7 +190,8 @@ class MultiStreamFusion(nn.Module):
         nhead = self.nhead or (3 if self.n_streams == 3 else 2)
         x = Encoder(self.n_streams * self.d, nhead, self.depth, self.dropout,
                     self.compute_dtype, name="encoder")(x, train)
-        x = _dense(self.d, self.n_streams * self.d, "fuse_proj")(x)
+        x = _dense(self.d, self.n_streams * self.d, "fuse_proj",
+                   self.compute_dtype)(x)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop_out")(x)
 
@@ -281,6 +282,7 @@ class TrxBranch(nn.Module):
     out_dim: int = 1152
     temp_set: Tuple[int, ...] = (2,)
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     @nn.compact
@@ -288,6 +290,7 @@ class TrxBranch(nn.Module):
         return MultiSetTCT(way=self.way, shot=self.shot, seq_len=self.seq_len,
                            in_dim=self.in_dim, out_dim=self.out_dim,
                            temp_set=self.temp_set, dropout=self.dropout,
+                           compute_dtype=self.compute_dtype,
                            use_pallas=self.use_pallas,
                            name="transformers")(context, context_labels, target,
                                                 train=train)
@@ -338,6 +341,7 @@ class MFMTeacher(nn.Module):
                                       self.dropout, self.compute_dtype)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
                                 self.out_dim, self.temp_set, self.dropout,
+                                compute_dtype=self.compute_dtype,
                                 use_pallas=self.use_pallas)
 
     def _shift3(self, x):
@@ -425,6 +429,7 @@ class DGAFusionTeacher(nn.Module):
     modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
     dropout: float = 0.1
     with_enrich: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     def setup(self):
@@ -436,6 +441,7 @@ class DGAFusionTeacher(nn.Module):
             self.mlp1 = MLPMixEnrich(self.in_dim, self.seq_len)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
                                 self.out_dim, self.temp_set, self.dropout,
+                                compute_dtype=self.compute_dtype,
                                 use_pallas=self.use_pallas)
 
     def fuse(self, feats, train: bool):
@@ -484,6 +490,7 @@ class TwoRoadFusionTeacher(nn.Module):
     depth: int = 4                       # reference hardcodes num_layers=4
     modalities: Tuple[str, ...] = ("rgb", "depth", "flow")
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     def setup(self):
@@ -503,6 +510,7 @@ class TwoRoadFusionTeacher(nn.Module):
         self.mlp2 = BottleneckMLP2(half)
         self.branch = TrxBranch(self.way, self.shot, self.seq_len, self.in_dim,
                                 self.out_dim, self.temp_set, self.dropout,
+                                compute_dtype=self.compute_dtype,
                                 use_pallas=self.use_pallas)
 
     def fuse(self, feats: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:

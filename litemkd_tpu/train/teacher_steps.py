@@ -74,7 +74,12 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
                   **opts)
     elif kind == "mfm":
         cls = MFMTeacher
-        kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num)
+        # anchor policy: the fusion teacher is a feature-space transformer
+        # (precision-sensitive, no conv trunk to justify bf16), so it runs at
+        # the fp32 anchor — widened to fp64 under x64 golden runs
+        from ..ops.dtypes import anchor_dtype
+        kw.update(depth=cfg.model.trans_num, shirt_num=cfg.model.shirt_num,
+                  compute_dtype=anchor_dtype(jnp.dtype(cfg.model.compute_dtype)))
     else:
         raise ValueError(
             f"unknown fusion kind {kind!r}; choose mfm | tsf | dga | dga2 | "

@@ -46,10 +46,10 @@ def _make_cfg():
     )
 
 
-def _make_batches(rng):
+def _make_batches(rng, dtype=np.float32):
     batches = []
     for _ in range(EPOCHS * SPE):
-        clips = rng.uniform(0.0, 1.0, (BS, T, IMG, IMG, 3)).astype(np.float32)
+        clips = rng.uniform(0.0, 1.0, (BS, T, IMG, IMG, 3)).astype(dtype)
         labels = rng.integers(0, N_CLASSES, BS).astype(np.int32)
         batches.append((clips, labels))
     return batches
@@ -66,9 +66,11 @@ def _snapshot(trunk, fc):
     return jax.tree_util.tree_map(np.copy, vars_)
 
 
-def _torch_trajectory(batches):
+def _torch_trajectory(batches, double=False):
     torch.manual_seed(7)
     trunk, fc = ResNet18Trunk(), torch.nn.Linear(512, N_CLASSES)
+    if double:
+        trunk, fc = trunk.double(), fc.double()
     opt1 = torch.optim.SGD(trunk.parameters(), lr=LR1, momentum=0.9)
     opt2 = torch.optim.SGD(fc.parameters(), lr=LR2, momentum=0.9)
     s1 = torch.optim.lr_scheduler.StepLR(opt1, step_size=10, gamma=0.1)
@@ -189,3 +191,49 @@ def test_pretrain_schedule_decays_at_epoch_10():
         np.testing.assert_allclose(float(upd["fc"]["w"][0]),
                                    -LR2 * factor * trace, rtol=1e-5,
                                    err_msg=f"head update {update_idx}")
+
+
+@pytest.mark.slow
+def test_pretrain_free_running_trajectory_fp64():
+    """Free-running fp64 pretrain lock (VERDICT r2 item 4): all 22 updates
+    (11 epochs x 2 steps, crossing the StepLR(10) boundary) integrated
+    independently on both sides in float64 — dual SGD groups, momentum,
+    train-mode BN (batch stats feed the forward, so the documented
+    biased/unbiased RUNNING-var gap never enters the loss; running stats are
+    excluded from the final comparison for that reason)."""
+    rng = np.random.default_rng(11)
+    batches = _make_batches(rng, dtype=np.float64)
+    t_states, t_losses = _torch_trajectory(batches, double=True)
+    assert np.std(t_losses) > 1e-6
+
+    prev_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        base = _make_cfg()
+        cfg = base.replace(model=base.model.__class__(**{
+            **base.model.__dict__, "compute_dtype": "float64"}))
+        state, model = create_pretrain_state(
+            cfg, jax.random.key(0), N_CLASSES, jnp.asarray(batches[0][0][:1]),
+            arch="resnet18", lr_groups=(LR1, LR2), steps_per_epoch=SPE)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray,
+                                          t_states[0]["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                               t_states[0]["batch_stats"]))
+        step = jax.jit(make_pretrain_step(cfg, model))
+        our_losses = []
+        for clips, labels in batches:
+            state, metrics = step(state, jnp.asarray(clips),
+                                  jnp.asarray(labels))
+            our_losses.append(float(metrics["loss"]))
+
+        np.testing.assert_allclose(our_losses, t_losses, rtol=1e-9,
+                                   err_msg="free-running fp64 loss series")
+        want = _flat(t_states[-1]["params"])
+        got = _flat(jax.tree_util.tree_map(np.asarray, dict(state.params)))
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-8, atol=1e-11,
+                                       err_msg=f"final param {k}")
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)

@@ -68,13 +68,13 @@ def _make_cfg():
     )
 
 
-def _make_data(rng, n_steps):
+def _make_data(rng, n_steps, dtype=np.float32):
     batches = []
     for _ in range(n_steps):
         batches.append(dict(
-            ctx={m: rng.standard_normal((E, S, T, D)).astype(np.float32)
+            ctx={m: rng.standard_normal((E, S, T, D)).astype(dtype)
                  for m in MODS},
-            tgt={m: rng.standard_normal((E, Q, T, D)).astype(np.float32)
+            tgt={m: rng.standard_normal((E, Q, T, D)).astype(dtype)
                  for m in MODS},
             labels=np.tile(np.repeat(np.arange(WAY), SHOT), (E, 1)).astype(np.int32),
             qlabels=np.tile(np.repeat(np.arange(WAY), QPC), (E, 1)).astype(np.int32),
@@ -91,6 +91,12 @@ class _TorchMFM(torch.nn.Module):
         self.three_fusion = _TorchTwoFusion(T, D, DEPTH, n_streams=3)
         self.fusion = _TorchTwoFusion(T, D, DEPTH, n_streams=2)
         self.tct = TorchTCT(way=WAY, shot=SHOT, seq_len=T, dim=D, dk=DK)
+        # bit-sync the sinusoidal table to our numpy-fp32 values (see
+        # test_trajectory_parity._build_torch_models) — the floor of the
+        # fp64 free-running lock below
+        from litemkd_tpu.ops.positional import sinusoidal_pe
+        with torch.no_grad():
+            self.tct.pe.copy_(torch.from_numpy(sinusoidal_pe(T, D, 0.1)))
 
     def fuse(self, feats):
         s0, s1, s2 = (feats[m] for m in MODS)
@@ -123,9 +129,11 @@ def _snapshot(model):
     return jax.tree_util.tree_map(np.copy, params)
 
 
-def _torch_trajectory(batches):
+def _torch_trajectory(batches, double=False):
     torch.manual_seed(7)
     model = _TorchMFM()
+    if double:
+        model = model.double()
     # eval mode: the transcription's TransformerEncoderLayers carry torch's
     # default dropout=0.1; the jax side runs with trans_dropout=0.0, so align
     # both at dropout-off (backward still flows in eval mode — no BN here)
@@ -232,3 +240,50 @@ def test_teacher_trajectory_matches_torch():
             f"step {i}: global update norm {upd_sq ** 0.5:.3e}, "
             f"deviation {err_sq ** 0.5:.3e}")
         assert upd_sq ** 0.5 > 1e-7, f"step {i}: torch made no update"
+
+
+@pytest.mark.slow
+def test_teacher_free_running_trajectory_fp64():
+    """Free-running 50-step MFM lock in float64 (VERDICT r2 item 4): both
+    sides integrate their own Adam trajectory from the shared init — no
+    teacher-forcing, tight loss-series tolerance. The final-param comparison
+    skips the two ANALYTICALLY-ZERO-gradient leaves (v_linear/attn_k biases,
+    see the fp32 test above): their "gradients" are pure rounding noise that
+    Adam normalizes into full lr-magnitude random-direction steps on both
+    backends — and since the v bias cancels in the logit distance and the
+    attention key bias cancels in softmax, their drift never feeds back into
+    the loss, which is why the loss lock stays tight anyway."""
+    N = 50
+    rng = np.random.default_rng(5)
+    batches = _make_data(rng, N, dtype=np.float64)
+    t_states, t_losses = _torch_trajectory(batches, double=True)
+    assert np.std(t_losses) > 1e-6
+
+    prev_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        base = _make_cfg()
+        cfg = base.replace(model=base.model.__class__(**{
+            **base.model.__dict__, "compute_dtype": "float64"}))
+        state = create_mfm_train_state(cfg, jax.random.key(0),
+                                       _to_batch(batches[0]))
+        state = state.replace(params=jax.tree_util.tree_map(
+            jnp.asarray, t_states[0]))
+        step = jax.jit(make_mfm_train_step(cfg))
+        our_losses = []
+        for b in batches:
+            state, metrics = step(state, _to_batch(b))
+            our_losses.append(float(metrics["task_loss"]))
+
+        np.testing.assert_allclose(our_losses, t_losses, rtol=1e-9,
+                                   err_msg="free-running fp64 loss series")
+        want = _flat(t_states[-1])
+        got = _flat(jax.tree_util.tree_map(np.asarray, dict(state.params)))
+        assert set(got) == set(want)
+        for k in want:
+            if k.endswith(("v_linear/bias", "attn_k/bias")):
+                continue
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-8, atol=1e-10,
+                                       err_msg=f"final param {k}")
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
