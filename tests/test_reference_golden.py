@@ -569,3 +569,141 @@ def test_distiller_full_dict_matches_reference(name):
         np.testing.assert_allclose(
             float(got[k]), float(v.detach()), rtol=3e-5, atol=1e-6,
             err_msg=f"{name}[{k}]")
+
+
+# ---------------------------------------------------------------------------
+# Metric heads: e_dist / CosDistance / CNN_OTAM (parameter-free forwards)
+# ---------------------------------------------------------------------------
+
+def test_edist_forward_matches_reference():
+    """Our EDist == the executing ``e_dist`` (e_dist.py:16-61): frame-mean
+    prototypes, torch.cdist p=2, negated class distances. The reference
+    consumes FLAT (N*8, 2048) features and reshapes internally; ours takes
+    (N, T, D)."""
+    from litemkd_tpu.models.classifiers.edist import EDist
+
+    ns = refexec.student_half()
+    args = refexec.student_args(ns)
+    ref = ns.model_classifiers.e_dist(args).eval()
+
+    sup, qry = _episode()
+    with torch.no_grad():
+        want = t2n(ref(torch.tensor(sup.reshape(-1, D)),
+                       torch.tensor(LABELS),
+                       torch.tensor(qry.reshape(-1, D)))["logits"])
+
+    m = EDist(way=WAY, shot=SHOT, seq_len=T)
+    got = np.asarray(m.apply({}, jnp.asarray(sup), jnp.asarray(LABELS),
+                             jnp.asarray(qry), False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cos_classifier_matches_reference():
+    """Our CosDistance reproduces COS.py's quirk: despite the name, the
+    released class computes *euclidean* torch.cdist (COS.py:44-58). The
+    reference consumes pre-shaped (N, T, D) features here (its caller
+    reshapes, COS.py:31 comment) and returns a BARE tensor, not the
+    {'logits': ...} dict every sibling classifier returns (COS.py:62)."""
+    from litemkd_tpu.models.classifiers.edist import CosDistance
+
+    ns = refexec.student_half()
+    args = refexec.student_args(ns)
+    ref = ns.model_classifiers.CosDistance(args).eval()
+
+    sup, qry = _episode()
+    with torch.no_grad():
+        want = t2n(ref(torch.tensor(sup), torch.tensor(LABELS),
+                       torch.tensor(qry)))
+
+    m = CosDistance(way=WAY, shot=SHOT, seq_len=T)
+    got = np.asarray(m.apply({}, jnp.asarray(sup), jnp.asarray(LABELS),
+                             jnp.asarray(qry), False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cnn_otam_matches_reference():
+    """Our OTAM head == the executing ``CNN_OTAM`` (teacher model.py:
+    3312-3344): cosine frame distances (eps 0.01), the λ=0.1 soft-DTW band
+    recursion in BOTH directions, class-mean, softmax(-dist)."""
+    from litemkd_tpu.models.classifiers.otam import OTAMClassifier
+
+    ns = refexec.teacher_half()
+    ref = ns.model.CNN_OTAM().eval()
+
+    sup, qry = _episode(d=64)
+    with torch.no_grad():
+        want = t2n(ref(torch.tensor(sup), torch.tensor(LABELS),
+                       torch.tensor(qry))["logits"])
+
+    m = OTAMClassifier(way=WAY, shot=SHOT, seq_len=T)
+    got = np.asarray(m.apply({}, jnp.asarray(sup), jnp.asarray(LABELS),
+                             jnp.asarray(qry), False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator metric math (utils.py:116-127, test.py's accuracy aggregation)
+# ---------------------------------------------------------------------------
+
+def test_eval_metrics_match_reference():
+    """aggregate_accuracy and task_confusion vs the reference's own utils —
+    the exact functions test.py's Evaluator aggregates with."""
+    from litemkd_tpu.utils.metrics import aggregate_accuracy, task_confusion
+
+    ns = refexec.student_half()
+    r = np.random.default_rng(9)
+    logits = r.normal(size=(Q, WAY)).astype(np.float32)
+    class_list = r.choice(101, WAY, replace=False).astype(np.int64)
+    real_labels = class_list[Q_LABELS]
+
+    want_acc = float(ns.utils.aggregate_accuracy(
+        torch.tensor(logits), torch.tensor(Q_LABELS)))
+    got_acc = float(aggregate_accuracy(jnp.asarray(logits),
+                                       jnp.asarray(Q_LABELS.astype(np.int32))))
+    np.testing.assert_allclose(got_acc, want_acc, rtol=1e-6)
+
+    # reference task_confusion takes a leading sample axis (always 1)
+    want_preds = t2n(ns.utils.task_confusion(
+        torch.tensor(logits[None]), torch.tensor(Q_LABELS),
+        torch.tensor(real_labels), torch.tensor(class_list)))
+    got_preds = np.asarray(task_confusion(jnp.asarray(logits),
+                                          jnp.asarray(class_list)))
+    np.testing.assert_array_equal(got_preds, want_preds)
+
+
+def test_strm_classifier_matches_reference():
+    """Our STRM head == the executing ``strmclassifiers``
+    (strmclassifiers.py:257-287): patch-stream DistanceLoss (tuple concat →
+    clsW → ReLU → class-mean squared-euclidean, :162-238) + frame-stream TCT,
+    with imported weights, eval mode."""
+    from litemkd_tpu.models.classifiers.strm import STRMClassifier
+
+    ns = refexec.student_half()
+    args = refexec.student_args(ns)
+    torch.manual_seed(21)
+    ref = ns.model_classifiers.strmclassifiers(args).eval()
+
+    s_pat, q_pat = _episode()
+    s_fr, q_fr = _episode(scale=1.5)
+    ctx = {"distance": torch.tensor(s_pat), "trx": torch.tensor(s_fr)}
+    tgt = {"distance": torch.tensor(q_pat), "trx": torch.tensor(q_fr)}
+    with torch.no_grad():
+        want = ref(ctx, torch.tensor(LABELS), tgt)["logits"]
+
+    clsW = ref.DistanceLoss.clsW
+    params = {
+        "transformers": import_tct(_tct_sd(ref.transformers), "transformers"),
+        "distance": {"clsW": {"kernel": t2n(clsW.weight).T,
+                              "bias": t2n(clsW.bias)}},
+    }
+    m = STRMClassifier(way=WAY, shot=SHOT, seq_len=T, in_dim=D,
+                       out_dim=args.trans_linear_out_dim)
+    got = m.apply({"params": params},
+                  {"distance": jnp.asarray(s_pat), "trx": jnp.asarray(s_fr)},
+                  jnp.asarray(LABELS),
+                  {"distance": jnp.asarray(q_pat), "trx": jnp.asarray(q_fr)},
+                  False)
+    np.testing.assert_allclose(np.asarray(got["pat"]), t2n(want["pat"]),
+                               rtol=2e-4, atol=5e-4, err_msg="pat")
+    np.testing.assert_allclose(np.asarray(got["fr"]), t2n(want["fr"]),
+                               rtol=2e-4, atol=5e-4, err_msg="fr")
