@@ -18,6 +18,7 @@ The student registry's ``CTX`` is shipped by the release ONLY as bytecode
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.positional import TrainablePE
@@ -33,13 +34,14 @@ class TimeTransformer(nn.Module):
     depth: int = 2
     nhead: int = 8
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         t = x.shape[-2]
         x = TrainablePE(t, self.d, self.dropout, name="pe")(x, train=train)
         x = Encoder(self.d, self.nhead, self.depth, self.dropout,
-                    name="encoder")(x, train)
+                    self.compute_dtype, name="encoder")(x, train)
         x = nn.Dense(self.d, kernel_init=torch_linear_kernel_init(),
                      bias_init=torch_linear_bias_init(self.d),
                      name="f1")(x)
@@ -55,11 +57,13 @@ class CTXClassifier(nn.Module):
     out_dim: int = 1152
     set_size: int = 1          # frame-level attention (TCT_gai)
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     @nn.compact
     def __call__(self, context, context_labels, target, train: bool):
         tt = TimeTransformer(self.in_dim, dropout=self.dropout,
+                             compute_dtype=self.compute_dtype,
                              name="time_trans")
         ctx = tt(context, train=train)
         tgt = tt(target, train=train)
@@ -67,5 +71,6 @@ class CTXClassifier(nn.Module):
             way=self.way, shot=self.shot, seq_len=self.seq_len,
             in_dim=self.in_dim, out_dim=self.out_dim,
             set_size=self.set_size, dropout=self.dropout,
+            compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             name="transformers")(ctx, context_labels, tgt, train=train)

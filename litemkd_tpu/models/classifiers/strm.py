@@ -8,6 +8,7 @@ on trx1/trx2 + STRMDistance + SupportDK → {'pat','fr1','fr2','sup'}.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.tct import TemporalCrossTransformer
@@ -23,13 +24,15 @@ class STRMClassifier(nn.Module):
     out_dim: int = 1152
     set_size: int = 2
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     def _tct(self):
         return TemporalCrossTransformer(
             way=self.way, shot=self.shot, seq_len=self.seq_len,
             in_dim=self.in_dim, out_dim=self.out_dim, set_size=self.set_size,
-            dropout=self.dropout, use_pallas=self.use_pallas,
+            dropout=self.dropout, compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
             name="transformers")
 
     def _distance(self):

@@ -148,7 +148,13 @@ def _head_kwargs(name: str, cfg: Config) -> Dict[str, Any]:
                   temp_set=cfg.model.temp_set,
                   dropout=cfg.model.trans_dropout)
     if issubclass(cls, (TRX, TRXMulti, STRMClassifier, CTXClassifier)):
-        kw.update(use_pallas=cfg.model.use_pallas)
+        # anchor policy: heads are precision-sensitive (attention/softmax/
+        # distance math), so they run at the fp32 anchor regardless of a
+        # bf16 trunk — widened to fp64 under x64 golden runs (the same
+        # policy make_mfm applies to the fusion teacher)
+        from ..ops.dtypes import anchor_dtype
+        kw.update(use_pallas=cfg.model.use_pallas,
+                  compute_dtype=anchor_dtype(jnp.dtype(cfg.model.compute_dtype)))
     return kw
 
 

@@ -166,7 +166,10 @@ def make_train_step(cfg: Config) -> Callable:
             lambda p, s, r: jax.grad(loss_fn, has_aux=True)(
                 p, s, teacher_vars, first_chunk, r),
             state.params, state.batch_stats, rngs[0])
-        zero_m = {k: jnp.zeros((), jnp.float32) for k in m0}
+        # accumulator dtypes follow the body's metric dtypes (fp32 anchors
+        # normally; fp64 under x64 golden runs — a literal float32 here
+        # breaks the scan carry-type match)
+        zero_m = {k: jnp.zeros((), m0[k].dtype) for k in m0}
         (grads, new_stats, metrics), _ = jax.lax.scan(
             body, (zero_g, state.batch_stats, zero_m), (chunked, rngs))
         # loss is a sum over episodes; averaged metrics get normalized

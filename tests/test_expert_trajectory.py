@@ -87,10 +87,18 @@ class ExpertBackbone1FC(nn.Module):
         return self.fc1(f).view(-1, self.seq_len, self.dim)
 
 
-def _build_torch_models():
+def _build_torch_models(double=False):
     torch.manual_seed(23)
-    return (ExpertBackbone1FC(dim=DIM, seq_len=T),
-            TorchTCT(way=WAY, shot=SHOT, seq_len=T, dim=DIM, dk=DK))
+    backbone = ExpertBackbone1FC(dim=DIM, seq_len=T)
+    tct = TorchTCT(way=WAY, shot=SHOT, seq_len=T, dim=DIM, dk=DK)
+    if double:
+        backbone, tct = backbone.double(), tct.double()
+        # bit-sync the sinusoidal table to our numpy-fp32 values (same 1-ulp
+        # fp32 libm issue as the other fp64 free-running locks)
+        from litemkd_tpu.ops.positional import sinusoidal_pe
+        with torch.no_grad():
+            tct.pe.copy_(torch.from_numpy(sinusoidal_pe(T, DIM, 0.1)))
+    return backbone, tct
 
 
 def _export_to_flax(backbone, tct):
@@ -117,11 +125,11 @@ def _export_to_flax(backbone, tct):
     }
 
 
-def _torch_trajectory(batches):
+def _torch_trajectory(batches, double=False):
     """run.py's loop at our accumulation geometry: E episodes per optimizer
     step (backward accumulates, sum semantics), constant-lr scheduler stepped
     every episode (run.py:261-265 with the default milestone [1000000])."""
-    backbone, tct = _build_torch_models()
+    backbone, tct = _build_torch_models(double=double)
     params = list(backbone.parameters()) + list(tct.parameters())
     opt = torch.optim.SGD(params, lr=LR)            # momentum 0 (run.py:80)
     sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[1_000_000],
@@ -236,6 +244,77 @@ def test_expert_trajectory_matches_torch():
                 else dict(rtol=1e-4, atol=1e-5)
             np.testing.assert_allclose(got_s[k], want_s[k],
                                        err_msg=f"step {i} stat {k}", **tol)
+
+
+@pytest.mark.slow
+def test_expert_free_running_trajectory_fp64():
+    """Free-running float64 expert lock (VERDICT r2 item 4): both sides
+    integrate 20 unforced momentum-0 SGD updates at constant lr from the
+    shared init. Train-mode BN's BATCH stats feed the forward, so the
+    biased/unbiased RUNNING-var gap never enters the loss; running means are
+    compared tightly at the end, vars excluded. 20 steps (not 50) for the
+    same 1-core conv-cost reason as the student lock
+    (test_trajectory_parity.test_student_free_running_trajectory_fp64)."""
+    N = 20
+    rng = np.random.default_rng(29)
+    batches = [dict(
+        ctx=rng.random((E, S, T, IMG, IMG, 3)),
+        tgt=rng.random((E, Q, T, IMG, IMG, 3)),
+        labels=np.tile(np.repeat(np.arange(WAY), SHOT), (E, 1)).astype(np.int32),
+        qlabels=np.tile(np.repeat(np.arange(WAY), QPC), (E, 1)).astype(np.int32),
+    ) for _ in range(N)]
+    t_states, t_losses = _torch_trajectory(batches, double=True)
+    assert np.std(t_losses) > 1e-8
+
+    prev_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        base = _make_cfg()
+        cfg = base.replace(model=base.model.__class__(**{
+            **base.model.__dict__, "compute_dtype": "float64"}))
+
+        def to_batch(b):
+            return EpisodeBatch(
+                support_clips=jnp.asarray(b["ctx"]),
+                support_labels=jnp.asarray(b["labels"]),
+                query_clips=jnp.asarray(b["tgt"]),
+                query_labels=jnp.asarray(b["qlabels"]),
+            )
+
+        state, t_vars = create_train_state(cfg, jax.random.key(0),
+                                           to_batch(batches[0]),
+                                           episodes_per_step=E)
+        assert t_vars is None
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray,
+                                          t_states[0]["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                               t_states[0]["batch_stats"]))
+        step = jax.jit(make_train_step(cfg))
+        our_losses = []
+        for b in batches:
+            state, metrics = step(state, None, to_batch(b))
+            our_losses.append(float(metrics["task_loss"]))
+
+        np.testing.assert_allclose(our_losses, t_losses, rtol=1e-9,
+                                   err_msg="free-running fp64 loss series")
+        want = _flat(t_states[-1]["params"])
+        got = _flat(jax.tree_util.tree_map(np.asarray, dict(state.params)))
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-8, atol=1e-11,
+                                       err_msg=f"final param {k}")
+        want_s = _flat(t_states[-1]["batch_stats"])
+        got_s = _flat(jax.tree_util.tree_map(np.asarray,
+                                             dict(state.batch_stats)))
+        assert set(got_s) == set(want_s)
+        for k in want_s:
+            if k.endswith("mean"):
+                np.testing.assert_allclose(got_s[k], want_s[k], rtol=1e-8,
+                                           atol=1e-12,
+                                           err_msg=f"final stat {k}")
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_expert_lr_is_constant():

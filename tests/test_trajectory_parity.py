@@ -10,6 +10,14 @@ episodes, chained BN stats — the reference's accumulation loop) and the
 fused-batch path (with ``freeze_bn``, where BN normalization is identical by
 construction).
 
+Two tiers: the fp32 tests are teacher-forced (reset to the torch state before
+every step) because two independent fp32 backends amplify rounding noise
+~5x/step when free-running; test_student_free_running_trajectory_fp64 removes
+that caveat entirely — both sides integrate 20 unforced float64 updates
+across the LR-decay boundary and match to 1e-9 on the loss series (all four
+trainers carry the same fp64 free-running lock; see test_teacher_trajectory /
+test_pretrain_trajectory / test_expert_trajectory).
+
 Documented divergence retained here: the torch trainer below feeds each
 episode's context+target clips through the backbone as ONE BN batch, matching
 our Student's fused forward; the released reference runs two separate forwards
@@ -70,26 +78,37 @@ def _make_cfg(**model_overrides):
     return cfg
 
 
-def _make_data(rng, n_steps):
+def _make_data(rng, n_steps, dtype=np.float32):
     """n_steps batches of E episodes: clips in [0,1], teacher features."""
     batches = []
     for _ in range(n_steps):
         batches.append(dict(
-            ctx=rng.random((E, S, T, IMG, IMG, 3), dtype=np.float32),
-            tgt=rng.random((E, Q, T, IMG, IMG, 3), dtype=np.float32),
+            ctx=rng.random((E, S, T, IMG, IMG, 3)).astype(dtype),
+            tgt=rng.random((E, Q, T, IMG, IMG, 3)).astype(dtype),
             labels=np.tile(np.repeat(np.arange(WAY), SHOT), (E, 1)).astype(np.int32),
             qlabels=np.tile(np.repeat(np.arange(WAY), QPC), (E, 1)).astype(np.int32),
-            t_ctx=rng.standard_normal((E, S, T, DIM)).astype(np.float32),
-            t_tgt=rng.standard_normal((E, Q, T, DIM)).astype(np.float32),
+            t_ctx=rng.standard_normal((E, S, T, DIM)).astype(dtype),
+            t_tgt=rng.standard_normal((E, Q, T, DIM)).astype(dtype),
         ))
     return batches
 
 
-def _build_torch_models():
+def _build_torch_models(double=False):
     torch.manual_seed(11)
     backbone = StudentBackbone2FC(dim=DIM, seq_len=T)
     tct = TorchTCT(way=WAY, shot=SHOT, seq_len=T, dim=DIM, dk=DK)
     teacher_tct = TorchTCT(way=WAY, shot=SHOT, seq_len=T, dim=DIM, dk=DK)
+    if double:
+        backbone, tct = backbone.double(), tct.double()
+        teacher_tct = teacher_tct.double()
+        # bit-sync the sinusoidal tables to our numpy-fp32 values (see
+        # test_teacher_trajectory._TorchMFM): both sides compute the table
+        # in fp32 with different libm roundings (~1 ulp), which is far above
+        # the 1e-9 fp64 lock below
+        from litemkd_tpu.ops.positional import sinusoidal_pe
+        with torch.no_grad():
+            for m in (tct, teacher_tct):
+                m.pe.copy_(torch.from_numpy(sinusoidal_pe(T, DIM, 0.1)))
     return backbone, tct, teacher_tct
 
 
@@ -121,11 +140,11 @@ def _export_to_flax(backbone, tct, teacher_tct, cfg):
     return student_vars, teacher_vars
 
 
-def _torch_trajectory(batches, bn_eval=False):
+def _torch_trajectory(batches, bn_eval=False, double=False):
     """The reference's loop at our accumulation geometry: E episodes per
     optimizer step (backward accumulates, sum semantics), scheduler.step()
     every episode AFTER the optional optimizer step (trainwandb.py:141-145)."""
-    backbone, tct, teacher_tct = _build_torch_models()
+    backbone, tct, teacher_tct = _build_torch_models(double=double)
     if bn_eval:
         for m in backbone.modules():
             if isinstance(m, torch.nn.BatchNorm2d):
@@ -297,6 +316,89 @@ def test_trajectory_matches_torch(mode):
             for k in want_s:
                 np.testing.assert_allclose(got_s[k], want_s[k], rtol=1e-6,
                                            err_msg=f"step {i} frozen stat {k}")
+
+
+@pytest.mark.slow
+def test_student_free_running_trajectory_fp64():
+    """Free-running float64 student-distill lock (VERDICT r2 item 4): both
+    sides integrate their own SGD + MultiStepLR trajectory from the shared
+    init across the decay boundary (update 9) — no teacher-forcing. The
+    micro_batch path chains train-mode BN, whose BATCH stats feed the
+    forward, so the documented biased/unbiased RUNNING-var gap never enters
+    the loss; running stats are excluded from the final comparison for that
+    reason (their means are compared tightly). 20 steps (not the MFM lock's
+    50): each step is 2 episodes x 36 resnet18 frames fwd+bwd in fp64 on
+    this 1-core box; chaos growth is what free-running certifies and 20
+    steps past the decay boundary already amplifies any semantic error by
+    orders of magnitude above these tolerances."""
+    N = 20
+    rng = np.random.default_rng(17)
+    batches = _make_data(rng, N, dtype=np.float64)
+    t_states, t_losses = _torch_trajectory(batches, double=True)
+    assert np.std(t_losses) > 1e-6
+    # geometry covers the decay boundary (update 9 of 20)
+    assert any(MILESTONE <= u * E - 1 for u in range(1, N + 1))
+    assert not all(MILESTONE <= u * E - 1 for u in range(1, N + 1))
+
+    prev_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        base = _make_cfg()
+        cfg = base.replace(
+            model=base.model.__class__(**{
+                **base.model.__dict__, "compute_dtype": "float64"}),
+            train=base.train.__class__(**{
+                **base.train.__dict__, "micro_batch": 1}))
+        _, teacher_vars = _export_to_flax(
+            *_build_torch_models(double=True), cfg)
+
+        def to_batch(b):
+            return EpisodeBatch(
+                support_clips=jnp.asarray(b["ctx"]),
+                support_labels=jnp.asarray(b["labels"]),
+                query_clips=jnp.asarray(b["tgt"]),
+                query_labels=jnp.asarray(b["qlabels"]),
+                support_feats=jnp.asarray(b["t_ctx"]),
+                query_feats=jnp.asarray(b["t_tgt"]),
+            )
+
+        state, _ = create_train_state(cfg, jax.random.key(0),
+                                      to_batch(batches[0]),
+                                      episodes_per_step=E)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray,
+                                          t_states[0]["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                               t_states[0]["batch_stats"]))
+        t_vars = {"params": jax.tree_util.tree_map(jnp.asarray,
+                                                   teacher_vars["params"])}
+        step = jax.jit(make_train_step(cfg))
+        our_losses = []
+        for b in batches:
+            state, metrics = step(state, t_vars, to_batch(b))
+            our_losses.append(float(metrics["task_loss"]))
+
+        np.testing.assert_allclose(our_losses, t_losses, rtol=1e-9,
+                                   err_msg="free-running fp64 loss series")
+        want = _flat(t_states[-1]["params"])
+        got = _flat(jax.tree_util.tree_map(np.asarray, dict(state.params)))
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-8, atol=1e-11,
+                                       err_msg=f"final param {k}")
+        # running MEANS accumulate linearly in the batch means — tight;
+        # vars carry torch's unbiased n/(n-1) factor and are excluded
+        want_s = _flat(t_states[-1]["batch_stats"])
+        got_s = _flat(jax.tree_util.tree_map(np.asarray,
+                                             dict(state.batch_stats)))
+        assert set(got_s) == set(want_s)
+        for k in want_s:
+            if k.endswith("mean"):
+                np.testing.assert_allclose(got_s[k], want_s[k], rtol=1e-8,
+                                           atol=1e-12,
+                                           err_msg=f"final stat {k}")
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 @pytest.mark.slow
