@@ -12,15 +12,24 @@ from ..config import (Config, DataConfig, DistillConfig, EpisodeConfig,
                       MeshConfig, ModelConfig, TrainConfig, preset)
 
 
-def enable_compilation_cache(path: str = "/tmp/litemkd_jax_cache",
+def enable_compilation_cache(path: Optional[str] = None,
                              min_compile_secs: float = 5.0) -> None:
     """Persistent XLA compilation cache — first compiles of the flagship step
     take minutes on remote-compile TPU setups; cached reruns are instant.
     Honors JAX_COMPILATION_CACHE_DIR if the user already set one. The test
     suite calls this with a lower ``min_compile_secs``: its many small CPU
-    compiles individually sit under the CLI default."""
+    compiles individually sit under the CLI default.
+
+    The default lives INSIDE the repo (``<repo>/.jax_cache``, gitignored):
+    a /tmp cache evaporates across reboots, which turns the next bench/CLI
+    run into a multi-minute cold remote compile (this is exactly what ate
+    the round-3 driver bench budget)."""
     import os as _os
     import jax
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), ".jax_cache")
     cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -135,6 +135,14 @@ def _resize_shorter(img: "Image.Image", size: int) -> "Image.Image":
     return img.resize((ow, oh), Image.BILINEAR)
 
 
+def _center_offset(margin: int) -> int:
+    """CenterCrop origin: the reference rounds (``int(round((im_h-h)/2.))``,
+    videotransforms/video_transforms.py:243-244) rather than flooring —
+    one pixel lower/righter than ``//2`` when the margin is ≡3 (mod 4)
+    (banker's rounding keeps .5 cases equal to floor)."""
+    return int(round(margin / 2))
+
+
 def _resized_dims(w: int, h: int, size: int) -> Tuple[int, int]:
     if (w <= h and w == size) or (h <= w and h == size):
         return w, h
@@ -184,8 +192,8 @@ def load_clip_native(paths: List[str], idxs: np.ndarray, *, img_size: int,
             x0 = rw - img_size - x0
     else:
         flip = False
-        y0 = (rh - img_size) // 2
-        x0 = (rw - img_size) // 2
+        y0 = _center_offset(rh - img_size)
+        x0 = _center_offset(rw - img_size)
     if blobs is not None:
         return native.decode_clip_mem(blobs, resize_to, y0, x0, img_size,
                                       flip)
@@ -213,8 +221,8 @@ def load_clip(paths: List[str], idxs: np.ndarray, *, img_size: int, train: bool,
         y0 = int(rng.integers(0, h - img_size + 1))
         x0 = int(rng.integers(0, w - img_size + 1))
     else:
-        y0 = (h - img_size) // 2
-        x0 = (w - img_size) // 2
+        y0 = _center_offset(h - img_size)
+        x0 = _center_offset(w - img_size)
     clip = clip[:, y0:y0 + img_size, x0:x0 + img_size, :]
     return np.ascontiguousarray(clip)
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ...ops.otam import otam_logits
 from ...ops.tct import MultiSetTCT
@@ -34,6 +35,7 @@ class TRXMulti(nn.Module):
     out_dim: int = 1152
     temp_set: Tuple[int, ...] = (2, 3)
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
     @nn.compact
@@ -41,6 +43,7 @@ class TRXMulti(nn.Module):
         return MultiSetTCT(way=self.way, shot=self.shot, seq_len=self.seq_len,
                            in_dim=self.in_dim, out_dim=self.out_dim,
                            temp_set=self.temp_set, dropout=self.dropout,
+                           compute_dtype=self.compute_dtype,
                            use_pallas=self.use_pallas,
                            name="transformers")(context, context_labels,
                                                 target, train=train)

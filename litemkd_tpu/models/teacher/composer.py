@@ -133,12 +133,15 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     "ThreeTRXLRShiftLoopTime": (Branch("pair", (0, 1), 0, "f"),
                                 Branch("pair", (0, 1), 1, "f"),
                                 Branch("pair", (0, 2), -1, "f")),
-    # as released (model.py:2225-2240): m2 support rolled left / query
-    # identity; m3 cat((suffix, rest)) == identity on BOTH sides
+    # as released (model.py:2224-2240): m2 support rolled left / query
+    # identity; m3 support cat((prefix, rest)) == identity but m3 QUERY is
+    # cat((rest, prefix)) == rolled left — the sides shift in OPPOSITE
+    # corners (verified against the executing class,
+    # tests/test_reference_golden_fusion.py)
     "ThreeTRXLRShiftLoopTime_faithful": (
         Branch("pair", (0, 1), 0, "f"),
         Branch("pair", (0, 1), (("roll", 1), ("roll", 0)), "f"),
-        Branch("pair", (0, 2), 0, "f")),
+        Branch("pair", (0, 2), (("roll", 0), ("roll", 1)), "f")),
     # model.py:1712 / 1797 Four/FiveShiftFusion
     "FourShiftFusion": (Branch("multi", (0, 1, 2, 3)),
                         Branch("pair", (0, 1), 1, "f"),
@@ -201,6 +204,12 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
     "TwoCombinationTemTroShiftTRX_faithful": (
         Branch("multi", (0, 1, 2), depth=2, sides=(1, 0)),
         Branch("pair", (0, 1), 1, "f"), Branch("pair", (0, 2), 0, "f")),
+    # model.py:1896 OTAMThreeTRXShiftLoopTime — the MFM branch set as RELEASED
+    # (m2 rolled left both sides, m3's cat((prefix, rest)) == identity,
+    # l.1918-1933) under a CNN_OTAM head instead of the TRX branch
+    "OTAMThreeTRXShiftLoopTime": (Branch("multi", (0, 1, 2)),
+                                  Branch("pair", (0, 1), 1, "f"),
+                                  Branch("pair", (0, 2), 0, "f")),
     # model.py:2555 ThreeFusion3 — self-encoded m1 + pair(m2, m3), MLP post
     "ThreeFusion3": (Branch("self", (0,), depth=3), Branch("pair", (1, 2))),
     # model.py:2700 TwoFusionBatchFusion — scalar-stat shift fusion
@@ -210,6 +219,7 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
 # per-preset module-level options (combiner / post-processor)
 PRESET_OPTIONS: Dict[str, Dict[str, str]] = {
     "ThreeCross": {"combine": "cross"},
+    "OTAMThreeTRXShiftLoopTime": {"head": "otam"},
     "ThreeFusion3": {"post": "mlp"},
     "TwoCTXShuffleTime": {"head": "ctx"},
     "TwoCTXShuffleTime_faithful": {"head": "ctx"},

@@ -210,3 +210,57 @@ def test_mobilenet_remat_matches_plain():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         grads[0], grads[1])
+
+
+def test_every_registered_name_constructs_and_traces(tiny_cfg):
+    """Guard: EVERY name in the two registries (models/student.py:44-104,
+    reference model_select.py:167-199) must construct and trace one forward at
+    tiny geometry. jax.eval_shape runs all Python/Flax construction and
+    __call__ logic without compiling, so the whole sweep stays seconds-fast —
+    this is the test that would have caught the round-3 HEAD regression
+    (TRXMulti rejecting compute_dtype) instantly."""
+    from litemkd_tpu.models.student import (BACKBONES, CLASSIFIERS,
+                                            make_backbone, make_classifier)
+    cfg = tiny_cfg
+    ep, d = cfg.episode, cfg.model.trans_linear_in_dim
+    key = jax.random.key(0)
+
+    def fstruct(n):
+        return jax.ShapeDtypeStruct((n, ep.seq_len, d), jnp.float32)
+
+    # feature layout per head family (see Student: num_fc=2 trunks emit
+    # {'f1','f2'}; the STRM trunk emits {'distance','trx*'})
+    two_fc = {"TRX_2fc", "TRX_2fcsup", "TRX_2fcsup_2",
+              "e_dist_fc2", "e_dist_fc2_sup"}
+    strm_two = {"strm_res18_sup"}
+    strm_one = {"strmclassifiers", "strm_res18", "strm_1fc_sup"}
+    labels = jax.ShapeDtypeStruct((ep.n_support,), jnp.int32)
+    for name in sorted(CLASSIFIERS):
+        head = make_classifier(name, cfg)
+        if name in two_fc:
+            keysets = ("f1", "f2")
+        elif name in strm_two:
+            keysets = ("distance", "trx1", "trx2")
+        elif name in strm_one:
+            keysets = ("distance", "trx")
+        else:
+            keysets = None
+        if keysets:
+            ctx = {k: fstruct(ep.n_support) for k in keysets}
+            tgt = {k: fstruct(ep.n_queries(True)) for k in keysets}
+        else:
+            ctx, tgt = fstruct(ep.n_support), fstruct(ep.n_queries(True))
+        v = jax.eval_shape(
+            lambda c, l, t, h=head: h.init(key, c, l, t, False),
+            ctx, labels, tgt)
+        assert "params" in v or not v, name
+
+    clips = jax.ShapeDtypeStruct((1, 2, ep.img_size, ep.img_size, 3),
+                                 jnp.float32)
+    skel = jax.ShapeDtypeStruct((1, 2, 17, 3), jnp.float32)
+    feats = jax.ShapeDtypeStruct((1, 2, d), jnp.float32)
+    for name in sorted(BACKBONES):
+        bb = make_backbone(name, cfg)
+        x = (skel if name in ("s3d", "skeleton")
+             else feats if name == "feature" else clips)
+        jax.eval_shape(lambda xx, b=bb: b.init(key, xx, train=False), x)

@@ -1,0 +1,294 @@
+"""Executing-reference goldens for the full teacher fusion-permutation zoo.
+
+``multi_fusion.py:116-120`` instantiates ANY ``teacher/code/model.py`` class by
+``--model <name>``, so every fusion permutation is live. Round 3 had only
+``ThreeTRXShiftLoopTime`` (the MFM) golden-tested against its own bytecode;
+here every composer preset whose reference class is built purely from
+``batch_first`` encoders gets an exact shared-weights forward golden via the
+new ``load_composed_checkpoint`` importer (VERDICT r3 item 3).
+
+Classes whose released encoders OMIT ``batch_first`` (FourTransforFusion
+/ ThreeTransforTask / ThreeTranToTwo / ThreeFusion3's ``tran`` — they attend
+across VIDEOS, our documented divergence) get mechanical divergence-pinning
+tests instead: the quirk claims (dead modules, video-axis mixing) are
+re-derived from the executing bytecode, plus exact goldens for the
+batch_first sub-paths where isolable.
+
+Geometry is deliberately OFF-canonical where the reference is parametric
+(shot=2, query_per_class=1, trans_num=1; VERDICT r3 weak #4); way=5 and
+seq_len=8 stay canonical (the reference TCT hardcodes way-5 and
+ThreeTRXShuffleTime hardcodes 8-frame pad amounts).
+"""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+import refexec
+from refexec import requires_reference, t2n
+
+from litemkd_tpu import preset
+from litemkd_tpu.tools.torch_import import load_composed_checkpoint
+from litemkd_tpu.train.teacher_steps import make_mfm
+
+pytestmark = requires_reference
+
+WAY, SHOT, QPC, T, D = 5, 2, 1, 8, 2048
+S, Q = WAY * SHOT, WAY * QPC
+LABELS = np.repeat(np.arange(WAY), SHOT).astype(np.int64)
+MODS = ("rgb", "depth", "flow", "skeleton", "audio")
+
+
+def _cfg(n_mods, trans_num=1):
+    cfg = preset("mfm_teacher")
+    return cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "trans_num": trans_num,
+                                     "temp_set": (2,),
+                                     "modalities": MODS[:n_mods]}),
+        episode=cfg.episode.__class__(**{**cfg.episode.__dict__,
+                                         "way": WAY, "shot": SHOT,
+                                         "query_per_class": QPC,
+                                         "seq_len": T}))
+
+
+def _ref_model(cls_name, n_mods, seed, trans_num=1):
+    ns = refexec.teacher_half()
+    args = refexec.teacher_args(shot=SHOT, query_per_class=QPC,
+                                trans_num=trans_num)
+    for i, m in enumerate(MODS[:n_mods]):
+        setattr(args, f"m{i + 1}", m)
+    torch.manual_seed(seed)
+    return getattr(ns.model, cls_name)(args).eval()
+
+
+def _feats(n_mods, seed):
+    r = np.random.default_rng(seed)
+    ctx = {m: r.normal(size=(S, T, D)).astype(np.float32)
+           for m in MODS[:n_mods]}
+    tgt = {m: r.normal(size=(Q, T, D)).astype(np.float32)
+           for m in MODS[:n_mods]}
+    return ctx, tgt
+
+
+def _ref_logits(ref, ctx, tgt):
+    with torch.no_grad():
+        out = ref({m: torch.tensor(v) for m, v in ctx.items()},
+                  torch.tensor(LABELS),
+                  {m: torch.tensor(v) for m, v in tgt.items()})
+    want = t2n(out["logits"] if isinstance(out, dict) else out)
+    if want.ndim == 3:          # split_first_dim_linear's leading NUM_SAMPLES
+        want = want[0]
+    return want
+
+
+def _assert_tree_paths_match(model, variables, ctx, tgt):
+    """The importer's tree must cover the model's init tree EXACTLY — flax
+    apply ignores surplus params, so a misnamed import branch would silently
+    leave random... no: apply errors on MISSING params, but surplus keys hide
+    prefix typos. Compare flattened path sets."""
+    init_v = jax.eval_shape(
+        lambda c, t: model.init(jax.random.key(0), c, jnp.asarray(LABELS), t,
+                                False),
+        {m: jax.ShapeDtypeStruct(v.shape, jnp.float32) for m, v in ctx.items()},
+        {m: jax.ShapeDtypeStruct(v.shape, jnp.float32) for m, v in tgt.items()})
+
+    def paths(tree):
+        return {jax.tree_util.keystr(p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    missing = paths(init_v["params"]) - paths(variables["params"])
+    surplus = paths(variables["params"]) - paths(init_v["params"])
+    assert not missing and not surplus, (missing, surplus)
+
+
+EXACT_CASES = [
+    # (reference class, our make_mfm kind, n modalities)
+    ("TwoTRX", "TwoTRX", 2),
+    ("TwoCross", "TwoCross", 2),
+    ("ThreeCross", "ThreeCross", 3),
+    ("TwoTRXShuffleTime", "TwoTRXShuffleTime_faithful", 2),
+    ("ThreeTRXShuffleTime", "ThreeTRXShuffleTime_faithful", 3),
+    ("ThreeTRXLRShiftLoopTime", "ThreeTRXLRShiftLoopTime_faithful", 3),
+    ("FourShiftFusion", "FourShiftFusion_faithful", 4),
+    ("FiveShiftFusion", "FiveShiftFusion_faithful", 5),
+    ("OTAMThreeTRXShiftLoopTime", "OTAMThreeTRXShiftLoopTime", 3),
+    # the feature-space ScoreFusion CLASS (model.py:1960; NOT TSF) is our
+    # ThreeStrm preset modulo the attribute name — same importer entry
+    ("ScoreFusion", "ThreeStrm", 3),
+    ("ThreeStrm", "ThreeStrm", 3),
+    ("TwoCombinationTRX", "TwoCombinationTRX", 3),
+    ("TwoCombinationCTX", "TwoCombinationCTX", 3),
+    ("ThreeCombinationTRX", "ThreeCombinationTRX", 4),
+    ("TwoCombinationShiftTRX", "TwoCombinationShiftTRX_faithful", 3),
+    ("ThreeTRXCombination", "ThreeTRXCombination", 3),
+    ("TwoFusionBatchFusion", "TwoFusionBatchFusion", 2),
+    ("TwoCTXShuffleTime", "TwoCTXShuffleTime_faithful", 2),
+    ("ThreeFusionDGA", "dga", 3),
+    ("ThreeFusionDGA2", "dga2", 3),
+]
+
+
+@pytest.mark.parametrize("cls_name,kind,n_mods",
+                         EXACT_CASES, ids=[c[0] for c in EXACT_CASES])
+def test_fusion_forward_matches_reference(cls_name, kind, n_mods, tmp_path):
+    seed = 100 + len(cls_name)
+    ref = _ref_model(cls_name, n_mods, seed)
+    path = str(tmp_path / "ref.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    cfg = _cfg(n_mods)
+    variables = load_composed_checkpoint(path, cfg, kind)
+    model = make_mfm(cfg, kind=kind, batched=False)
+
+    ctx, tgt = _feats(n_mods, seed + 1)
+    want = _ref_logits(ref, ctx, tgt)
+    _assert_tree_paths_match(model, variables, ctx, tgt)
+    got = np.asarray(model.apply(
+        variables, {m: jnp.asarray(v) for m, v in ctx.items()},
+        jnp.asarray(LABELS), {m: jnp.asarray(v) for m, v in tgt.items()},
+        False)["logits"])
+    atol = 1e-4 if "OTAM" in cls_name else 2e-2   # OTAM logits are softmaxed
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=atol)
+
+
+def test_three_trx_combination_extract_matches_reference(tmp_path):
+    """The dump-vs-live asymmetry (PRESET_EXTRACT): extract_feature left-rolls
+    BOTH m2 and m3 before the shared pair fusion (model.py:3506-3520), unlike
+    the unshifted live forward just golden-tested above."""
+    seed = 77
+    ref = _ref_model("ThreeTRXCombination", 3, seed)
+    path = str(tmp_path / "ref.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    cfg = _cfg(3)
+    variables = load_composed_checkpoint(path, cfg, "ThreeTRXCombination")
+    model = make_mfm(cfg, kind="ThreeTRXCombination", batched=False)
+
+    r = np.random.default_rng(seed + 1)
+    feats = {m: r.normal(size=(3, T, D)).astype(np.float32)
+             for m in MODS[:3]}
+    with torch.no_grad():
+        want = t2n(ref.extract_feature(
+            {m: torch.tensor(v) for m, v in feats.items()}))
+    got = np.asarray(model.apply(
+        variables, {m: jnp.asarray(v) for m, v in feats.items()},
+        method=model.extract))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3)
+
+
+def test_temtro_shift_target_side_matches_reference(tmp_path):
+    """TwoCombinationTemTroShiftTRX's TARGET-side fusion omits the (video-axis
+    -attending) ThreeTransforTask branch entirely (model.py:2201-2204:
+    fusion_target = fusion_target2 + fusion_target3), so that side is built
+    from batch_first modules only and must match exactly — this pins both the
+    support-only ``sides=(1, 0)`` quirk and the pair-branch shifts."""
+    seed = 55
+    ref = _ref_model("TwoCombinationTemTroShiftTRX", 3, seed)
+    path = str(tmp_path / "ref.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    cfg = _cfg(3)
+    kind = "TwoCombinationTemTroShiftTRX_faithful"
+    variables = load_composed_checkpoint(path, cfg, kind)
+    model = make_mfm(cfg, kind=kind, batched=False)
+
+    ctx, tgt = _feats(3, seed + 1)
+    # reference target-side sum, teased out of the executing module; the
+    # fusion signature is (x1, x2, y1, y2) = (stream1 ctx, stream1 tgt,
+    # stream2 ctx, stream2 tgt) and the target output depends on (x2, y2)
+    first_c, first_t = torch.tensor(ctx["rgb"]), torch.tensor(tgt["rgb"])
+    s = 1  # shirt_num
+    def roll(x):
+        return torch.cat((x[:, s:], x[:, :s]), dim=1)
+    with torch.no_grad():
+        _, want2 = ref.fusion(first_c, first_t,
+                              roll(torch.tensor(ctx["depth"])),
+                              roll(torch.tensor(tgt["depth"])))
+        _, want3 = ref.fusion(first_c, first_t,
+                              torch.tensor(ctx["flow"]),
+                              torch.tensor(tgt["flow"]))
+        want = t2n(want2 + want3)
+    got = np.asarray(model.apply(
+        variables, {m: jnp.asarray(v) for m, v in tgt.items()},
+        False, 1, method=model.fuse))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Divergence pinning for the no-batch_first classes (PARITY.md documented
+# divergences) — the claims are re-derived from the executing bytecode.
+# ---------------------------------------------------------------------------
+
+def test_fourstrm_pe4_dead_and_video_axis_mixing():
+    """FourStrm's FourTransforFusion (model.py:1192-1233): (a) stream 4 runs
+    through positionEncoding3 — positionEncoding4 is constructed but DEAD
+    (l.1218-1219); (b) the encoder omits batch_first, so outputs for video i
+    depend on OTHER videos in the batch (video-axis attention) — the released
+    behavior our time-axis MultiStreamFusion deliberately diverges from."""
+    ref = _ref_model("FourStrm", 4, 31)
+    ctx, tgt = _feats(4, 32)
+    base = _ref_logits(ref, ctx, tgt)
+
+    # (a) scrambling PE4 changes nothing
+    with torch.no_grad():
+        ref.fusion.positionEncoding4.position_embeddings.weight.mul_(13.7)
+    np.testing.assert_allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-6)
+    # ...while scrambling PE3 (which feeds streams 3 AND 4) does
+    with torch.no_grad():
+        ref.fusion.positionEncoding3.position_embeddings.weight.mul_(3.0)
+    assert not np.allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-3,
+                           atol=1e-3)
+
+    # (b) a batch_first (time-axis) encoder computes video i's output from
+    # video i alone; the released no-batch_first fusion attends across the
+    # video axis, so perturbing video 0 changes video 5's output
+    fuse = ref.fusion
+    x = [torch.tensor(ctx[m]) for m in MODS[:4]]
+    x_pert = [t.clone() for t in x]
+    # random noise, not a constant: the TrainablePE's LayerNorm removes any
+    # per-token constant shift before the encoder ever sees it
+    x_pert[0][0] += torch.tensor(np.random.default_rng(3).normal(
+        size=x_pert[0][0].shape).astype(np.float32))
+    with torch.no_grad():
+        out, _ = fuse(x[0], x[0], x[1], x[1], x[2], x[2], x[3], x[3])
+        out_p, _ = fuse(x_pert[0], x_pert[0], x[1], x[1], x[2], x[2],
+                        x[3], x[3])
+    assert not np.allclose(t2n(out_p[5]), t2n(out[5]), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cls_name,n_mods", [
+    ("ThreeFusion3", 3),
+    ("ThreeFusionTwoRoad", 3),
+])
+def test_no_batch_first_video_axis_mixing(cls_name, n_mods):
+    """ThreeFusion3's ``tran`` (model.py:2566) and ThreeTranToTwo
+    (model.py:2632) omit batch_first: video i's output depends on OTHER
+    videos in the batch — the executing proof of the divergence our
+    SelfEncoderBranch / TwoRoadFusionTeacher docstrings document (a
+    batch_first/time-axis encoder is per-video independent)."""
+    ref = _ref_model(cls_name, n_mods, 41)
+    r = np.random.default_rng(42)
+    x = torch.tensor(r.normal(size=(S, T, D)).astype(np.float32))
+    xp = x.clone()
+    xp[0] += torch.tensor(r.normal(size=xp[0].shape).astype(np.float32))
+    with torch.no_grad():
+        if cls_name == "ThreeFusion3":
+            out, out_p = ref.tran(x), ref.tran(xp)
+        else:
+            out, _ = ref.fusion(x, x, x, x, x, x)
+            out_p, _ = ref.fusion(xp, xp, x, x, x, x)
+    assert not np.allclose(t2n(out_p[5]), t2n(out[5]), rtol=1e-4, atol=1e-4)
+
+
+def test_threefusion3_pe_dead():
+    """ThreeFusion3 constructs positionEncoding1 but never applies it
+    (model.py:2563-2580) — the composer's SelfEncoderBranch therefore has no
+    PE either."""
+    ref = _ref_model("ThreeFusion3", 3, 43)
+    ctx, tgt = _feats(3, 44)
+    base = _ref_logits(ref, ctx, tgt)
+    with torch.no_grad():
+        ref.positionEncoding1.position_embeddings.weight.mul_(17.0)
+    np.testing.assert_allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-6)
