@@ -65,7 +65,7 @@ def main(argv=None):
                     "set --lr_1 (trunk) / --lr_2 (head) instead")
 
     rng = np.random.default_rng(cfg.train.seed)
-    sample = np.stack([vs.load(records[0][0], True, rng)])
+    sample = np.stack([vs.load(records[0][0], True, rng, frame_rule="aux")])
     init_vars = None
     if args.init_checkpoint:
         from ..tools.torch_import import load_pretrain_init
@@ -112,7 +112,12 @@ def main(argv=None):
             # DataLoader workers, pretrain.py's dominant CPU cost); the
             # single producer keeps the rng draw order deterministic
             chunk = [records[j] for j in order[starts[i]:starts[i] + bs]]
-            clips = np.stack([vs.load(r, True, rng) for r, _ in chunk])
+            # frame_rule="aux": the reference pretrains through AuxDataset
+            # (pretrain.py:27), whose frame selection is a plain linspace
+            # with no train-time randomness; the flip/crop pixel transforms
+            # stay train-mode
+            clips = np.stack([vs.load(r, True, rng, frame_rule="aux")
+                              for r, _ in chunk])
             labels = np.asarray([c for _, c in chunk], np.int32)
             return clips, labels
 
@@ -149,7 +154,7 @@ def main(argv=None):
         right = total = 0
         for s in range(0, len(test_records), bs):
             chunk = test_records[s:s + bs]
-            loaded = [vs.load(r, False, rng) for r, _ in chunk]
+            loaded = [vs.load(r, False, rng, frame_rule="aux") for r, _ in chunk]
             # pad the ragged tail to the full batch shape: a second leading
             # shape would trace a second fwd executable (multi-minute remote
             # compile on this tunnel); padded rows are sliced off the preds

@@ -120,6 +120,26 @@ def sample_frame_indices(n_frames: int, seq_len: int, train: bool,
     return idx.astype(np.int64)
 
 
+def sample_frame_indices_aux(n_frames: int, seq_len: int,
+                             rng: Optional[np.random.Generator] = None
+                             ) -> np.ndarray:
+    """The per-video (non-episodic) frame rule of ``AuxDataset.get_seq``
+    (``teacher/code/AuxDataset.py:139-179``), which feeds extract_feature.py
+    and pretrain.py: the frame list is linspace-subsampled to ``seq_len``
+    BEFORE the video_reader trim math, which then degenerates to identity —
+    so extraction/pretraining always sample ``linspace(0, n-1)`` with NO
+    trimming and NO train-time randomness, unlike the episodic readers
+    (verified against the executing reference,
+    tests/test_reference_golden_data.py)."""
+    if seq_len == 1 and n_frames > 1:
+        # the seq_len==1 special case still draws randomly (AuxDataset.py:178)
+        r = rng or np.random.default_rng(0)
+        return np.asarray([int(r.integers(0, n_frames - 1))], np.int64)
+    if n_frames == seq_len:
+        return np.arange(seq_len)
+    return np.linspace(0, n_frames - 1, num=seq_len).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Decode + augment (host side, uint8/float32 numpy)
 # ---------------------------------------------------------------------------
@@ -265,8 +285,18 @@ class VideoStore:
         return self.train_split if train else self.test_split
 
     def load(self, rec: VideoRecord, train: bool,
-             rng: np.random.Generator) -> np.ndarray:
-        idxs = sample_frame_indices(rec.n_frames, self.seq_len, train, rng)
+             rng: np.random.Generator, frame_rule: str = "episode") -> np.ndarray:
+        """``frame_rule``: "episode" = the episodic readers' trimmed-linspace
+        math (video_reader.py:345-376); "aux" = AuxDataset's plain linspace
+        (extraction/pretraining, see sample_frame_indices_aux). ``train``
+        keeps selecting the pixel transforms (flip/crop vs center crop) for
+        both rules."""
+        if frame_rule == "aux":
+            idxs = sample_frame_indices_aux(rec.n_frames, self.seq_len, rng)
+        elif frame_rule == "episode":
+            idxs = sample_frame_indices(rec.n_frames, self.seq_len, train, rng)
+        else:
+            raise ValueError(f"unknown frame_rule {frame_rule!r}")
         if self.use_native:
             clip = load_clip_native(rec.frame_paths, idxs,
                                     img_size=self.img_size, train=train,

@@ -91,13 +91,18 @@ def extract_expert_features(cfg: Config, video_store: VideoStore,
 
     _pipelined_extract(
         jobs,
+        # frame_rule="aux": extraction goes through AuxDataset in the
+        # reference (extract_feature.py:18, mode=test) — plain linspace
+        # frame selection, center-crop pixels
         assemble=lambda chunk: np.stack(
-            [video_store.load(r, train=False, rng=rng) for r in chunk]),
+            [video_store.load(r, train=False, rng=rng, frame_rule="aux")
+             for r in chunk]),
         dispatch=feature_fn, sink=sink)
     n = counter[0]
     if verify and n:
         rec = next(_iter_records(video_store.split(True)))
-        clip = video_store.load(rec, train=False, rng=np.random.default_rng(0))
+        clip = video_store.load(rec, train=False, rng=np.random.default_rng(0),
+                                frame_rule="aux")
         fresh = np.asarray(feature_fn(jnp.asarray(clip[None])))[0]
         saved = np.load(os.path.join(out_root, class_names[rec.class_id],
                                      rec.video_id, "feature.npy"))

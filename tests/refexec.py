@@ -165,13 +165,14 @@ def student_half() -> types.SimpleNamespace:
     return _load_half(
         "student", REF_ROOT, _STUDENT_TOP,
         ["options", "distillers", "utils", "model.model_select",
-         "model.classifiers", "trainwandb"])
+         "model.classifiers", "trainwandb", "video_reader"])
 
 
 def teacher_half() -> types.SimpleNamespace:
     """Reference teacher/code: the model.py zoo + teacher utils."""
     return _load_half(
-        "teacher", TEACHER_ROOT, _TEACHER_TOP, ["model", "utils"])
+        "teacher", TEACHER_ROOT, _TEACHER_TOP,
+        ["model", "utils", "AuxDataset", "multi_video_reader"])
 
 
 @contextlib.contextmanager
