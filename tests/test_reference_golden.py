@@ -507,25 +507,35 @@ DICT_TEACHER = {
 DICT_STUDENT = DICT_TEACHER | {"fc_2", "fc_2_wsl", "strm", "strm_KD"}
 
 
-def _audit_inputs():
+def _audit_inputs(q=Q):
     r = np.random.default_rng(3)
     arr = lambda *s: (r.normal(size=s) * 2).astype(np.float32)
     student = {
-        "kl": arr(Q, WAY), "ce": arr(Q, WAY), "sup": arr(WAY, WAY - 1),
+        "kl": arr(q, WAY), "ce": arr(q, WAY), "sup": arr(WAY, WAY - 1),
         "sup_kl": arr(WAY, WAY - 1), "sup_ce": arr(WAY, WAY - 1),
-        "fc_1": arr(Q, WAY), "fc_2": arr(Q, WAY),
-        "pat": arr(Q, WAY), "fr": arr(Q, WAY),
-        "fr1": arr(Q, WAY), "fr2": arr(Q, WAY),
-        "logits": arr(Q, WAY), "feature": arr(WAY * SHOT + Q, T, 32),
-        "query": arr(Q, WAY), "support_set": arr(Q, WAY, WAY),
+        "fc_1": arr(q, WAY), "fc_2": arr(q, WAY),
+        "pat": arr(q, WAY), "fr": arr(q, WAY),
+        "fr1": arr(q, WAY), "fr2": arr(q, WAY),
+        "logits": arr(q, WAY), "feature": arr(WAY * SHOT + q, T, 32),
+        "query": arr(q, WAY), "support_set": arr(q, WAY, WAY),
     }
     teacher = {
-        "kl": arr(Q, WAY), "sup": arr(WAY, WAY - 1),
-        "logits": arr(Q, WAY), "feature": arr(WAY * SHOT + Q, T, 32),
-        "query": arr(Q, WAY), "support_set": arr(Q, WAY, WAY),
+        "kl": arr(q, WAY), "sup": arr(WAY, WAY - 1),
+        "logits": arr(q, WAY), "feature": arr(WAY * SHOT + q, T, 32),
+        "query": arr(q, WAY), "support_set": arr(q, WAY, WAY),
     }
-    plain_s, plain_t = arr(Q, WAY), arr(Q, WAY)
+    plain_s, plain_t = arr(q, WAY), arr(q, WAY)
     return student, teacher, plain_s, plain_t
+
+
+# off-canonical audit point (VERDICT r3 weak #4): different query count AND
+# different cfg weights/temperature, so the parameter plumbing is pinned
+# away from the defaults where transcription bugs hide
+_GEOMS = {
+    "canonical": (Q, {}),
+    "offcanon": (10, {"temperature": 2.5, "hard_loss_weight": 0.7,
+                      "soft_loss_weight": 1.3, "fcwsl_aerfa": 0.3}),
+}
 
 
 def _to_torch(x):
@@ -540,20 +550,28 @@ def _to_jnp(x):
     return jnp.asarray(x)
 
 
+@pytest.mark.parametrize("geom", sorted(_GEOMS))
 @pytest.mark.parametrize("name", ALL_DISTILLERS)
-def test_distiller_full_dict_matches_reference(name):
+def test_distiller_full_dict_matches_reference(name, geom):
     """Every entry of the reference Distiller's returned dict (not just
     'loss') must match our registered loss — including the bug-faithful
     quirks (e.g. fc_2_sup reports 0.01*sup in hard_loss but uses 0.1*sup in
     the loss, distillers.py:273/283)."""
+    if name == "support_sim" and geom != "canonical":
+        pytest.skip("the reference hardcodes reshape(20, 25) "
+                    "(distillers.py:112-113) — canonical geometry only")
     ns = refexec.student_half()
     args = refexec.student_args(ns)  # carries the reference's default cfg dict
+    q, overrides = _GEOMS[geom]
+    for k, v in overrides.items():
+        args.cfg[k] = v
     ref = ns.distillers.Distiller(name, args.cfg, torch.device("cpu"))
 
-    student, teacher, plain_s, plain_t = _audit_inputs()
+    student, teacher, plain_s, plain_t = _audit_inputs(q)
     s_in = student if name in DICT_STUDENT else plain_s
     t_in = teacher if name in DICT_TEACHER else plain_t
-    labels = torch.tensor(Q_LABELS)
+    q_labels = (np.arange(q) % WAY).astype(np.int64)
+    labels = torch.tensor(q_labels)
 
     want = getattr(ref, name)(_to_torch(s_in), _to_torch(t_in), labels)
 
@@ -561,7 +579,7 @@ def test_distiller_full_dict_matches_reference(name):
                                       if k in DistillConfig.__dataclass_fields__
                                       and k != "name"})
     got = get_distiller(name)(_to_jnp(s_in), _to_jnp(t_in),
-                              jnp.asarray(Q_LABELS.astype(np.int32)), cfg, 16)
+                              jnp.asarray(q_labels.astype(np.int32)), cfg, 16)
 
     missing = [k for k in want if k not in got]
     assert not missing, f"{name}: ours lacks reference dict entries {missing}"
