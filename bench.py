@@ -63,13 +63,19 @@ def _aot_meta(tag: str, cfg) -> dict:
     import hashlib
     import jax
     import jaxlib
+    from litemkd_tpu.cli.common import machine_id
     dev = jax.devices()[0]
-    return {
+    meta = {
         "tag": tag, "jax": jax.__version__, "jaxlib": jaxlib.__version__,
         "platform": dev.platform, "device_kind": dev.device_kind,
         "n_devices": jax.device_count(),
         "cfg_sha": hashlib.sha256(cfg.to_json().encode()).hexdigest(),
     }
+    if dev.platform == "cpu":
+        # XLA:CPU executables embed the compile host's SIMD features and
+        # SIGILL elsewhere; TPU executables are host-independent
+        meta["machine"] = machine_id()
+    return meta
 
 
 def _aot_load_or_compile(tag: str, cfg, jitted, example_args):
@@ -82,13 +88,19 @@ def _aot_load_or_compile(tag: str, cfg, jitted, example_args):
     even with zero caches a fresh compile happens at most once per round,
     and any later run — including the driver's — loads the executable with
     NO compile at all. BENCH_AOT=0 disables both directions."""
+    import hashlib
+    import json as _json
     import pickle
     if os.environ.get("BENCH_AOT", "1") != "1":
         return jitted
     meta = _aot_meta(tag, cfg)
     aot_dir = os.environ.get(
         "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
-    path = os.path.join(aot_dir, f"{tag}.pkl")
+    # fingerprint in the FILENAME: a CPU test run at tiny geometry must not
+    # clobber the driver's warmed TPU flagship executable (they coexist)
+    fp = hashlib.sha256(_json.dumps(meta, sort_keys=True).encode()) \
+        .hexdigest()[:12]
+    path = os.path.join(aot_dir, f"{tag}-{fp}.pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:

@@ -12,6 +12,21 @@ from ..config import (Config, DataConfig, DistillConfig, EpisodeConfig,
                       MeshConfig, ModelConfig, TrainConfig, preset)
 
 
+def machine_id() -> str:
+    """Short hash of this host's CPU feature flags (see
+    enable_compilation_cache); 'unknown' where /proc/cpuinfo is absent."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def enable_compilation_cache(path: Optional[str] = None,
                              min_compile_secs: float = 5.0) -> None:
     """Persistent XLA compilation cache — first compiles of the flagship step
@@ -20,16 +35,20 @@ def enable_compilation_cache(path: Optional[str] = None,
     suite calls this with a lower ``min_compile_secs``: its many small CPU
     compiles individually sit under the CLI default.
 
-    The default lives INSIDE the repo (``<repo>/.jax_cache``, gitignored):
-    a /tmp cache evaporates across reboots, which turns the next bench/CLI
-    run into a multi-minute cold remote compile (this is exactly what ate
-    the round-3 driver bench budget)."""
+    The default lives INSIDE the repo (``<repo>/.jax_cache/<machine-id>``,
+    gitignored): a /tmp cache evaporates across reboots, which turns the
+    next bench/CLI run into a multi-minute cold remote compile (this ate
+    the round-3 driver bench budget). The machine-id segment (a hash of
+    /proc/cpuinfo's feature flags) scopes the cache to hosts with identical
+    SIMD features: XLA:CPU cache entries embed the compile host's features
+    and SIGILL on a host that lacks them (observed live when reusing a
+    cache seeded from another machine)."""
     import os as _os
     import jax
     if path is None:
         path = _os.path.join(
             _os.path.dirname(_os.path.dirname(_os.path.dirname(
-                _os.path.abspath(__file__)))), ".jax_cache")
+                _os.path.abspath(__file__)))), ".jax_cache", machine_id())
     cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -157,12 +157,16 @@ def main(argv=None):
 
     if args.test_model_path:
         if args.test_model_path.endswith((".pt", ".pth")):
-            if args.fusion != "mfm":
-                p.error("torch checkpoint import supports --fusion mfm only")
-            from ..tools.torch_import import load_mfm_checkpoint
+            # any reference --model <ClassName> artifact loads for the
+            # matching --fusion kind (multi_fusion.py:116-120 selects classes
+            # by bare name; load_composed_checkpoint holds one weight map per
+            # kind, golden-tested vs the executing classes)
+            from ..tools.torch_import import load_composed_checkpoint
             state = state.replace(
-                params=load_mfm_checkpoint(args.test_model_path, cfg)["params"])
-            logger.info(f"imported torch MFM {args.test_model_path}")
+                params=load_composed_checkpoint(args.test_model_path, cfg,
+                                                args.fusion)["params"])
+            logger.info(f"imported torch {args.fusion} teacher "
+                        f"{args.test_model_path}")
         else:
             state, _ = CheckpointManager(args.test_model_path).restore(state)
             logger.info(f"restored {args.test_model_path} "

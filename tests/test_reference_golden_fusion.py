@@ -292,3 +292,27 @@ def test_threefusion3_pe_dead():
     with torch.no_grad():
         ref.positionEncoding1.position_embeddings.weight.mul_(17.0)
     np.testing.assert_allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-6)
+
+
+def test_teacher_cli_ingests_reference_fusion_checkpoint(tmp_path):
+    """Product surface for the importer family: ``cli.train_teacher
+    --test_only --fusion <kind> -m <reference .pt>`` evaluates a
+    reference-trained fusion teacher of ANY --model class (the reference's
+    test_only.py flow), not just the MFM."""
+    from litemkd_tpu.cli import train_teacher as cli_tt
+
+    ref = _ref_model("TwoCombinationTRX", 3, 90)
+    path = str(tmp_path / "two_comb.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+
+    s = cli_tt.main([
+        "--way", str(WAY), "--shot", str(SHOT),
+        "--query_per_class", str(QPC), "--query_per_class_test", "1",
+        "--seq_len", str(T), "--trans_linear_in_dim", str(D),
+        "--trans_linear_out_dim", "1152", "--trans_num", "1",
+        "--temp_set", "2", "--dataset", "synthetic",
+        "--modalities", "rgb", "depth", "flow",
+        "--fusion", "TwoCombinationTRX", "--print_freq", "0",
+        "--test_only", "-m", path, "--num_test_tasks", "2", "--debug"])
+    assert s["n_tasks"] == 2
+    assert 0.0 <= s["accuracy"] <= 100.0
