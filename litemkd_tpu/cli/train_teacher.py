@@ -131,7 +131,7 @@ def main(argv=None):
                               cfg.train.resume_from_checkpoint)
     logger = MetricsLogger(log_dir=None if args.debug else
                            (cfg.train.checkpoint_dir or "log"),
-                           run_name="mfm", print_freq=cfg.train.print_freq,
+                           run_name=args.fusion, print_freq=cfg.train.print_freq,
                            use_wandb=args.wandb)
     logger.info(f"config:\n{cfg.to_json()}")
     from .common import save_run_config

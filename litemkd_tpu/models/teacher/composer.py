@@ -301,6 +301,13 @@ class ComposedFusionTeacher(nn.Module):
             if not any(b.sides[side] for b in branches):
                 raise ValueError(f"no branch active on side {side} "
                                  "(0=support, 1=query)")
+        top = max(i for b in branches for i in b.idxs)
+        if top >= len(self.modalities):
+            raise ValueError(
+                f"branch spec references modality index {top} but only "
+                f"{len(self.modalities)} modalities are configured "
+                f"({self.modalities}) — pass --modalities with at least "
+                f"{top + 1} names for this fusion")
         seen: Dict[Tuple[str, str], Branch] = {}
         for b in branches:
             if not b.share:

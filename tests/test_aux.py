@@ -167,6 +167,7 @@ def test_bench_driver_contract(tmp_path):
                BENCH_PRESET="tiny", BENCH_MODE="train", BENCH_STEPS="2",
                BENCH_EPISODES_PER_STEP="2", BENCH_MICRO_BATCH="0",
                BENCH_PALLAS="0",
+               BENCH_AOT_DIR=str(tmp_path / "aot"),
                BENCH_HISTORY_FILE=str(tmp_path / "hist.jsonl"))
     proc = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
                           env=env, capture_output=True, text=True,
