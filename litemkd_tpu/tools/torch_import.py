@@ -749,6 +749,13 @@ _COMPOSED_IMPORTERS = {
     "TwoCTXShuffleTime": lambda sd, cfg: {
         "branch_modules_0": _pair(sd, cfg), "classifier": _ctx_tct(sd, cfg)},
     # bespoke (non-composer) teachers
+    # TSF (model.py:1154-1191): one TrxBranch per modality under the
+    # released attribute names m1_branch/skeleton_branch/flow_branch,
+    # consumed in --m1/--m2/--m3 order → our per-modality branch_{name}
+    "tsf": lambda sd, cfg: {
+        f"branch_{m}": _multiset_tct(sd, cfg, prefix=ref)
+        for m, ref in zip(cfg.model.modalities,
+                          ("m1_branch", "skeleton_branch", "flow_branch"))},
     "dga": lambda sd, cfg: {
         "fusion1": _pair(sd, cfg, "fusion1"),
         "fusion2": import_dga(sd, "fusion2"),
