@@ -57,9 +57,29 @@ def _bench_config(mode: str):
     return cfg, bench_preset, episodes_per_step
 
 
+def _source_sha() -> str:
+    """Content hash of every litemkd_tpu source file + bench.py: any code
+    edit invalidates serialized executables, so a stale AOT artifact can
+    neither bench old code silently nor crash the warmup call on a changed
+    parameter tree."""
+    import hashlib
+    h = hashlib.sha256()
+    files = [os.path.abspath(__file__)]
+    pkg = os.path.join(ROOT, "litemkd_tpu")
+    for dirpath, _, names in sorted(os.walk(pkg)):
+        files.extend(os.path.join(dirpath, n) for n in sorted(names)
+                     if n.endswith((".py", ".cpp", ".so")))
+    for f in files:
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def _aot_meta(tag: str, cfg) -> dict:
     """Fingerprint that must match for a serialized executable to be safe to
-    reuse: jax/jaxlib versions, the target device, and the full run config."""
+    reuse: jax/jaxlib versions, the target device, the full run config, and
+    the source tree."""
     import hashlib
     import jax
     import jaxlib
@@ -70,6 +90,7 @@ def _aot_meta(tag: str, cfg) -> dict:
         "platform": dev.platform, "device_kind": dev.device_kind,
         "n_devices": jax.device_count(),
         "cfg_sha": hashlib.sha256(cfg.to_json().encode()).hexdigest(),
+        "src": _source_sha(),
     }
     if dev.platform == "cpu":
         # XLA:CPU executables embed the compile host's SIMD features and

@@ -16,6 +16,8 @@ def machine_id() -> str:
     """Short hash of this host's CPU feature flags (see
     enable_compilation_cache); 'unknown' where /proc/cpuinfo is absent."""
     import hashlib
+    import platform
+    import socket
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -24,7 +26,11 @@ def machine_id() -> str:
                     return hashlib.sha256(flags.encode()).hexdigest()[:10]
     except OSError:
         pass
-    return "unknown"
+    # no /proc/cpuinfo: fall back to a PER-HOST id — a shared constant here
+    # would let two different-SIMD hosts share one XLA:CPU cache dir, which
+    # is exactly the SIGILL this segment exists to prevent
+    ident = f"{platform.platform()}|{platform.machine()}|{socket.gethostname()}"
+    return "h" + hashlib.sha256(ident.encode()).hexdigest()[:9]
 
 
 def enable_compilation_cache(path: Optional[str] = None,

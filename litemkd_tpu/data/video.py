@@ -130,11 +130,14 @@ def sample_frame_indices_aux(n_frames: int, seq_len: int,
     so extraction/pretraining always sample ``linspace(0, n-1)`` with NO
     trimming and NO train-time randomness, unlike the episodic readers
     (verified against the executing reference,
-    tests/test_reference_golden_data.py)."""
-    if seq_len == 1 and n_frames > 1:
-        # the seq_len==1 special case still draws randomly (AuxDataset.py:178)
-        r = rng or np.random.default_rng(0)
-        return np.asarray([int(r.integers(0, n_frames - 1))], np.int64)
+    tests/test_reference_golden_data.py).
+
+    This holds for seq_len==1 too: the pre-subsample reduces the path list
+    to exactly ``[paths[0]]`` before the trim math, so the random
+    ``seq_len == 1`` draw at AuxDataset.py:178 is DEAD code and frame 0 is
+    always selected (``rng`` is accepted for signature compatibility but
+    unused)."""
+    del rng
     if n_frames == seq_len:
         return np.arange(seq_len)
     return np.linspace(0, n_frames - 1, num=seq_len).astype(np.int64)

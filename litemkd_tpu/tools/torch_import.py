@@ -516,6 +516,29 @@ def load_torchvision_trunk(path: str, cfg: Config) -> dict:
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
 
 
+def _import_tct_stack(sd: Dict[str, np.ndarray], cfg: Config,
+                      prefix: str = "transformers",
+                      artifact: str = "checkpoint"):
+    """A ``TemporalCrossTransformer`` ModuleList under ``prefix`` → classifier
+    TCT params: a single entry maps to the flat TCT, several map onto
+    ``tct_{s}`` in ``cfg.model.temp_set`` order (the reference builds one per
+    entry, model.py:1106-1107). Returns None when no TCT keys exist."""
+    n_sets = 0
+    while f"{prefix}.{n_sets}.k_linear.weight" in sd:
+        n_sets += 1
+    if n_sets == 0:
+        return None
+    if n_sets == 1:
+        return import_tct(sd, f"{prefix}.0")
+    if n_sets != len(cfg.model.temp_set):
+        raise ValueError(
+            f"{artifact} holds {n_sets} TCT sets but temp_set="
+            f"{cfg.model.temp_set} — pass --temp_set matching the trained "
+            "model")
+    return {f"tct_{s}": import_tct(sd, f"{prefix}.{i}")
+            for i, s in enumerate(cfg.model.temp_set)}
+
+
 def _load_expert_checkpoint(sd: Dict[str, np.ndarray], cfg: Config,
                             path: str, prefix: str = "resnet.") -> dict:
     """A run.py expert artifact (the raw model's state dict, no Student
@@ -527,22 +550,10 @@ def _load_expert_checkpoint(sd: Dict[str, np.ndarray], cfg: Config,
     model.py:1106-1107); a single entry maps to the flat TCT."""
     depth = _resnet_sd_depth(normalize_resnet_keys(sd, prefix))
     trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix=prefix)
-    n_sets = 0
-    while f"transformers.{n_sets}.k_linear.weight" in sd:
-        n_sets += 1
     params: dict = {"backbone": {"trunk": trunk_p}}
-    if n_sets == 1:
-        params["classifier"] = {"transformers":
-                                import_tct(sd, "transformers.0")}
-    elif n_sets > 1:
-        if n_sets != len(cfg.model.temp_set):
-            raise ValueError(
-                f"{path} holds {n_sets} TCT sets but temp_set="
-                f"{cfg.model.temp_set} — pass --temp_set matching the "
-                "trained expert")
-        params["classifier"] = {"transformers": {
-            f"tct_{s}": import_tct(sd, f"transformers.{i}")
-            for i, s in enumerate(cfg.model.temp_set)}}
+    tct = _import_tct_stack(sd, cfg, artifact=path)
+    if tct is not None:
+        params["classifier"] = {"transformers": tct}
     return {"params": params,
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
 
@@ -838,14 +849,7 @@ def load_cnn_strm_checkpoint(path: str, cfg: Config) -> dict:
         "lift": eye,
         "fr_enrich": import_mlp_enrich(sd, "fr_enrich"),
     }
-    n_sets = 0
-    while f"transformers.{n_sets}.k_linear.weight" in sd:
-        n_sets += 1
-    if n_sets == 1:
-        tct = import_tct(sd, "transformers.0")
-    else:
-        tct = {f"tct_{s}": import_tct(sd, f"transformers.{i}")
-               for i, s in enumerate(cfg.model.temp_set)}
+    tct = _import_tct_stack(sd, cfg, artifact=path)
     return {"params": {"backbone": backbone,
                        "classifier": {"transformers": tct}},
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
@@ -867,13 +871,6 @@ def load_skeleton_expert_checkpoint(path: str, cfg: Config) -> dict:
         "encoder": {f"layer{i}": _encoder_layer_params(
             sd, f"encoder.t_tr.layers.{i}", d) for i in range(depth)},
     }
-    n_sets = 0
-    while f"transformers.{n_sets}.k_linear.weight" in sd:
-        n_sets += 1
-    if n_sets == 1:
-        tct = import_tct(sd, "transformers.0")
-    else:
-        tct = {f"tct_{s}": import_tct(sd, f"transformers.{i}")
-               for i, s in enumerate(cfg.model.temp_set)}
+    tct = _import_tct_stack(sd, cfg, artifact=path)
     return {"params": {"backbone": backbone,
                        "classifier": {"transformers": tct}}}
