@@ -412,3 +412,28 @@ def test_baseline_forward_matches_reference(tmp_path):
     # structural error (wrong pooling/mean/prototype order shifts logits
     # by O(1)).
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+
+
+def test_teacher_ctx_time_transformer_mixes_videos():
+    """The teacher-half CTX's TimeTransformer (model.py:2819-2858) omits
+    batch_first → attends across the VIDEO axis; the student-half's
+    compiled-only CTX transposes before its encoder (time-axis attention,
+    recovered from bytecode — tools/pyc_reader.py audit). This executing
+    probe pins the teacher side of that inconsistency, justifying our
+    time-axis CTXClassifier as the evident intent. (Also note: the teacher
+    CTX hardcodes 2048-dim TimeTransformer/CrossTransformer inputs, so it
+    only runs at --method resnet50.)"""
+    nt = refexec.teacher_half()
+    torch.manual_seed(95)
+    args = _expert_args("resnet50", 2048)
+    args.mode = "x"
+    ref = nt.model.CTX(args).eval()
+    r = np.random.default_rng(96)
+    x = torch.tensor(r.normal(size=(6, T, 2048)).astype(np.float32))
+    xp = x.clone()
+    xp[0] += torch.tensor(r.normal(size=tuple(xp[0].shape))
+                          .astype(np.float32))
+    with torch.no_grad():
+        base = ref.time_trans(x)
+        pert = ref.time_trans(xp)
+    assert not np.allclose(t2n(pert[3]), t2n(base[3]), rtol=1e-4, atol=1e-4)
