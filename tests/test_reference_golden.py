@@ -725,3 +725,25 @@ def test_strm_classifier_matches_reference():
                                rtol=2e-4, atol=5e-4, err_msg="pat")
     np.testing.assert_allclose(np.asarray(got["fr"]), t2n(want["fr"]),
                                rtol=2e-4, atol=5e-4, err_msg="fr")
+
+
+def test_my_loss_ratios_match_reference():
+    """The teacher-half support-similarity losses (utils.py:138-174:
+    My_Loss inter/intra cosine ratio and My_Loss2's inter-class sum —
+    CorrelationTRX's 'my_loss' output) vs our
+    inter_class_cosine_ratio/inter_class_cosine on class-sorted support."""
+    from litemkd_tpu.distill.losses import (inter_class_cosine,
+                                            inter_class_cosine_ratio)
+
+    nt = refexec.teacher_half()
+    r = np.random.default_rng(17)
+    way, shot, t, d = 5, 3, 4, 32
+    sup = r.normal(size=(way, shot, t, d)).astype(np.float32)
+    videos = [torch.tensor(sup[c]) for c in range(way)]
+    with torch.no_grad():
+        want = float(nt.utils.My_Loss()(videos))
+        want2 = float(nt.utils.My_Loss2()(videos))
+    got = float(inter_class_cosine_ratio(jnp.asarray(sup)))
+    got2 = float(inter_class_cosine(jnp.asarray(sup)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5)
