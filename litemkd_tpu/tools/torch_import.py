@@ -759,14 +759,8 @@ _COMPOSED_IMPORTERS = {
         "classifier": _multiset_tct(sd, cfg)},
     "TwoCTXShuffleTime": lambda sd, cfg: {
         "branch_modules_0": _pair(sd, cfg), "classifier": _ctx_tct(sd, cfg)},
-    # bespoke (non-composer) teachers
-    # TSF (model.py:1154-1191): one TrxBranch per modality under the
-    # released attribute names m1_branch/skeleton_branch/flow_branch,
-    # consumed in --m1/--m2/--m3 order → our per-modality branch_{name}
-    "tsf": lambda sd, cfg: {
-        f"branch_{m}": _multiset_tct(sd, cfg, prefix=ref)
-        for m, ref in zip(cfg.model.modalities,
-                          ("m1_branch", "skeleton_branch", "flow_branch"))},
+    # bespoke (non-composer) teachers (tsf defined below: _tsf_import)
+    "tsf": lambda sd, cfg: _tsf_import(sd, cfg),
     "dga": lambda sd, cfg: {
         "fusion1": _pair(sd, cfg, "fusion1"),
         "fusion2": import_dga(sd, "fusion2"),
@@ -788,6 +782,23 @@ _COMPOSED_IMPORTERS = {
         "mlp2": import_bottleneck2(sd, "MLP2"),
         "branch": _multiset_tct(sd, cfg)},
 }
+
+
+def _tsf_import(sd: Dict[str, np.ndarray], cfg: Config) -> dict:
+    """TSF (model.py:1154-1191): one TrxBranch per modality under the
+    released attribute names m1_branch/skeleton_branch/flow_branch, consumed
+    in --m1/--m2/--m3 order → our per-modality branch_{name}. TSF is a
+    3-modality class; zip() would silently truncate a shorter/longer
+    modalities tuple, so validate up front."""
+    if len(cfg.model.modalities) != 3:
+        raise ValueError(
+            "TSF checkpoints are 3-modality (m1_branch/skeleton_branch/"
+            f"flow_branch, model.py:1154-1191) but cfg.model.modalities="
+            f"{cfg.model.modalities!r} has {len(cfg.model.modalities)} "
+            "entries — pass exactly three --modalities")
+    return {f"branch_{m}": _multiset_tct(sd, cfg, prefix=ref)
+            for m, ref in zip(cfg.model.modalities,
+                              ("m1_branch", "skeleton_branch", "flow_branch"))}
 
 
 def load_composed_checkpoint(path: str, cfg: Config, kind: str) -> dict:
@@ -838,6 +849,12 @@ def load_cnn_strm_checkpoint(path: str, cfg: Config) -> dict:
     absent from every released checkpoint; the classifier's ``distance``
     params are left to the caller (deep-merge over a fresh init)."""
     sd = load_state_dict(path)
+    tct = _import_tct_stack(sd, cfg, artifact=path)
+    if tct is None:
+        raise ValueError(
+            f"{path} holds no transformers.* TCT keys — not a CNN_STRM "
+            "expert artifact (model.py:3123-3344 always registers the TCT "
+            "ModuleList)")
     d = cfg.model.trans_linear_in_dim
     depth = _resnet_sd_depth(normalize_resnet_keys(sd, "resnet."))
     trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")
@@ -849,7 +866,6 @@ def load_cnn_strm_checkpoint(path: str, cfg: Config) -> dict:
         "lift": eye,
         "fr_enrich": import_mlp_enrich(sd, "fr_enrich"),
     }
-    tct = _import_tct_stack(sd, cfg, artifact=path)
     return {"params": {"backbone": backbone,
                        "classifier": {"transformers": tct}},
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
@@ -860,6 +876,11 @@ def load_skeleton_expert_checkpoint(path: str, cfg: Config) -> dict:
     Sequential + sinusoidal pe + encoder, plus the TCT stack) → Student
     variables for ``backbone="s3d"/"skeleton", classifier="TRX"``-family."""
     sd = load_state_dict(path)
+    tct = _import_tct_stack(sd, cfg, artifact=path)
+    if tct is None:
+        raise ValueError(
+            f"{path} holds no transformers.* TCT keys — not an S3D skeleton "
+            "expert artifact (run.py builds S3D + the TCT head together)")
     depth = 0
     while f"encoder.t_tr.layers.{depth}.linear1.weight" in sd:
         depth += 1
@@ -871,6 +892,5 @@ def load_skeleton_expert_checkpoint(path: str, cfg: Config) -> dict:
         "encoder": {f"layer{i}": _encoder_layer_params(
             sd, f"encoder.t_tr.layers.{i}", d) for i in range(depth)},
     }
-    tct = _import_tct_stack(sd, cfg, artifact=path)
     return {"params": {"backbone": backbone,
                        "classifier": {"transformers": tct}}}

@@ -282,6 +282,22 @@ def test_no_batch_first_video_axis_mixing(cls_name, n_mods):
     assert not np.allclose(t2n(out_p[5]), t2n(out[5]), rtol=1e-4, atol=1e-4)
 
 
+def test_two_road_importer_tree_census(tmp_path):
+    """ADVICE r4: the 'two_road' composed importer had neither an exact
+    golden (ThreeFusionTwoRoad is a no-batch_first class) nor a tree-path
+    census — a prefix typo in its pes_/encoder/proj/road mapping would stay
+    hidden until a user ingests a real checkpoint. Census the imported tree
+    against make_mfm(kind='two_road') init exactly."""
+    ref = _ref_model("ThreeFusionTwoRoad", 3, 61)
+    path = str(tmp_path / "two_road.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
+    cfg = _cfg(3)
+    variables = load_composed_checkpoint(path, cfg, "two_road")
+    model = make_mfm(cfg, kind="two_road", batched=False)
+    ctx, tgt = _feats(3, 62)
+    _assert_tree_paths_match(model, variables, ctx, tgt)
+
+
 def test_threefusion3_pe_dead():
     """ThreeFusion3 constructs positionEncoding1 but never applies it
     (model.py:2563-2580) — the composer's SelfEncoderBranch therefore has no

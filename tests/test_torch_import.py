@@ -1188,3 +1188,31 @@ def test_multiset_tct_export_order_and_resnet34(tmp_path):
         **cfg.model.__dict__, "backbone": "resnet18_2fc"}))
     with pytest.raises(ValueError, match="resnet34"):
         load_student_checkpoint(path, cfg18)
+
+
+def test_importer_guards_from_advice_r4(tmp_path):
+    """ADVICE r4 regression guards: (a) the 'tsf' composed importer rejects a
+    non-3-tuple modalities config instead of silently zip-truncating; (b)
+    load_cnn_strm_checkpoint raises a descriptive error on an artifact with
+    no transformers.* keys instead of returning a None params leaf."""
+    from litemkd_tpu.tools.torch_import import (load_composed_checkpoint,
+                                                load_cnn_strm_checkpoint)
+    base = preset("mfm_teacher")
+    cfg2 = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "modalities": ("rgb", "depth")}))
+    p = str(tmp_path / "x.pt")
+    torch.save({"model_state_dict": {}}, p)
+    with pytest.raises(ValueError, match="3-modality"):
+        load_composed_checkpoint(p, cfg2, "tsf")
+
+    # a trunk-only artifact (resnet.* keys, no transformers.*) must be
+    # rejected by the CNN_STRM importer, not produce a malformed tree
+    tm = ResNet18Trunk()
+    sd = {f"resnet.{k}": v for k, v in
+          _baseline_to_torchvision_names(tm).items()}
+    sd.update({"attn_pat.gamma": torch.zeros(1),
+               "attn_pat.query_proj.weight": torch.zeros(2048, 2048)})
+    p2 = str(tmp_path / "trunk_only.pt")
+    torch.save({"model_state_dict": sd}, p2)
+    with pytest.raises(ValueError, match="transformers"):
+        load_cnn_strm_checkpoint(p2, preset("expert_strm"))
