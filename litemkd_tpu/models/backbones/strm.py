@@ -32,6 +32,13 @@ class STRMBackbone(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     freeze_bn: bool = False
+    # PE dropout inside the enrichment blocks. The reference HARDCODES 0.1
+    # here regardless of --trans_dropout (model.py:512 / strm18_student.py:
+    # 119,176); we thread cfg.model.trans_dropout instead — identical at the
+    # canonical 0.1 default, and lets dropout-off runs (goldens, finetune)
+    # actually be deterministic. Same policy the classifier-side
+    # STRMDistance already follows (models/classifiers/strm.py).
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool) -> Dict[str, jnp.ndarray]:
@@ -41,7 +48,8 @@ class STRMBackbone(nn.Module):
         x = anchor(adaptive_max_pool_2d(x, (4, 4)))
         trunk_dim = x.shape[-1]
         x = x.reshape(b * t, 16, trunk_dim)
-        x = SelfAttnBot(trunk_dim, 16, name="attn_pat")(x, train=train)
+        x = SelfAttnBot(trunk_dim, 16, dropout=self.dropout,
+                        name="attn_pat")(x, train=train)
         x = x.mean(axis=1)                                   # (BT, trunk)
         lift = nn.Dense(self.out_dim, dtype=x.dtype,
                         kernel_init=torch_linear_kernel_init(),
@@ -49,7 +57,8 @@ class STRMBackbone(nn.Module):
                         name="lift")
         x = lift(x).reshape(b, t, self.out_dim)
         pat = x                                              # pre-enrichment
-        fr = MLPMixEnrich(self.out_dim, t, name="fr_enrich")(x, train=train)
+        fr = MLPMixEnrich(self.out_dim, t, dropout=self.dropout,
+                          name="fr_enrich")(x, train=train)
         dense = partial(nn.Dense, self.out_dim, dtype=fr.dtype,
                         kernel_init=torch_linear_kernel_init(),
                         bias_init=torch_linear_bias_init(self.out_dim))

@@ -188,6 +188,10 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
     if name.startswith(("resnet", "meta_baseline", "strm", "cnn_strm",
                         "mobilenetv3")):
         kw["freeze_bn"] = cfg.model.freeze_bn
+    if name.startswith(("strm", "cnn_strm")):
+        # enrichment-block PE dropout (see STRMBackbone.dropout for the
+        # hardcoded-0.1 reference divergence note)
+        kw["dropout"] = cfg.model.trans_dropout
     return BACKBONES[name](**kw)
 
 

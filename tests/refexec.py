@@ -112,6 +112,38 @@ def _timm_stub() -> types.ModuleType:
     return m
 
 
+def _pywebio_stubs() -> dict:
+    """multi_fusion.py:9,15-16 imports pywebio at module scope (the demo web
+    UI, not installed here); ``from pywebio.output import *`` needs an empty
+    __all__."""
+    root = types.ModuleType("pywebio")
+    root._litemkd_stub = True
+    inp = types.ModuleType("pywebio.input")
+    inp.FLOAT = "float"
+    inp.input = lambda *a, **k: None
+    out = types.ModuleType("pywebio.output")
+    out.__all__ = []
+    root.input, root.output = inp, out
+    return {"pywebio": root, "pywebio.input": inp, "pywebio.output": out}
+
+
+def _loguru_stub() -> types.ModuleType:
+    """pretrain/pretrain.py:5 / extract_feature.py:23 use loguru's global
+    ``logger`` (not installed here); an inert sink-less recorder suffices."""
+    m = types.ModuleType("loguru")
+    m._litemkd_stub = True
+
+    class _Logger:
+        def add(self, *a, **k):
+            return 0
+
+        def __getattr__(self, name):  # debug/info/warning/error/...
+            return lambda *a, **k: None
+
+    m.logger = _Logger()
+    return m
+
+
 @contextlib.contextmanager
 def _argv(argv):
     saved = sys.argv
@@ -128,10 +160,14 @@ def _load_half(key: str, root: str, top_names, targets) -> types.SimpleNamespace
     if key in _loaded:
         return _loaded[key]
     _install_shims()
-    stubs = {"wandb": _wandb_stub(), "timm": _timm_stub()}
+    stubs = {"wandb": _wandb_stub(), "timm": _timm_stub(),
+             "loguru": _loguru_stub(), **_pywebio_stubs()}
     for name in list(stubs):
-        if importlib.util.find_spec(name) is not None:  # pragma: no cover
-            del stubs[name]
+        try:   # find_spec on a dotted name raises when the parent is absent
+            if importlib.util.find_spec(name) is not None:  # pragma: no cover
+                del stubs[name]
+        except ModuleNotFoundError:
+            pass
 
     def _owned(n):
         return n.split(".")[0] in top_names or n in stubs
@@ -173,6 +209,63 @@ def teacher_half() -> types.SimpleNamespace:
     return _load_half(
         "teacher", TEACHER_ROOT, _TEACHER_TOP,
         ["model", "utils", "AuxDataset", "multi_video_reader"])
+
+
+@contextlib.contextmanager
+def _scratch_cwd():
+    """multi_fusion.py:44-49 / run.py:34-37 open ./runs_strm/*.log
+    FileHandlers at import time; give them a throwaway cwd (kept alive for
+    the process — the handlers hold the files open)."""
+    import tempfile
+    d = tempfile.mkdtemp(prefix="refexec_")
+    os.makedirs(os.path.join(d, "runs_strm"), exist_ok=True)
+    prev = os.getcwd()
+    os.chdir(d)
+    try:
+        yield d
+    finally:
+        os.chdir(prev)
+
+
+def teacher_entries() -> types.SimpleNamespace:
+    """Reference teacher/code TRAINER entry modules (multi_fusion.py, run.py)
+    plus their dependency stack — for executing-golden tests that drive the
+    reference's own Learner.train_task methods."""
+    if "teacher_entries" in _loaded:
+        return _loaded["teacher_entries"]
+    with _scratch_cwd():
+        return _load_half(
+            "teacher_entries", TEACHER_ROOT, _TEACHER_TOP,
+            ["model", "utils", "AuxDataset", "multi_video_reader",
+             "my_utiles", "multi_fusion", "run"])
+
+
+def pretrain_module() -> types.ModuleType:
+    """The reference's supervised-pretraining module
+    (teacher/code/pretrain/pretrain.py). It calls ``main()`` at module scope
+    (builds datasets, parses argv), so it cannot be imported as-is: exec its
+    source with ONLY the trailing ``main()`` call removed — every class and
+    function above it is the reference's own executing code."""
+    if "pretrain_mod" in _loaded:
+        return _loaded["pretrain_mod"]
+    ns = teacher_entries()   # installs shims + provides AuxDataset/model
+    path = os.path.join(TEACHER_ROOT, "pretrain", "pretrain.py")
+    with open(path) as f:
+        src = f.read()
+    cut = src.rfind("\nmain()")
+    assert cut != -1, "pretrain.py no longer ends with a main() call"
+    code = compile(src[:cut], path, "exec")
+    mod = types.ModuleType("ref_pretrain")
+    mod.__file__ = path
+    saved_path = list(sys.path)   # pretrain.py:4 clobbers sys.path[-1]
+    sys.path.insert(0, TEACHER_ROOT)
+    try:
+        with activate(ns), _argv(["ref"]):
+            exec(code, mod.__dict__)
+    finally:
+        sys.path[:] = saved_path
+    _loaded["pretrain_mod"] = mod
+    return mod
 
 
 @contextlib.contextmanager
