@@ -9,8 +9,11 @@ multi-set TCT head ('TRM'/'TRX_multi' classifier).
 
 Documented divergence: the released encoder omits ``batch_first=True``
 (model.py:2808), so torch attends across the B clips at each frame position
-(and its PE is likewise added along the clip axis) — batch-composition-
-dependent and clearly unintended. We attend over time.
+— batch-composition-dependent and clearly unintended. (The sinusoidal PE is
+per-FRAME on both sides: ``pe[:, :x.size(1)]`` indexes dim 1 regardless of
+batch_first.) We attend over time by default; ``video_axis=True`` (backbone
+name ``s3d_videoaxis``/``skeleton_videoaxis``) reproduces the released
+behavior so reference-trained S3D checkpoints replay their own outputs.
 """
 from __future__ import annotations
 
@@ -31,6 +34,7 @@ class SkeletonEncoder(nn.Module):
     num_head: int = 1
     num_layer: int = 3
     dropout: float = 0.1
+    video_axis: bool = False
 
     @nn.compact
     def __call__(self, skeletons: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -49,5 +53,6 @@ class SkeletonEncoder(nn.Module):
         x = SinusoidalPE(d, max_len=max(t, 8), dropout=self.dropout,
                          name="pe")(x, train=train)
         x = Encoder(d, self.num_head, self.num_layer, self.dropout,
-                    dim_ff=d, name="encoder")(x, train)
+                    dim_ff=d, video_axis=self.video_axis,
+                    name="encoder")(x, train)
         return x

@@ -28,20 +28,31 @@ from ..teacher.fusion import Encoder
 
 
 class TimeTransformer(nn.Module):
-    """PE → time-axis encoder → f1 → dropout (compiled CTX.py:69-92)."""
+    """PE → time-axis encoder → f1 → dropout (compiled CTX.py:69-92).
+
+    ``video_axis=True`` + ``apply_f1=False`` is the TEACHER-half variant
+    (teacher/code/model.py:2819-2838): that copy omits both the transpose
+    (video-axis attention) and the ``f1``/dropout application (constructed
+    but dead in its forward) — used by the ``CTX_videoaxis`` classifier so
+    teacher-trained CTX checkpoints reproduce their own logits."""
 
     d: int = 2048
     depth: int = 2
     nhead: int = 8
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    video_axis: bool = False
+    apply_f1: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         t = x.shape[-2]
         x = TrainablePE(t, self.d, self.dropout, name="pe")(x, train=train)
         x = Encoder(self.d, self.nhead, self.depth, self.dropout,
-                    self.compute_dtype, name="encoder")(x, train)
+                    self.compute_dtype, video_axis=self.video_axis,
+                    name="encoder")(x, train)
+        if not self.apply_f1:
+            return x
         x = nn.Dense(self.d, kernel_init=torch_linear_kernel_init(),
                      bias_init=torch_linear_bias_init(self.d),
                      name="f1")(x)
@@ -59,11 +70,14 @@ class CTXClassifier(nn.Module):
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    video_axis: bool = False   # teacher-half CTX: video-axis encoder, dead f1
 
     @nn.compact
     def __call__(self, context, context_labels, target, train: bool):
         tt = TimeTransformer(self.in_dim, dropout=self.dropout,
                              compute_dtype=self.compute_dtype,
+                             video_axis=self.video_axis,
+                             apply_f1=not self.video_axis,
                              name="time_trans")
         ctx = tt(context, train=train)
         tgt = tt(target, train=train)
@@ -74,3 +88,13 @@ class CTXClassifier(nn.Module):
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             name="transformers")(ctx, context_labels, tgt, train=train)
+
+
+class CTXVideoAxis(CTXClassifier):
+    """TEACHER-half CTX head (model.py:2938-3014): video-axis
+    TimeTransformer with its f1 dead — see TimeTransformer. Registered as
+    ``CTX_videoaxis`` so reference-trained teacher CTX checkpoints reproduce
+    their own logits; ``CTX`` (the compiled student head's time-axis intent)
+    stays the default."""
+
+    video_axis: bool = True

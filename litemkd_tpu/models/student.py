@@ -33,7 +33,7 @@ from .classifiers.edist import (EDist, CosDistance, EDistFC2, EDistFC2Sup,
                                 EDist1FCSup)
 from .classifiers.strm import STRMClassifier, STRMClassifierSup, STRM1FCSup
 from .classifiers.otam import OTAMClassifier, TRXMulti
-from .classifiers.ctx import CTXClassifier
+from .classifiers.ctx import CTXClassifier, CTXVideoAxis
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +71,12 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
         out_dim=out_dim, name=name),
     "skeleton": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
         out_dim=out_dim, name=name),
+    # released S3DEncoder quirk variants: video-axis attention (model.py:2807
+    # omits batch_first) — reference-trained S3D checkpoints replay exactly
+    "s3d_videoaxis": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
+        out_dim=out_dim, video_axis=True, name=name),
+    "skeleton_videoaxis": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
+        out_dim=out_dim, video_axis=True, name=name),
     "feature": lambda name=None, **kw: FeatureBackbone(name=name),
 }
 
@@ -101,6 +107,7 @@ CLASSIFIERS: Dict[str, Any] = {
     "TRX_multi": TRXMulti,
     "TRM": TRXMulti,
     "CTX": CTXClassifier,
+    "CTX_videoaxis": CTXVideoAxis,
 }
 
 # teacher selection aliases (reference model_select.py:220-233)
@@ -199,6 +206,16 @@ def make_backbone(name: str, cfg: Config, module_name: str = "backbone") -> nn.M
 # Episode models
 # ---------------------------------------------------------------------------
 
+def batch_sensitive_backbone(name: str) -> bool:
+    """Video-axis (bug-faithful ``*_videoaxis``) backbones attend ACROSS the
+    clips of one backbone batch, so batch composition is part of the
+    semantics: context and target must be encoded separately, per episode,
+    exactly as the reference does (S3D.forward model.py:2741-2743 runs each
+    side through the encoder on its own). Everything else is per-clip and
+    rides the fused single-batch path."""
+    return name.endswith("_videoaxis")
+
+
 class Student(nn.Module):
     """Backbone + episodic head over one episode's raw clips
     (reference model_select.py:17-36).
@@ -214,14 +231,18 @@ class Student(nn.Module):
         backbone = make_backbone(self.cfg.model.backbone, self.cfg)
         head = make_classifier(self.cfg.model.classifier, self.cfg)
 
-        n_ctx = context_clips.shape[0]
-        clips = jnp.concatenate([context_clips, target_clips], axis=0)
-        feats = backbone(clips, train=train)
-        if isinstance(feats, dict):
-            ctx = {k: feats[k][:n_ctx] for k in feats}
-            tgt = {k: feats[k][n_ctx:] for k in feats}
+        if batch_sensitive_backbone(self.cfg.model.backbone):
+            ctx = backbone(context_clips, train=train)
+            tgt = backbone(target_clips, train=train)
         else:
-            ctx, tgt = feats[:n_ctx], feats[n_ctx:]
+            n_ctx = context_clips.shape[0]
+            clips = jnp.concatenate([context_clips, target_clips], axis=0)
+            feats = backbone(clips, train=train)
+            if isinstance(feats, dict):
+                ctx = {k: feats[k][:n_ctx] for k in feats}
+                tgt = {k: feats[k][n_ctx:] for k in feats}
+            else:
+                ctx, tgt = feats[:n_ctx], feats[n_ctx:]
         logits = head(ctx, context_labels, tgt, train=train)
         return {"logits": logits, "context_features": ctx, "target_features": tgt}
 
@@ -239,22 +260,35 @@ class BatchedStudent(nn.Module):
         q = target_clips.shape[1]
         backbone = make_backbone(self.cfg.model.backbone, self.cfg)
 
-        clips = jnp.concatenate(
-            [context_clips.reshape(e * s, *context_clips.shape[2:]),
-             target_clips.reshape(e * q, *target_clips.shape[2:])], axis=0)
-        feats = backbone(clips, train=train)
+        if batch_sensitive_backbone(self.cfg.model.backbone):
+            # video-axis backbones: one backbone batch per (episode, side),
+            # as the reference runs them — an unrolled loop (e is static and
+            # small) calling ONE module keeps the params shared
+            def per_side(clips):
+                outs = [backbone(clips[i], train=train) for i in range(e)]
+                if isinstance(outs[0], dict):
+                    return {k: jnp.stack([o[k] for o in outs])
+                            for k in outs[0]}
+                return jnp.stack(outs)
 
-        def split(f):
-            ctx = f[: e * s].reshape(e, s, *f.shape[1:])
-            tgt = f[e * s:].reshape(e, q, *f.shape[1:])
-            return ctx, tgt
-
-        if isinstance(feats, dict):
-            pairs = {k: split(v) for k, v in feats.items()}
-            ctx = {k: v[0] for k, v in pairs.items()}
-            tgt = {k: v[1] for k, v in pairs.items()}
+            ctx, tgt = per_side(context_clips), per_side(target_clips)
         else:
-            ctx, tgt = split(feats)
+            clips = jnp.concatenate(
+                [context_clips.reshape(e * s, *context_clips.shape[2:]),
+                 target_clips.reshape(e * q, *target_clips.shape[2:])], axis=0)
+            feats = backbone(clips, train=train)
+
+            def split(f):
+                ctx = f[: e * s].reshape(e, s, *f.shape[1:])
+                tgt = f[e * s:].reshape(e, q, *f.shape[1:])
+                return ctx, tgt
+
+            if isinstance(feats, dict):
+                pairs = {k: split(v) for k, v in feats.items()}
+                ctx = {k: v[0] for k, v in pairs.items()}
+                tgt = {k: v[1] for k, v in pairs.items()}
+            else:
+                ctx, tgt = split(feats)
 
         vhead = make_vmapped_classifier(self.cfg.model.classifier, self.cfg)
         logits = vhead(ctx, context_labels, tgt, train)

@@ -67,6 +67,10 @@ class Branch(NamedTuple):
     sides: Tuple[int, int] = (1, 1)
     depth: Optional[int] = None
     nhead: int = 0    # multi branches: 0 → per-arity default head count
+    # bug-faithful released-encoder quirks (multi/self branches; see
+    # fusion.Encoder.video_axis / MultiStreamFusion.shared_last_pe)
+    video_axis: bool = False
+    shared_last_pe: bool = False
 
 
 BranchSpec = Union[Branch, Tuple]   # plain (kind, idxs, shift) tuples accepted
@@ -212,6 +216,17 @@ PRESETS: Dict[str, Tuple[BranchSpec, ...]] = {
                                   Branch("pair", (0, 2), 0, "f")),
     # model.py:2555 ThreeFusion3 — self-encoded m1 + pair(m2, m3), MLP post
     "ThreeFusion3": (Branch("self", (0,), depth=3), Branch("pair", (1, 2))),
+    # as released: the ``tran`` encoder omits batch_first → video-axis
+    # attention (model.py:2566); this variant reproduces it exactly so a
+    # reference-trained ThreeFusion3 checkpoint replays its own logits
+    "ThreeFusion3_videoaxis": (
+        Branch("self", (0,), depth=3, video_axis=True),
+        Branch("pair", (1, 2))),
+    # as released: FourTransforFusion omits batch_first AND routes stream 4
+    # through positionEncoding3 (PE4 constructed but dead, model.py:1218-1219)
+    "FourStrm_videoaxis": (
+        Branch("multi", (0, 1, 2, 3), depth=2, nhead=4, video_axis=True,
+               shared_last_pe=True),),
     # model.py:2700 TwoFusionBatchFusion — scalar-stat shift fusion
     "TwoFusionBatchFusion": (Branch("batch", (0, 1)),),
 }
@@ -221,6 +236,7 @@ PRESET_OPTIONS: Dict[str, Dict[str, str]] = {
     "ThreeCross": {"combine": "cross"},
     "OTAMThreeTRXShiftLoopTime": {"head": "otam"},
     "ThreeFusion3": {"post": "mlp"},
+    "ThreeFusion3_videoaxis": {"post": "mlp"},
     "TwoCTXShuffleTime": {"head": "ctx"},
     "TwoCTXShuffleTime_faithful": {"head": "ctx"},
 }
@@ -291,8 +307,10 @@ class ComposedFusionTeacher(nn.Module):
         if self.extract_branches is not None:
             ex = [_as_branch(s) for s in self.extract_branches]
             if len(ex) != len(branches) or any(
-                    (a.kind, a.idxs, a.share, a.depth, a.nhead)
-                    != (b.kind, b.idxs, b.share, b.depth, b.nhead)
+                    (a.kind, a.idxs, a.share, a.depth, a.nhead,
+                     a.video_axis, a.shared_last_pe)
+                    != (b.kind, b.idxs, b.share, b.depth, b.nhead,
+                        b.video_axis, b.shared_last_pe)
                     for a, b in zip(ex, branches)):
                 raise ValueError(
                     "extract_branches must match branches module-for-module "
@@ -316,10 +334,12 @@ class ComposedFusionTeacher(nn.Module):
             prev = seen.setdefault(k, b)
             if (len(prev.idxs) != len(b.idxs)
                     or (prev.depth or self.depth) != (b.depth or self.depth)
-                    or prev.nhead != b.nhead):
+                    or prev.nhead != b.nhead
+                    or prev.video_axis != b.video_axis
+                    or prev.shared_last_pe != b.shared_last_pe):
                 raise ValueError(
-                    f"branches sharing {k} disagree on arity/depth/nhead: "
-                    f"{prev} vs {b}")
+                    f"branches sharing {k} disagree on arity/depth/nhead/"
+                    f"video_axis: {prev} vs {b}")
         mods = []
         shared: Dict[Tuple[str, str], nn.Module] = {}
         for spec in self.branches:
@@ -331,15 +351,20 @@ class ComposedFusionTeacher(nn.Module):
             depth = b.depth if b.depth is not None else self.depth
             if b.kind == "multi":
                 n = len(b.idxs)
+                plain3 = (n == 3 and not b.nhead and not b.video_axis
+                          and not b.shared_last_pe)
                 m = (ThreeStreamFusion(self.seq_len, self.in_dim, depth,
                                        self.dropout)
-                     if n == 3 and not b.nhead else
+                     if plain3 else
                      MultiStreamFusion(n, self.seq_len, self.in_dim, depth,
-                                       self.dropout, nhead=b.nhead))
+                                       self.dropout, nhead=b.nhead,
+                                       video_axis=b.video_axis,
+                                       shared_last_pe=b.shared_last_pe))
             elif b.kind == "cross":
                 m = CrossAttentionFusion(self.in_dim, dropout=self.dropout)
             elif b.kind == "self":
-                m = SelfEncoderBranch(self.in_dim, depth, self.dropout)
+                m = SelfEncoderBranch(self.in_dim, depth, self.dropout,
+                                      video_axis=b.video_axis)
             elif b.kind == "batch":
                 m = BatchStatFusion(self.in_dim)
             else:
@@ -391,7 +416,8 @@ class ComposedFusionTeacher(nn.Module):
                 # override is the positional ThreeStreamFusion; everything
                 # else is the list-taking MultiStreamFusion
                 out = (module(*picked, train)
-                       if len(b.idxs) == 3 and not b.nhead
+                       if (len(b.idxs) == 3 and not b.nhead
+                           and not b.video_axis and not b.shared_last_pe)
                        else module(picked, train))
             elif b.kind == "self":
                 out = module(streams[b.idxs[0]], train)

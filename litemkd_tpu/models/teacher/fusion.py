@@ -107,21 +107,33 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
+    """``video_axis=True`` reproduces the released no-``batch_first`` bug of
+    five reference modules (FourTransforFusion model.py:1205, ThreeFusion3's
+    ``tran`` :2566, ThreeTranToTwo :2632, S3DEncoder :2807, teacher
+    TimeTransformer :2827): a (N, T, D) input is read by torch as
+    (seq, batch, feature), so attention mixes the N VIDEOS at each frame
+    position — one swapaxes on each side of the layer stack here. Off by
+    default; the bug-faithful ``*_videoaxis`` variants exist so
+    reference-trained checkpoints reproduce their own outputs."""
+
     d_model: int
     nhead: int
     depth: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
     dim_ff: int = 2048   # torch TransformerEncoderLayer default
+    video_axis: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.video_axis:
+            x = x.swapaxes(0, 1)
         for i in range(self.depth):
             x = EncoderLayer(self.d_model, self.nhead, dim_ff=self.dim_ff,
                              dropout=self.dropout,
                              compute_dtype=self.compute_dtype,
                              name=f"layer{i}")(x, train)
-        return x
+        return x.swapaxes(0, 1) if self.video_axis else x
 
 
 class TwoStreamFusion(nn.Module):
@@ -179,17 +191,25 @@ class MultiStreamFusion(nn.Module):
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
     nhead: int = 0    # 0 → per-arity default (3 streams → 3 heads, else 2)
+    video_axis: bool = False      # released FourTransforFusion bug (see Encoder)
+    shared_last_pe: bool = False  # released FourTransforFusion: stream 4 goes
+                                  # through positionEncoding3 — PE4 is dead
+                                  # (model.py:1218-1219)
 
     @nn.compact
     def __call__(self, streams, train: bool):
         assert len(streams) == self.n_streams
+        n_pes = self.n_streams - 1 if self.shared_last_pe else self.n_streams
         pes = [TrainablePE(self.seq_len, self.d, self.dropout, name=f"pe{i+1}")
-               for i in range(self.n_streams)]
+               for i in range(n_pes)]
+        if self.shared_last_pe:
+            pes = pes + [pes[-1]]
         x = jnp.concatenate([pe(m, train=train)
                              for pe, m in zip(pes, streams)], -1)
         nhead = self.nhead or (3 if self.n_streams == 3 else 2)
         x = Encoder(self.n_streams * self.d, nhead, self.depth, self.dropout,
-                    self.compute_dtype, name="encoder")(x, train)
+                    self.compute_dtype, video_axis=self.video_axis,
+                    name="encoder")(x, train)
         x = _dense(self.d, self.n_streams * self.d, "fuse_proj",
                    self.compute_dtype)(x)
         return nn.Dropout(self.dropout, deterministic=not train,
@@ -239,17 +259,19 @@ class SelfEncoderBranch(nn.Module):
     Documented divergence: the released layer omits ``batch_first=True``
     (unlike the four core fusions, l.1245/1311/1346/1370), so with (N, T, D)
     inputs torch attends ACROSS VIDEOS at each frame position — batch-size-
-    and episode-composition-dependent. We attend over time, the evident
-    intent."""
+    and episode-composition-dependent. We attend over time by default, the
+    evident intent; ``video_axis=True`` (the ``ThreeFusion3_videoaxis``
+    preset) reproduces the released behavior for checkpoint interop."""
 
     d: int = 2048
     depth: int = 3
     dropout: float = 0.1
+    video_axis: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         return Encoder(self.d, 1, self.depth, self.dropout,
-                       name="encoder")(x, train)
+                       video_axis=self.video_axis, name="encoder")(x, train)
 
 
 class BatchStatFusion(nn.Module):
@@ -478,7 +500,9 @@ class TwoRoadFusionTeacher(nn.Module):
 
     Documented divergence: ThreeTranToTwo omits ``batch_first=True``
     (model.py:2630), so the released encoder attends across videos, not time
-    (see SelfEncoderBranch); we attend over time like the core fusions.
+    (see SelfEncoderBranch); we attend over time by default —
+    ``video_axis=True`` (the ``two_road_videoaxis`` kind) reproduces the
+    released behavior for checkpoint interop.
     """
 
     way: int
@@ -492,13 +516,15 @@ class TwoRoadFusionTeacher(nn.Module):
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    video_axis: bool = False
 
     def setup(self):
         from ...ops.strm import BottleneckMLP2
         d, half = self.in_dim, self.in_dim // 2
         self.pes = [TrainablePE(self.seq_len, d, self.dropout)
                     for _ in self.modalities]
-        self.encoder = Encoder(3 * d, 3, self.depth, self.dropout)
+        self.encoder = Encoder(3 * d, 3, self.depth, self.dropout,
+                               video_axis=self.video_axis)
         self.proj = nn.Dense(2 * d, kernel_init=torch_linear_kernel_init(),
                              bias_init=torch_linear_bias_init(3 * d))
         self.drop = nn.Dropout(self.dropout)

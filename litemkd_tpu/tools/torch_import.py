@@ -247,12 +247,16 @@ def _trainable_pe_params(sd: Dict[str, np.ndarray], prefix: str) -> dict:
 
 
 def import_stream_fusion(sd: Dict[str, np.ndarray], prefix: str,
-                         n_streams: int, d: int, depth: int) -> dict:
+                         n_streams: int, d: int, depth: int,
+                         n_pes: Optional[int] = None) -> dict:
     """Two/ThreeTransforFusion-style module (per-stream PEs + torch
     TransformerEncoder + f1 projection; reference model.py:1300-1331 /
-    1361-1393) → Two/Three/MultiStreamFusion params."""
+    1361-1393) → Two/Three/MultiStreamFusion params. ``n_pes`` < n_streams
+    imports only the LIVE PEs (FourTransforFusion's positionEncoding4 is
+    constructed but dead — stream 4 rides positionEncoding3,
+    model.py:1218-1219 — so the bug-faithful variant has 3 PE tables)."""
     p: dict = {}
-    for i in range(n_streams):
+    for i in range(n_pes if n_pes is not None else n_streams):
         p[f"pe{i + 1}"] = _trainable_pe_params(
             sd, f"{prefix}.positionEncoding{i + 1}")
     p["encoder"] = {
@@ -567,6 +571,21 @@ def load_student_checkpoint(path: str, cfg: Config) -> dict:
     sd = load_state_dict(path)
     if detect_torchvision_zoo(sd) is not None:
         return load_torchvision_trunk(path, cfg)
+    if "time_trans.positionEncoding.position_embeddings.weight" in sd:
+        # teacher-half CTX artifact (model.py:2938-3014): resnet.* trunk +
+        # time_trans + frame-level CrossTransformer — route to the dedicated
+        # importer so the TimeTransformer weights are not silently dropped
+        return load_teacher_ctx_checkpoint(path, cfg)
+    if "encoder.t_embedding.0.weight" in sd:
+        # S3D skeleton expert artifact (model.py:2720-2818)
+        return load_skeleton_expert_checkpoint(path, cfg)
+    if (cfg.model.backbone.startswith(("strm", "cnn_strm"))
+            and not any(k.startswith("backbone.") for k in sd)
+            and any(k.startswith("resnet.") for k in sd)):
+        # CNN_STRM expert artifact targeted at an STRM backbone config (the
+        # attn_pat/fr_enrich keys alone cannot identify it — TRX artifacts
+        # carry them as dead weight, model.py:558)
+        return load_cnn_strm_checkpoint(path, cfg)
     if (not any(k.startswith("backbone.") for k in sd)
             and any(k.startswith("resnet.") for k in sd)):
         return _load_expert_checkpoint(sd, cfg, path)
@@ -728,6 +747,11 @@ _COMPOSED_IMPORTERS = {
     "FourStrm": lambda sd, cfg: {
         "branch_modules_0": _multi(sd, cfg, "fusion", 4, depth=2),
         "classifier": _multiset_tct(sd, cfg)},
+    # bug-faithful FourStrm: only PEs 1-3 are live (shared_last_pe)
+    "FourStrm_videoaxis": lambda sd, cfg: {
+        "branch_modules_0": import_stream_fusion(
+            sd, "fusion", 4, cfg.model.trans_linear_in_dim, 2, n_pes=3),
+        "classifier": _multiset_tct(sd, cfg)},
     "TwoCombinationTRX": lambda sd, cfg: {
         "branch_modules_0": _pair(sd, cfg), "classifier": _multiset_tct(sd, cfg)},
     # TwoCombinationCTX wraps a whole TwoCross instance as self.fusion1
@@ -810,6 +834,10 @@ def load_composed_checkpoint(path: str, cfg: Config, kind: str) -> dict:
     base = kind[5:] if kind.startswith("otam:") else kind
     if base.endswith("_faithful"):
         base = base[: -len("_faithful")]
+    # _videoaxis variants share their base preset's parameter tree unless an
+    # explicit entry says otherwise (FourStrm_videoaxis drops the dead PE4)
+    if base not in _COMPOSED_IMPORTERS and base.endswith("_videoaxis"):
+        base = base[: -len("_videoaxis")]
     if base == "mfm":
         return load_mfm_checkpoint(path, cfg)
     if base not in _COMPOSED_IMPORTERS:
@@ -868,6 +896,45 @@ def load_cnn_strm_checkpoint(path: str, cfg: Config) -> dict:
     }
     return {"params": {"backbone": backbone,
                        "classifier": {"transformers": tct}},
+            "batch_stats": {"backbone": {"trunk": trunk_s}}}
+
+
+def load_teacher_ctx_checkpoint(path: str, cfg: Config) -> dict:
+    """Teacher-half CTX expert artifact (model.py:2938-3014: resnet trunk →
+    adap-max 4x4 → patch mean → video-axis TimeTransformer whose ``f1`` is
+    dead → ``CrossTransformer`` frame-level TCT) → Student variables for
+    ``backbone="resnet50_student", classifier="CTX_videoaxis"``.
+
+    Geometry note: the released forward reshapes the pooled features as
+    ``(-1, 512, 16)`` regardless of trunk width (model.py:2982-2983); with
+    resnet50's 2048 channels that chunked reshape is algebraically the plain
+    per-channel patch mean (the mean runs over the 16 spatial positions of
+    each channel either way), so only 512-divisible trunks are coherent and
+    the class only reassembles to (N, seq_len, trans_linear_in_dim) for
+    trans_linear_in_dim == trunk width."""
+    sd = load_state_dict(path)
+    depth = _resnet_sd_depth(normalize_resnet_keys(sd, "resnet."))
+    trunk_p, trunk_s = import_resnet_trunk(sd, depth, prefix="resnet.")
+    tt = "time_trans"
+    enc_depth = 0
+    while f"{tt}.transformer_encoder.layers.{enc_depth}.linear1.weight" in sd:
+        enc_depth += 1
+    if enc_depth == 0:
+        raise ValueError(
+            f"{path} holds no time_trans encoder layers — not a teacher CTX "
+            "artifact (model.py:2954 always registers the TimeTransformer)")
+    d = sd[f"{tt}.f1.weight"].shape[0]   # f1 is dead but carries d_model
+    classifier = {
+        "time_trans": {
+            "pe": _trainable_pe_params(sd, f"{tt}.positionEncoding"),
+            "encoder": {f"layer{i}": _encoder_layer_params(
+                sd, f"{tt}.transformer_encoder.layers.{i}", d)
+                for i in range(enc_depth)},
+        },
+        "transformers": import_tct(sd, "transformers"),
+    }
+    return {"params": {"backbone": {"trunk": trunk_p},
+                       "classifier": classifier},
             "batch_stats": {"backbone": {"trunk": trunk_s}}}
 
 

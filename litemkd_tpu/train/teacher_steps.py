@@ -55,8 +55,11 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
     elif kind in ("dga", "dga2"):
         cls = DGAFusionTeacher
         kw.update(depth=cfg.model.trans_num, with_enrich=(kind == "dga2"))
-    elif kind == "two_road":
+    elif kind in ("two_road", "two_road_videoaxis"):
         cls = TwoRoadFusionTeacher
+        # _videoaxis: the released ThreeTranToTwo's no-batch_first encoder
+        # (video-axis attention), for reference-checkpoint interop
+        kw["video_axis"] = kind.endswith("_videoaxis")
     elif kind in FUSION_PRESETS or kind.startswith("otam:"):
         cls = ComposedFusionTeacher
         preset_name = kind[5:] if kind.startswith("otam:") else kind
@@ -83,7 +86,8 @@ def make_mfm(cfg: Config, batched: bool = True, kind: str = "mfm",
     else:
         raise ValueError(
             f"unknown fusion kind {kind!r}; choose mfm | tsf | dga | dga2 | "
-            f"two_road | otam:<preset> | one of {sorted(FUSION_PRESETS)}")
+            f"two_road | two_road_videoaxis | otam:<preset> | one of "
+            f"{sorted(FUSION_PRESETS)}")
     if not batched:
         return cls(**kw)
     vcls = nn.vmap(cls, in_axes=(0, 0, 0, None), out_axes=0,

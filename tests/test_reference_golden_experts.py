@@ -260,56 +260,34 @@ def test_arr50_classification_matches(tmp_path):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_s3d_embedding_matches_and_encoder_diverges(tmp_path):
-    """S3D (model.py:2720-2818): the t_embedding MLP and sinusoidal PE are
-    per-token and match our SkeletonEncoder exactly with imported weights;
-    the released t_tr omits batch_first (video-axis attention — same class
-    of divergence as ThreeFusion3's tran), proven by the cross-video
-    dependence probe."""
+def test_s3d_forward_matches_reference_videoaxis(tmp_path):
+    """S3D (model.py:2720-2818) FULL forward exact golden via the
+    ``s3d_videoaxis`` backbone: the released t_tr omits batch_first, so it
+    attends across the clip/video axis at each frame position (and the
+    TrainablePE stays per-frame — ``pe[:, :x.size(1)]`` indexes dim 1 either
+    way); the variant reproduces that exactly, so a reference-trained S3D
+    skeleton expert replays its own logits here. Input geometry keeps the
+    reference's ``reshape(-1, seq_len, d)`` an identity (one skeleton frame
+    per video frame). The time-axis ``s3d`` backbone stays the default."""
     nt = refexec.teacher_half()
     torch.manual_seed(78)
     args = _expert_args("s3d", 64)
     ref = nt.model.S3D(args).eval()
     path = _save(ref, tmp_path)
 
-    cfg = _cfg("s3d", "TRX", 64)
+    cfg = _cfg("s3d_videoaxis", "TRX", 64)
     variables = load_skeleton_expert_checkpoint(path, cfg)
+    model = Student(cfg)
 
     r = np.random.default_rng(79)
-    x = r.normal(size=(S * T, 6, 17, 3)).astype(np.float32)  # 6 skel frames
-    xt = torch.tensor(x.reshape(S * T, 6, 51))
-
-    # (a) embedding sub-path: per-token, exact
+    ctx = r.normal(size=(S, T, 17, 3)).astype(np.float32)
+    tgt = r.normal(size=(Q, T, 17, 3)).astype(np.float32)
     with torch.no_grad():
-        want_emb = t2n(ref.encoder.t_embedding(xt))
-    emb_params = {k: variables["params"]["backbone"][k]
-                  for k in ("embed_in", "embed_ln", "embed_out")}
-
-    import flax.linen as fnn
-
-    class _Emb(fnn.Module):
-        @fnn.compact
-        def __call__(self, z):
-            z = fnn.Dense(64, name="embed_in")(z)
-            z = fnn.relu(fnn.LayerNorm(epsilon=1e-5, name="embed_ln")(z))
-            return fnn.Dense(64, name="embed_out")(z)
-
-    got_mid = _Emb().apply({"params": emb_params}, jnp.asarray(x.reshape(
-        S * T, 6, 51)))
-    # the torch Sequential is Linear→LN→ReLU→Linear; ours fuses LN+ReLU the
-    # same way (skeleton.py:46-48), so outputs must agree
-    np.testing.assert_allclose(np.asarray(got_mid), want_emb,
-                               rtol=2e-4, atol=2e-4)
-
-    # (b) the released t_tr attends across dim 0 (videos): perturbing row 0
-    # changes row 3's output
-    with torch.no_grad():
-        base = ref.encoder(xt)
-        xp = xt.clone()
-        xp[0] += torch.tensor(r.normal(size=tuple(xp[0].shape))
-                              .astype(np.float32))
-        pert = ref.encoder(xp)
-    assert not np.allclose(t2n(pert[3]), t2n(base[3]), rtol=1e-4, atol=1e-4)
+        want = t2n(ref(torch.tensor(ctx), torch.tensor(LABELS),
+                       torch.tensor(tgt))["logits"])[0]
+    got = model.apply(variables, jnp.asarray(ctx), jnp.asarray(LABELS),
+                      jnp.asarray(tgt), train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-3)
 
 
 def test_trx_forward_is_broken_as_released():
@@ -414,26 +392,71 @@ def test_baseline_forward_matches_reference(tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
 
 
-def test_teacher_ctx_time_transformer_mixes_videos():
-    """The teacher-half CTX's TimeTransformer (model.py:2819-2858) omits
-    batch_first → attends across the VIDEO axis; the student-half's
-    compiled-only CTX transposes before its encoder (time-axis attention,
-    recovered from bytecode — tools/pyc_reader.py audit). This executing
-    probe pins the teacher side of that inconsistency, justifying our
-    time-axis CTXClassifier as the evident intent. (Also note: the teacher
-    CTX hardcodes 2048-dim TimeTransformer/CrossTransformer inputs, so it
-    only runs at --method resnet50.)"""
+def test_teacher_ctx_forward_matches_reference_videoaxis(tmp_path):
+    """Teacher-half CTX (model.py:2938-3014) FULL forward exact golden via
+    ``classifier="CTX_videoaxis"`` + ``load_teacher_ctx_checkpoint``: the
+    released TimeTransformer omits the transpose the compiled student-half
+    CTX performs (video-axis attention) and never applies its ``f1`` — both
+    reproduced by the variant, so a reference-trained teacher CTX replays
+    its own logits here; the time-axis ``CTX`` head stays the default.
+    Geometry notes: the class hardcodes 2048-dim TimeTransformer /
+    CrossTransformer inputs (only --method resnet50 is coherent) and its
+    ``reshape(-1, 512, 16)`` patch pooling is algebraically the plain
+    per-channel patch mean (see load_teacher_ctx_checkpoint)."""
+    from litemkd_tpu.tools.torch_import import load_teacher_ctx_checkpoint
+
     nt = refexec.teacher_half()
     torch.manual_seed(95)
     args = _expert_args("resnet50", 2048)
     args.mode = "x"
     ref = nt.model.CTX(args).eval()
-    r = np.random.default_rng(96)
-    x = torch.tensor(r.normal(size=(6, T, 2048)).astype(np.float32))
-    xp = x.clone()
-    xp[0] += torch.tensor(r.normal(size=tuple(xp[0].shape))
-                          .astype(np.float32))
+    path = _save(ref, tmp_path)
+
+    cfg = _cfg("resnet50_student", "CTX_videoaxis", 2048)
+    variables = load_teacher_ctx_checkpoint(path, cfg)
+    model = Student(cfg)
+
+    ctx, ctx_flat = _images(S, 96)
+    tgt, tgt_flat = _images(Q, 97)
     with torch.no_grad():
-        base = ref.time_trans(x)
-        pert = ref.time_trans(xp)
-    assert not np.allclose(t2n(pert[3]), t2n(base[3]), rtol=1e-4, atol=1e-4)
+        want = t2n(ref(ctx_flat, torch.tensor(LABELS), tgt_flat, "x")
+                   ["logits"])[0]
+    got = model.apply(variables, jnp.asarray(ctx), jnp.asarray(LABELS),
+                      jnp.asarray(tgt), train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=1e-3)
+
+
+def test_cli_and_dispatch_ingest_videoaxis_artifacts(tmp_path):
+    """Product surface for the video-axis importers: (a) a teacher-half CTX
+    .pt evaluates through ``cli.test -m`` (load_student_checkpoint routes on
+    the time_trans keys); (b) an S3D .pt routes to the skeleton importer
+    from the same dispatch."""
+    from litemkd_tpu.cli import test as cli_test
+    from litemkd_tpu.tools.torch_import import load_student_checkpoint
+
+    nt = refexec.teacher_half()
+    torch.manual_seed(98)
+    args = _expert_args("resnet50", 2048)
+    args.mode = "x"
+    ctx_ref = nt.model.CTX(args).eval()
+    ctx_path = str(tmp_path / "ctx.pt")
+    torch.save({"model_state_dict": ctx_ref.state_dict()}, ctx_path)
+
+    s = cli_test.main([
+        "--dataset", "synthetic", "--way", str(WAY), "--shot", str(SHOT),
+        "--query_per_class", str(QPC), "--query_per_class_test", "1",
+        "--seq_len", str(T), "--img_size", str(IMG),
+        "--model_backbone", "resnet50_student",
+        "--model_classifier", "CTX_videoaxis",
+        "--trans_linear_in_dim", "2048", "--trans_linear_out_dim", "128",
+        "-m", ctx_path, "--num_test_tasks", "2"])
+    assert s["n_tasks"] == 2
+
+    torch.manual_seed(99)
+    s3d_ref = nt.model.S3D(_expert_args("s3d", 64)).eval()
+    s3d_path = str(tmp_path / "s3d.pt")
+    torch.save({"model_state_dict": s3d_ref.state_dict()}, s3d_path)
+    cfg = _cfg("s3d_videoaxis", "TRX", 64)
+    v1 = load_student_checkpoint(s3d_path, cfg)
+    v2 = load_skeleton_expert_checkpoint(s3d_path, cfg)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)

@@ -127,6 +127,11 @@ EXACT_CASES = [
     ("TwoCTXShuffleTime", "TwoCTXShuffleTime_faithful", 2),
     ("ThreeFusionDGA", "dga", 3),
     ("ThreeFusionDGA2", "dga2", 3),
+    # bug-faithful *_videoaxis variants (VERDICT r4 item 2): the released
+    # encoders omit batch_first → video-axis attention; these presets
+    # reproduce it exactly, closing the reference-checkpoint interop hole
+    ("ThreeFusion3", "ThreeFusion3_videoaxis", 3),
+    ("ThreeFusionTwoRoad", "two_road_videoaxis", 3),
 ]
 
 
@@ -217,69 +222,46 @@ def test_temtro_shift_target_side_matches_reference(tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Divergence pinning for the no-batch_first classes (PARITY.md documented
-# divergences) — the claims are re-derived from the executing bytecode.
+# Bug-faithful video-axis variants (the released no-batch_first encoders).
+# Round 4 only had divergence-PINNING probes here (cross-video mixing, dead
+# PEs); the *_videoaxis presets now reproduce the released behavior exactly,
+# so those claims are carried by exact shared-weight goldens instead: the
+# ThreeFusion3/ThreeFusionTwoRoad cases live in EXACT_CASES above, FourStrm
+# below (its modality-key order is hardcoded in the reference forward).
 # ---------------------------------------------------------------------------
 
-def test_fourstrm_pe4_dead_and_video_axis_mixing():
-    """FourStrm's FourTransforFusion (model.py:1192-1233): (a) stream 4 runs
-    through positionEncoding3 — positionEncoding4 is constructed but DEAD
-    (l.1218-1219); (b) the encoder omits batch_first, so outputs for video i
-    depend on OTHER videos in the batch (video-axis attention) — the released
-    behavior our time-axis MultiStreamFusion deliberately diverges from."""
-    ref = _ref_model("FourStrm", 4, 31)
-    ctx, tgt = _feats(4, 32)
-    base = _ref_logits(ref, ctx, tgt)
+def test_fourstrm_videoaxis_forward_matches_reference(tmp_path):
+    """FourStrm (model.py:2335-2368) exact golden via the FourStrm_videoaxis
+    preset: the released FourTransforFusion omits batch_first (video-axis
+    attention, model.py:1205) and routes stream 4 through positionEncoding3
+    (PE4 is dead, l.1218-1219) — both reproduced. The forward consumes the
+    modality dict by HARDCODED key order rgb/skeleton/flow/depth
+    (model.py:2346-2353), so the cfg pins that order."""
+    four_mods = ("rgb", "skeleton", "flow", "depth")
+    seed = 131
+    ns = refexec.teacher_half()
+    args = refexec.teacher_args(shot=SHOT, query_per_class=QPC, trans_num=1)
+    torch.manual_seed(seed)
+    ref = ns.model.FourStrm(args).eval()
+    path = str(tmp_path / "fourstrm.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, path)
 
-    # (a) scrambling PE4 changes nothing
-    with torch.no_grad():
-        ref.fusion.positionEncoding4.position_embeddings.weight.mul_(13.7)
-    np.testing.assert_allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-6)
-    # ...while scrambling PE3 (which feeds streams 3 AND 4) does
-    with torch.no_grad():
-        ref.fusion.positionEncoding3.position_embeddings.weight.mul_(3.0)
-    assert not np.allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-3,
-                           atol=1e-3)
+    base = _cfg(4)
+    cfg = base.replace(model=base.model.__class__(**{
+        **base.model.__dict__, "modalities": four_mods}))
+    variables = load_composed_checkpoint(path, cfg, "FourStrm_videoaxis")
+    model = make_mfm(cfg, kind="FourStrm_videoaxis", batched=False)
 
-    # (b) a batch_first (time-axis) encoder computes video i's output from
-    # video i alone; the released no-batch_first fusion attends across the
-    # video axis, so perturbing video 0 changes video 5's output
-    fuse = ref.fusion
-    x = [torch.tensor(ctx[m]) for m in MODS[:4]]
-    x_pert = [t.clone() for t in x]
-    # random noise, not a constant: the TrainablePE's LayerNorm removes any
-    # per-token constant shift before the encoder ever sees it
-    x_pert[0][0] += torch.tensor(np.random.default_rng(3).normal(
-        size=x_pert[0][0].shape).astype(np.float32))
-    with torch.no_grad():
-        out, _ = fuse(x[0], x[0], x[1], x[1], x[2], x[2], x[3], x[3])
-        out_p, _ = fuse(x_pert[0], x_pert[0], x[1], x[1], x[2], x[2],
-                        x[3], x[3])
-    assert not np.allclose(t2n(out_p[5]), t2n(out[5]), rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.parametrize("cls_name,n_mods", [
-    ("ThreeFusion3", 3),
-    ("ThreeFusionTwoRoad", 3),
-])
-def test_no_batch_first_video_axis_mixing(cls_name, n_mods):
-    """ThreeFusion3's ``tran`` (model.py:2566) and ThreeTranToTwo
-    (model.py:2632) omit batch_first: video i's output depends on OTHER
-    videos in the batch — the executing proof of the divergence our
-    SelfEncoderBranch / TwoRoadFusionTeacher docstrings document (a
-    batch_first/time-axis encoder is per-video independent)."""
-    ref = _ref_model(cls_name, n_mods, 41)
-    r = np.random.default_rng(42)
-    x = torch.tensor(r.normal(size=(S, T, D)).astype(np.float32))
-    xp = x.clone()
-    xp[0] += torch.tensor(r.normal(size=xp[0].shape).astype(np.float32))
-    with torch.no_grad():
-        if cls_name == "ThreeFusion3":
-            out, out_p = ref.tran(x), ref.tran(xp)
-        else:
-            out, _ = ref.fusion(x, x, x, x, x, x)
-            out_p, _ = ref.fusion(xp, xp, x, x, x, x)
-    assert not np.allclose(t2n(out_p[5]), t2n(out[5]), rtol=1e-4, atol=1e-4)
+    r = np.random.default_rng(seed + 1)
+    ctx = {m: r.normal(size=(S, T, D)).astype(np.float32) for m in four_mods}
+    tgt = {m: r.normal(size=(Q, T, D)).astype(np.float32) for m in four_mods}
+    want = _ref_logits(ref, ctx, tgt)
+    _assert_tree_paths_match(model, variables, ctx, tgt)
+    got = np.asarray(model.apply(
+        variables, {m: jnp.asarray(v) for m, v in ctx.items()},
+        jnp.asarray(LABELS), {m: jnp.asarray(v) for m, v in tgt.items()},
+        False)["logits"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=2e-2)
 
 
 def test_two_road_importer_tree_census(tmp_path):
@@ -296,18 +278,6 @@ def test_two_road_importer_tree_census(tmp_path):
     model = make_mfm(cfg, kind="two_road", batched=False)
     ctx, tgt = _feats(3, 62)
     _assert_tree_paths_match(model, variables, ctx, tgt)
-
-
-def test_threefusion3_pe_dead():
-    """ThreeFusion3 constructs positionEncoding1 but never applies it
-    (model.py:2563-2580) — the composer's SelfEncoderBranch therefore has no
-    PE either."""
-    ref = _ref_model("ThreeFusion3", 3, 43)
-    ctx, tgt = _feats(3, 44)
-    base = _ref_logits(ref, ctx, tgt)
-    with torch.no_grad():
-        ref.positionEncoding1.position_embeddings.weight.mul_(17.0)
-    np.testing.assert_allclose(_ref_logits(ref, ctx, tgt), base, rtol=1e-6)
 
 
 def test_teacher_cli_ingests_reference_fusion_checkpoint(tmp_path):
