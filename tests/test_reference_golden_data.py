@@ -43,7 +43,13 @@ try:
 except Exception:  # pragma: no cover
     Image = None
 
-SEQ, IMG = 8, 84
+SEQ, IMG = 8, 84        # aux-section geometry (and the pub84 param point)
+# The episodic scan/pixel/episode goldens run at BOTH published geometries
+# (VERDICT r4 item 7): img 84 → 96-shorter-side resize (options.py
+# img_size·256/224), seq 8; and the canonical 224 → 256 resize with an
+# off-canonical seq_len=5 so get_seq's trimmed-linspace and the episode
+# assembly are pinned away from seq_len=8 too.
+GEOMETRIES = {"pub84": (8, 84), "canon224_seq5": (5, 224)}
 CLASSES = ("c_apple", "c_banana", "c_cherry")
 N_FRAMES = (8, 11, 14, 19)
 DIMS = ((90, 72), (64, 74), (100, 80), (76, 64))   # (w, h); (64,74) → the
@@ -59,11 +65,13 @@ def _write_video(vdir, n_frames, w, h, rng):
             os.path.join(vdir, f"frame{i:05d}.jpg"), quality=92)
 
 
-@pytest.fixture(scope="module")
-def tree(tmp_path_factory):
-    """rgb tree + split lists + teacher feature tree. Videos 0-1 of each
-    class are train, 2-3 test; frame counts and dims vary per video."""
-    root = tmp_path_factory.mktemp("refdata")
+@pytest.fixture(scope="module", params=sorted(GEOMETRIES))
+def tree(request, tmp_path_factory):
+    """rgb tree + split lists + teacher feature tree at one GEOMETRIES
+    point. Videos 0-1 of each class are train, 2-3 test; frame counts and
+    dims vary per video."""
+    seq, img = GEOMETRIES[request.param]
+    root = tmp_path_factory.mktemp(f"refdata_{request.param}")
     rgb = root / "rgb_l8"
     anno = root / "splits"
     feat = root / "feature" / "multi_feature"   # ≥3 '/' segments for the
@@ -77,7 +85,7 @@ def tree(tmp_path_factory):
             n, (w, h) = N_FRAMES[v], DIMS[v]
             _write_video(str(rgb / c / vid), n, w, h, rng)
             (train_lines if v < 2 else test_lines).append(f"{c}/{vid}.avi")
-            f = rng.normal(size=(SEQ, FEAT_D)).astype(np.float32)
+            f = rng.normal(size=(seq, FEAT_D)).astype(np.float32)
             fdir = feat / c / vid
             fdir.mkdir(parents=True)
             np.save(str(fdir / "feature.npy"), f)
@@ -85,13 +93,15 @@ def tree(tmp_path_factory):
     (anno / "trainlist01.txt").write_text("\n".join(train_lines) + "\n")
     (anno / "testlist01.txt").write_text("\n".join(test_lines) + "\n")
     return {"root": str(root), "rgb": str(rgb), "anno": str(anno),
-            "feat": str(feat), "features": features}
+            "feat": str(feat), "features": features,
+            "seq": seq, "img": img}
 
 
 def _ref_args(ns, tree):
     return refexec.student_args(
         ns, RGB_path=tree["rgb"], teacher_path=tree["feat"],
-        traintestlist=tree["anno"], split=1, seq_len=SEQ, img_size=IMG,
+        traintestlist=tree["anno"], split=1, seq_len=tree["seq"],
+        img_size=tree["img"],
         way=3, shot=1, query_per_class=2, query_per_class_test=1)
 
 
@@ -146,7 +156,7 @@ def ref_ds(tree):
 def our_store(tree):
     # use_native=False: the goldens pin the PIL path; native-vs-PIL parity
     # has its own seed-swept tests in test_data.py
-    return VideoStore(tree["rgb"], tree["anno"], 1, SEQ, IMG,
+    return VideoStore(tree["rgb"], tree["anno"], 1, tree["seq"], tree["img"],
                       use_native=False)
 
 
@@ -249,7 +259,7 @@ def test_get_seq_train_mode_pixels_match(ref_ds, our_store, monkeypatch,
     want = _ref_clip_uint8(want_t)
 
     vals = [v for (_, _, _, v) in rec.log]
-    if n == SEQ:
+    if n == tree["seq"]:
         flip, x1, y1 = vals
         replay = [flip, y1, x1]
     else:
@@ -318,9 +328,9 @@ def test_episode_assembly_matches_reference(ref_ds, our_store, tree):
     for half, n_vids, with_real in (("support", way * shot, False),
                                     ("target", way * qpc, True)):
         clips = _ref_clip_uint8(task[f"{half}_set"]).reshape(
-            n_vids, SEQ, IMG, IMG, 3)
+            n_vids, tree["seq"], tree["img"], tree["img"], 3)
         feats = t2n(task[f"{half}_set_feature_teacher"]).reshape(
-            n_vids, SEQ, FEAT_D)
+            n_vids, tree["seq"], FEAT_D)
         labels = [int(x) for x in t2n(task[f"{half}_labels"])]
         for i in range(n_vids):
             key = clips[i].tobytes()
