@@ -34,13 +34,17 @@ def _bench_config(mode: str):
     from litemkd_tpu import preset
 
     episodes_per_step = int(os.environ.get("BENCH_EPISODES_PER_STEP", "16"))
-    micro = int(os.environ.get("BENCH_MICRO_BATCH", "4"))
+    # expert default micro_batch=2: the resnet50 expert's fused fwd/bwd at
+    # 360 imgs/episode holds ~2x the flagship's activations per episode
+    micro = int(os.environ.get("BENCH_MICRO_BATCH",
+                               "2" if mode == "expert" else "4"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     freeze_bn = os.environ.get("BENCH_FREEZE_BN", "0") == "1"
     pallas_bn = os.environ.get("BENCH_PALLAS_BN", "0") == "1"
 
     default_preset = ("mfm_teacher" if mode.startswith("teacher")
+                      else "expert_trx" if mode == "expert"
                       else "student_fc2sup_dist")
     bench_preset = os.environ.get("BENCH_PRESET", default_preset)
     cfg = preset(bench_preset)
@@ -76,7 +80,7 @@ def _source_sha() -> str:
     return h.hexdigest()[:16]
 
 
-def _aot_meta(tag: str, cfg) -> dict:
+def _aot_meta(tag: str, cfg, extra=None) -> dict:
     """Fingerprint that must match for a serialized executable to be safe to
     reuse: jax/jaxlib versions, the target device, the full run config, and
     the source tree."""
@@ -92,6 +96,8 @@ def _aot_meta(tag: str, cfg) -> dict:
         "cfg_sha": hashlib.sha256(cfg.to_json().encode()).hexdigest(),
         "src": _source_sha(),
     }
+    if extra:
+        meta["extra"] = extra
     if dev.platform == "cpu":
         # XLA:CPU executables embed the compile host's SIMD features and
         # SIGILL elsewhere; TPU executables are host-independent
@@ -99,7 +105,7 @@ def _aot_meta(tag: str, cfg) -> dict:
     return meta
 
 
-def _aot_load_or_compile(tag: str, cfg, jitted, example_args):
+def _aot_load_or_compile(tag: str, cfg, jitted, example_args, extra=None):
     """Return a compiled executable for ``jitted`` at ``example_args``'
     shapes, loading a serialized one from ``.jax_cache/aot/`` when the
     fingerprint matches and serializing a fresh compile otherwise.
@@ -114,7 +120,7 @@ def _aot_load_or_compile(tag: str, cfg, jitted, example_args):
     import pickle
     if os.environ.get("BENCH_AOT", "1") != "1":
         return jitted
-    meta = _aot_meta(tag, cfg)
+    meta = _aot_meta(tag, cfg, extra)
     aot_dir = os.environ.get(
         "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
     # fingerprint in the FILENAME: a CPU test run at tiny geometry must not
@@ -221,7 +227,8 @@ def _sync_mode() -> str:
     return sync
 
 
-def bench_train(cfg, episodes_per_step, n_steps):
+def bench_train(cfg, episodes_per_step, n_steps, tag="train",
+                metric="train_episodes_per_sec_per_chip"):
     import jax
     from litemkd_tpu.data import SyntheticEpisodeSource, device_put_batch
     from litemkd_tpu.train import create_train_state, make_train_step
@@ -241,7 +248,7 @@ def bench_train(cfg, episodes_per_step, n_steps):
         return jax.tree_util.tree_flatten(new_st)[0], metrics
 
     step = _aot_load_or_compile(
-        "train", cfg, jax.jit(step_flat, donate_argnums=0),
+        tag, cfg, jax.jit(step_flat, donate_argnums=0),
         (leaves, t_vars, batch))
 
     leaves, metrics = step(leaves, t_vars, batch)    # compile + warmup
@@ -253,7 +260,60 @@ def bench_train(cfg, episodes_per_step, n_steps):
         return metrics
 
     dt = _timed_loop(n_steps, dispatch, lambda m: float(m["task_loss"]))
-    return n_steps * episodes_per_step / dt, "train_episodes_per_sec_per_chip"
+    return n_steps * episodes_per_step / dt, metric
+
+
+def bench_expert(cfg, episodes_per_step, n_steps):
+    """The per-modality expert stage (run.py: resnet50 trunk + TCT head over
+    224px frames, TRXLoss) — the reference's costliest compute at 1023.3
+    GFLOPs/episode forward (Readme.md:172-173). Identical machinery to the
+    student step (the expert IS the student pipeline without a teacher)."""
+    return bench_train(cfg, episodes_per_step, n_steps, tag="expert",
+                       metric="expert_train_episodes_per_sec_per_chip")
+
+
+def bench_pretrain(cfg, episodes_per_step, n_steps):
+    """The supervised pretraining step (pretrain/pretrain.py: batch-8 clips
+    through Action_Recognition_Resnet50, plain CE, dual-group SGD). Unit is
+    CLIPS (videos) per second; BENCH_PRETRAIN_BATCH overrides the
+    reference's DataLoader batch of 8 (pretrain.py:31)."""
+    import jax
+    import jax.numpy as jnp
+    from litemkd_tpu.train.teacher_steps import (create_pretrain_state,
+                                                 make_pretrain_step)
+
+    bs = int(os.environ.get("BENCH_PRETRAIN_BATCH", "8"))
+    n_classes = int(os.environ.get("BENCH_PRETRAIN_CLASSES", "64"))
+    t, img = cfg.episode.seq_len, cfg.episode.img_size
+    sample = jnp.zeros((1, t, img, img, 3), jnp.uint8)
+    state, model = create_pretrain_state(
+        cfg, jax.random.key(0), n_classes, sample,
+        arch="resnet50", lr_groups=(1e-6, 1e-2), steps_per_epoch=1000)
+    clips = jax.random.bits(jax.random.key(1), (bs, t, img, img, 3),
+                            dtype=jnp.uint8)
+    labels = jnp.arange(bs, dtype=jnp.int32) % n_classes
+    raw_step = make_pretrain_step(cfg, model)
+    leaves, state_td = jax.tree_util.tree_flatten(state)  # see bench_train
+
+    def step_flat(state_leaves, clips, labels):
+        st = jax.tree_util.tree_unflatten(state_td, state_leaves)
+        new_st, metrics = raw_step(st, clips, labels)
+        return jax.tree_util.tree_flatten(new_st)[0], metrics
+
+    step = _aot_load_or_compile(
+        "pretrain", cfg, jax.jit(step_flat, donate_argnums=0),
+        (leaves, clips, labels), extra={"bs": bs, "n_classes": n_classes})
+
+    leaves, metrics = step(leaves, clips, labels)    # compile + warmup
+    _ = float(metrics["loss"])
+
+    def dispatch():
+        nonlocal leaves
+        leaves, metrics = step(leaves, clips, labels)
+        return metrics
+
+    dt = _timed_loop(n_steps, dispatch, lambda m: float(m["loss"]))
+    return n_steps * bs / dt, "pretrain_clips_per_sec_per_chip"
 
 
 def bench_eval(cfg, episodes_per_step, n_steps):
@@ -330,24 +390,62 @@ def bench_teacher_eval(cfg, episodes_per_step, n_steps):
             "teacher_eval_episodes_per_sec_per_chip")
 
 
-def main():
-    from litemkd_tpu.cli.common import enable_compilation_cache
-    enable_compilation_cache()
+RUNNERS = {"train": bench_train, "eval": bench_eval,
+           "teacher": bench_teacher, "teacher_eval": bench_teacher_eval,
+           "expert": bench_expert, "pretrain": bench_pretrain}
 
-    mode = os.environ.get("BENCH_MODE", "train")
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+def _aot_path_for_mode(mode: str) -> str:
+    """The AOT artifact path a run of ``mode`` under the current env/tree
+    would load — the ``--check`` contract."""
+    import hashlib
+    import json as _json
+    cfg, _, _ = _bench_config(mode)
+    extra = None
+    if mode == "pretrain":
+        extra = {"bs": int(os.environ.get("BENCH_PRETRAIN_BATCH", "8")),
+                 "n_classes": int(os.environ.get("BENCH_PRETRAIN_CLASSES",
+                                                 "64"))}
+    meta = _aot_meta(mode, cfg, extra)
+    aot_dir = os.environ.get(
+        "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
+    fp = hashlib.sha256(_json.dumps(meta, sort_keys=True).encode()) \
+        .hexdigest()[:12]
+    return os.path.join(aot_dir, f"{mode}-{fp}.pkl")
+
+
+def check_aot(modes) -> int:
+    """``bench.py --check``: exit 0 iff every mode's AOT executable exists
+    at the CURRENT source tree's fingerprint. Run after any code edit and
+    before the round ends (the driver's number depends on a warm artifact —
+    previously only prose enforced this; VERDICT r4 weak #4)."""
+    stale = []
+    for m in modes:
+        path = _aot_path_for_mode(m)
+        status = "ok" if os.path.exists(path) else "MISSING"
+        print(f"[check] {m:12s} {status}  {path}", file=sys.stderr)
+        if status != "ok":
+            stale.append(m)
+    if stale:
+        print(f"[check] STALE: {' '.join(stale)} — run "
+              f"`python bench.py --rewarm-all` (or BENCH_MODE=<m> python "
+              f"bench.py) on the target device", file=sys.stderr)
+        return 1
+    print("[check] all AOT executables warm at the current tree",
+          file=sys.stderr)
+    return 0
+
+
+def run_mode(mode: str, n_steps: int) -> dict:
     cfg, bench_preset, episodes_per_step = _bench_config(mode)
-
-    runner = {"train": bench_train, "eval": bench_eval,
-              "teacher": bench_teacher,
-              "teacher_eval": bench_teacher_eval}[mode]
-    eps, metric = runner(cfg, episodes_per_step, n_steps)
+    eps, metric = RUNNERS[mode](cfg, episodes_per_step, n_steps)
 
     vs = None
     baseline_path = os.path.join(ROOT, "BASELINE_LOCAL.json")
-    # torch-CPU baselines exist for the flagship TRAIN computation and the
-    # MFM teacher step (tools/torch_cpu_{,teacher_}baseline.py); the ratio is
-    # meaningless for other presets/modes
+    # torch-CPU baselines exist for the flagship TRAIN/EVAL computation, the
+    # MFM teacher step, and (round 5) the expert and pretrain stages
+    # (tools/torch_cpu_*_baseline.py); the ratio is meaningless for other
+    # presets/modes
     baseline_key = None
     if mode == "train" and bench_preset == "student_fc2sup_dist":
         baseline_key = "torch_cpu_episodes_per_sec"
@@ -355,6 +453,10 @@ def main():
         baseline_key = "torch_cpu_eval_episodes_per_sec"
     elif mode == "teacher" and bench_preset == "mfm_teacher":
         baseline_key = "torch_cpu_teacher_episodes_per_sec"
+    elif mode == "expert" and bench_preset == "expert_trx":
+        baseline_key = "torch_cpu_expert_episodes_per_sec"
+    elif mode == "pretrain":
+        baseline_key = "torch_cpu_pretrain_clips_per_sec"
     if baseline_key and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f).get(baseline_key)
@@ -365,14 +467,16 @@ def main():
         desc = (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot "
                 f"MFM fusion teacher, {len(cfg.model.modalities)} modalities, "
                 f"d={cfg.model.trans_linear_in_dim})")
+    elif mode == "pretrain":
+        bs = int(os.environ.get("BENCH_PRETRAIN_BATCH", "8"))
+        desc = (f"clips/s (supervised resnet50 pretrain, batch {bs}, "
+                f"{cfg.episode.seq_len}x{cfg.episode.img_size}px)")
     else:
         desc = (f"episodes/s ({cfg.episode.way}-way {cfg.episode.shot}-shot, "
                 f"{cfg.model.backbone}+{cfg.model.classifier}+"
                 f"{cfg.distill.name}, {cfg.episode.img_size}px)")
     line = {"metric": metric, "value": round(eps, 3), "unit": desc,
             "vs_baseline": round(vs, 2) if vs is not None else None}
-    print(json.dumps(line))
-
     record = {"ts": round(time.time(), 1), "mode": mode,
               "preset": bench_preset,
               "episodes_per_step": episodes_per_step,
@@ -387,6 +491,30 @@ def main():
             f.write(json.dumps(record) + "\n")
     except OSError as e:
         print(f"[bench] history append failed: {e}", file=sys.stderr)
+    return line
+
+
+def main():
+    from litemkd_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+
+    argv = sys.argv[1:]
+    if "--check" in argv:
+        raise SystemExit(check_aot(list(RUNNERS)))
+    if "--rewarm-all" in argv:
+        # re-warm every mode's AOT executable after a code edit; one short
+        # measured run each (also refreshes BENCH_HISTORY so the numbers
+        # stay attributable to the tree that produced them)
+        for m in RUNNERS:
+            os.environ["BENCH_MODE"] = m
+            line = run_mode(m, int(os.environ.get("BENCH_STEPS", "10")))
+            print(f"[rewarm] {m}: {json.dumps(line)}", file=sys.stderr)
+        raise SystemExit(check_aot(list(RUNNERS)))
+
+    mode = os.environ.get("BENCH_MODE", "train")
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    line = run_mode(mode, n_steps)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
