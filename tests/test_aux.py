@@ -182,6 +182,16 @@ def test_bench_driver_contract(tmp_path):
     hist = _json.loads((tmp_path / "hist.jsonl").read_text())
     assert hist["preset"] == "tiny" and hist["steps"] == 2
 
+    # --check contract (the round close-out gate): the train artifact the
+    # run above serialized is warm, the other five modes are not → exit 1
+    # naming them; nonsense flags must not silently no-op
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--check"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "train        ok" in proc.stderr
+    assert "STALE" in proc.stderr and "teacher" in proc.stderr
+
 
 def test_profile_cli_smoke(tmp_path, capsys):
     """cli.profile traces one step and prints an op-time summary (SURVEY §5.1
