@@ -61,11 +61,18 @@ def _bench_config(mode: str):
     return cfg, bench_preset, episodes_per_step
 
 
+_SOURCE_SHA = None
+
+
 def _source_sha() -> str:
     """Content hash of every litemkd_tpu source file + bench.py: any code
     edit invalidates serialized executables, so a stale AOT artifact can
     neither bench old code silently nor crash the warmup call on a changed
-    parameter tree."""
+    parameter tree. Memoized — deterministic within a process, and --check/
+    --rewarm-all would otherwise re-walk the package once per mode."""
+    global _SOURCE_SHA
+    if _SOURCE_SHA is not None:
+        return _SOURCE_SHA
     import hashlib
     h = hashlib.sha256()
     files = [os.path.abspath(__file__)]
@@ -77,7 +84,8 @@ def _source_sha() -> str:
         h.update(f.encode())
         with open(f, "rb") as fh:
             h.update(fh.read())
-    return h.hexdigest()[:16]
+    _SOURCE_SHA = h.hexdigest()[:16]
+    return _SOURCE_SHA
 
 
 def _aot_meta(tag: str, cfg, extra=None) -> dict:
@@ -105,6 +113,32 @@ def _aot_meta(tag: str, cfg, extra=None) -> dict:
     return meta
 
 
+def _aot_path(tag: str, cfg, extra=None):
+    """(meta, artifact path) for a (tag, cfg, extra) triple — the ONE place
+    the fingerprint/filename scheme lives; _aot_load_or_compile and the
+    --check contract both use it, so they cannot drift apart."""
+    import hashlib
+    import json as _json
+    meta = _aot_meta(tag, cfg, extra)
+    aot_dir = os.environ.get(
+        "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
+    # fingerprint in the FILENAME: a CPU test run at tiny geometry must not
+    # clobber the driver's warmed TPU flagship executable (they coexist)
+    fp = hashlib.sha256(_json.dumps(meta, sort_keys=True).encode()) \
+        .hexdigest()[:12]
+    return meta, os.path.join(aot_dir, f"{tag}-{fp}.pkl")
+
+
+def _mode_extra(mode: str):
+    """Per-mode non-cfg fingerprint inputs — must match what the mode's
+    runner passes to _aot_load_or_compile."""
+    if mode == "pretrain":
+        return {"bs": int(os.environ.get("BENCH_PRETRAIN_BATCH", "8")),
+                "n_classes": int(os.environ.get("BENCH_PRETRAIN_CLASSES",
+                                                "64"))}
+    return None
+
+
 def _aot_load_or_compile(tag: str, cfg, jitted, example_args, extra=None):
     """Return a compiled executable for ``jitted`` at ``example_args``'
     shapes, loading a serialized one from ``.jax_cache/aot/`` when the
@@ -115,19 +149,11 @@ def _aot_load_or_compile(tag: str, cfg, jitted, example_args, extra=None):
     even with zero caches a fresh compile happens at most once per round,
     and any later run — including the driver's — loads the executable with
     NO compile at all. BENCH_AOT=0 disables both directions."""
-    import hashlib
-    import json as _json
     import pickle
     if os.environ.get("BENCH_AOT", "1") != "1":
         return jitted
-    meta = _aot_meta(tag, cfg, extra)
-    aot_dir = os.environ.get(
-        "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
-    # fingerprint in the FILENAME: a CPU test run at tiny geometry must not
-    # clobber the driver's warmed TPU flagship executable (they coexist)
-    fp = hashlib.sha256(_json.dumps(meta, sort_keys=True).encode()) \
-        .hexdigest()[:12]
-    path = os.path.join(aot_dir, f"{tag}-{fp}.pkl")
+    meta, path = _aot_path(tag, cfg, extra)
+    aot_dir = os.path.dirname(path)
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
@@ -302,7 +328,7 @@ def bench_pretrain(cfg, episodes_per_step, n_steps):
 
     step = _aot_load_or_compile(
         "pretrain", cfg, jax.jit(step_flat, donate_argnums=0),
-        (leaves, clips, labels), extra={"bs": bs, "n_classes": n_classes})
+        (leaves, clips, labels), extra=_mode_extra("pretrain"))
 
     leaves, metrics = step(leaves, clips, labels)    # compile + warmup
     _ = float(metrics["loss"])
@@ -397,21 +423,11 @@ RUNNERS = {"train": bench_train, "eval": bench_eval,
 
 def _aot_path_for_mode(mode: str) -> str:
     """The AOT artifact path a run of ``mode`` under the current env/tree
-    would load — the ``--check`` contract."""
-    import hashlib
-    import json as _json
+    would load — the ``--check`` contract. Shares _aot_path with the real
+    load/compile path so the two cannot drift (each runner's tag equals its
+    RUNNERS key; _mode_extra mirrors the runner's extra)."""
     cfg, _, _ = _bench_config(mode)
-    extra = None
-    if mode == "pretrain":
-        extra = {"bs": int(os.environ.get("BENCH_PRETRAIN_BATCH", "8")),
-                 "n_classes": int(os.environ.get("BENCH_PRETRAIN_CLASSES",
-                                                 "64"))}
-    meta = _aot_meta(mode, cfg, extra)
-    aot_dir = os.environ.get(
-        "BENCH_AOT_DIR", os.path.join(ROOT, ".jax_cache", "aot"))
-    fp = hashlib.sha256(_json.dumps(meta, sort_keys=True).encode()) \
-        .hexdigest()[:12]
-    return os.path.join(aot_dir, f"{mode}-{fp}.pkl")
+    return _aot_path(mode, cfg, _mode_extra(mode))[1]
 
 
 def check_aot(modes) -> int:
@@ -499,6 +515,14 @@ def main():
     enable_compilation_cache()
 
     argv = sys.argv[1:]
+    unknown = [a for a in argv if a not in ("--check", "--rewarm-all")]
+    if unknown:
+        # a typo ('--rewarm') must NOT fall through to a full default
+        # real-chip train run
+        print(f"bench.py: unknown argument(s) {unknown}; "
+              f"valid: --check | --rewarm-all (modes via BENCH_MODE env)",
+              file=sys.stderr)
+        raise SystemExit(2)
     if "--check" in argv:
         raise SystemExit(check_aot(list(RUNNERS)))
     if "--rewarm-all" in argv:
@@ -506,7 +530,6 @@ def main():
         # measured run each (also refreshes BENCH_HISTORY so the numbers
         # stay attributable to the tree that produced them)
         for m in RUNNERS:
-            os.environ["BENCH_MODE"] = m
             line = run_mode(m, int(os.environ.get("BENCH_STEPS", "10")))
             print(f"[rewarm] {m}: {json.dumps(line)}", file=sys.stderr)
         raise SystemExit(check_aot(list(RUNNERS)))

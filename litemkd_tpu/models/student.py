@@ -64,21 +64,26 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "strmbackbone": partial(STRMBackbone, depth=18, num_fc=1),
     "strm50_student": partial(STRMBackbone, depth=50, num_fc=1),
     "cnn_strm": partial(STRMBackbone, depth=50, num_fc=1),
-    # lambdas drop the CNN-only kwargs (compute_dtype etc.) but MUST forward
-    # name=: the "backbone" module name is the pytree invariant every
-    # importer/exporter addresses
-    "s3d": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
-        out_dim=out_dim, name=name),
-    "skeleton": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
-        out_dim=out_dim, name=name),
-    # released S3DEncoder quirk variants: video-axis attention (model.py:2807
-    # omits batch_first) — reference-trained S3D checkpoints replay exactly
-    "s3d_videoaxis": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
-        out_dim=out_dim, video_axis=True, name=name),
-    "skeleton_videoaxis": lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
-        out_dim=out_dim, video_axis=True, name=name),
     "feature": lambda name=None, **kw: FeatureBackbone(name=name),
 }
+
+
+def _skeleton_entry(video_axis: bool):
+    """Factory for the skeleton backbones: drops the CNN-only kwargs
+    (compute_dtype etc.) but MUST forward name= — the "backbone" module name
+    is the pytree invariant every importer/exporter addresses. The
+    *_videoaxis variants reproduce the released S3DEncoder's no-batch_first
+    video-axis attention (model.py:2807) for checkpoint interop."""
+    return lambda out_dim=2048, name=None, **kw: SkeletonEncoder(
+        out_dim=out_dim, video_axis=video_axis, name=name)
+
+
+BACKBONES.update({
+    "s3d": _skeleton_entry(False),
+    "skeleton": _skeleton_entry(False),
+    "s3d_videoaxis": _skeleton_entry(True),
+    "skeleton_videoaxis": _skeleton_entry(True),
+})
 
 CLASSIFIERS: Dict[str, Any] = {
     "TRX": TRX,

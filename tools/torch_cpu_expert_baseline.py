@@ -88,10 +88,14 @@ def main_expert(n_episodes: int = 2):
             opt.step()
             opt.zero_grad()
     dt = time.time() - t0
+    # expert_-namespaced metadata: the shared BASELINE_LOCAL.json keys
+    # n_episodes/config belong to the flagship baseline (the teacher/eval
+    # baselines set the teacher_*/eval_* convention this follows)
     out = {"torch_cpu_expert_episodes_per_sec": n_episodes / dt,
-           "n_episodes": n_episodes, "threads": torch.get_num_threads(),
-           "config": f"resnet50 expert + TRX + TRXLoss, {WAY}w{SHOT}s "
-                     f"q{QPC}, {IMG}px"}
+           "expert_n_episodes": n_episodes,
+           "expert_threads": torch.get_num_threads(),
+           "expert_config": f"resnet50 expert + TRX + TRXLoss, {WAY}w{SHOT}s "
+                            f"q{QPC}, {IMG}px"}
     print(json.dumps(out))
     _merge_baseline(out)
 
@@ -123,8 +127,9 @@ def main_pretrain(n_steps: int = 2, bs: int = 8, n_classes: int = 64):
         step()
     dt = time.time() - t0
     out = {"torch_cpu_pretrain_clips_per_sec": n_steps * bs / dt,
-           "n_steps": n_steps, "threads": torch.get_num_threads(),
-           "config": f"resnet50 pretrain, batch {bs}, {T}x{IMG}px"}
+           "pretrain_n_steps": n_steps,
+           "pretrain_threads": torch.get_num_threads(),
+           "pretrain_config": f"resnet50 pretrain, batch {bs}, {T}x{IMG}px"}
     print(json.dumps(out))
     _merge_baseline(out)
 
