@@ -109,6 +109,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--teacher_path", default=None)
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--fixed_episode_file", default=None)
+    p.add_argument("--synthetic_noise", type=float, default=None,
+                   help="synthetic-dataset difficulty (noise scale around "
+                        "the class prototypes; default 0.3)")
     # multi-camera datasets (reference run.py:142-146)
     p.add_argument("--cross_view", action="store_true", default=None,
                    help="support clips from a random camera view, queries "
@@ -276,6 +279,7 @@ def build_config(args: argparse.Namespace,
         num_workers=pick(dc.num_workers, args.num_workers),
         prefetch=dc.prefetch,
         fixed_episode_file=pick(dc.fixed_episode_file, args.fixed_episode_file),
+        synthetic_noise=pick(dc.synthetic_noise, args.synthetic_noise),
         cross_view=pick(dc.cross_view, args.cross_view),
         query_view=pick(dc.query_view, args.view),
         fixed_view=pick(dc.fixed_view, args.fixed_view),
@@ -350,6 +354,7 @@ def build_sampler(cfg: Config, need_teacher: bool = True):
     if cfg.data.dataset == "synthetic":
         from ..data import SyntheticEpisodeSource
         return SyntheticEpisodeSource(cfg, n_classes=16, seed=cfg.train.seed,
+                                      noise=cfg.data.synthetic_noise,
                                       with_teacher_feats=need_teacher)
     from ..data import VideoStore, FeatureStore, EpisodeSampler
     video_store = None

@@ -113,6 +113,9 @@ class DataConfig:
     num_workers: int = 4
     prefetch: int = 2
     fixed_episode_file: Optional[str] = None  # JSON replay of fixed test episodes
+    synthetic_noise: float = 0.3         # synthetic-dataset difficulty: per-
+                                         # sample noise scale around the class
+                                         # prototypes (higher = harder)
     # multi-camera (dance-style) datasets with an ``all_view_rgb_l8/<view>/
     # <class>/<video>`` sibling tree (reference run.py --cross_view/--view/
     # --fixed_view, video_reader.py:255-343): cross_view draws each SUPPORT
