@@ -51,12 +51,18 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1)
     p.add_argument("--tasks_per_batch", type=int, default=16)
     p.add_argument("--micro_batch", type=int, default=4)
-    p.add_argument("--path", choices=("train", "eval", "teacher"),
+    p.add_argument("--path", choices=("train", "eval", "teacher", "pretrain"),
                    default="train",
                    help="which hot path to trace: the student distillation "
-                        "train step, the episodic eval forward, or the MFM "
-                        "fusion-teacher train step (bench.py's three modes; "
-                        "--mode is taken by the reference's experiment tag)")
+                        "train step, the episodic eval forward, the MFM "
+                        "fusion-teacher train step, or the supervised "
+                        "pretraining step (--mode is taken by the "
+                        "reference's experiment tag; the per-modality "
+                        "EXPERT step is --path train --preset expert_trx — "
+                        "it is the student pipeline without a teacher)")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="pretrain path only: clips per step "
+                        "(pretrain.py's DataLoader batch)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = build_config(args)
@@ -80,6 +86,26 @@ def main(argv=None):
             nonlocal state
             state, m = step(state, batch)
             _ = float(m["task_loss"])
+    elif args.path == "pretrain":
+        import jax.numpy as jnp
+        from ..train.teacher_steps import (create_pretrain_state,
+                                           make_pretrain_step)
+
+        t, img = cfg.episode.seq_len, cfg.episode.img_size
+        state, model = create_pretrain_state(
+            cfg, jax.random.key(0), 64,
+            jnp.zeros((1, t, img, img, 3), jnp.uint8),
+            arch="resnet50", lr_groups=(1e-6, 1e-2), steps_per_epoch=1000)
+        clips = jax.device_put(np.random.default_rng(0).integers(
+            0, 256, (args.batch_size, t, img, img, 3), dtype=np.uint8))
+        labels = jax.device_put(
+            (np.arange(args.batch_size) % 64).astype(np.int32))
+        pre_step = jax.jit(make_pretrain_step(cfg, model), donate_argnums=0)
+
+        def run_once():
+            nonlocal state
+            state, m = pre_step(state, clips, labels)
+            _ = float(m["loss"])
     elif args.path == "eval":
         from ..train import create_train_state, make_eval_step
 

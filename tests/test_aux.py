@@ -207,6 +207,13 @@ def test_profile_cli_smoke(tmp_path, capsys):
     assert "device op time" in text or "no trace files found" in text
     assert (out / "plugins" / "profile").exists()
 
+    # the pretrain hot path traces too (resnet50 at tiny geometry)
+    out2 = tmp_path / "trace_pre"
+    profile_main(["--preset", "tiny", "--dataset", "synthetic",
+                  "--path", "pretrain", "--batch_size", "2",
+                  "--out", str(out2)])
+    assert (out2 / "plugins" / "profile").exists()
+
 
 def test_flops_cli_smoke(capsys):
     """cli.flops (reference flops.py) reports params + forward GFLOPs."""
