@@ -69,7 +69,15 @@ def _source_sha() -> str:
     edit invalidates serialized executables, so a stale AOT artifact can
     neither bench old code silently nor crash the warmup call on a changed
     parameter tree. Memoized — deterministic within a process, and --check/
-    --rewarm-all would otherwise re-walk the package once per mode."""
+    --rewarm-all would otherwise re-walk the package once per mode.
+
+    Sources only (.py/.cpp), never build artifacts: libclipdec.so is
+    gitignored and built lazily on first data-plane use, so hashing it made
+    the fingerprint depend on WHETHER some prior run had built it — a fresh
+    checkout re-warmed before any test run, then flipped stale the moment a
+    test built the .so (hit live 2026-08-21, cost a full chip rewarm). The
+    .cpp it is compiled from IS hashed, and the serialized executables
+    contain no host-side decoder code, so the binary adds no protection."""
     global _SOURCE_SHA
     if _SOURCE_SHA is not None:
         return _SOURCE_SHA
@@ -79,7 +87,7 @@ def _source_sha() -> str:
     pkg = os.path.join(ROOT, "litemkd_tpu")
     for dirpath, _, names in sorted(os.walk(pkg)):
         files.extend(os.path.join(dirpath, n) for n in sorted(names)
-                     if n.endswith((".py", ".cpp", ".so")))
+                     if n.endswith((".py", ".cpp")))
     for f in files:
         h.update(f.encode())
         with open(f, "rb") as fh:

@@ -152,6 +152,38 @@ def test_pipeline_bench_tool(capsys):
     assert "PIL decode" in out
 
 
+def test_aot_fingerprint_ignores_native_binaries():
+    """The AOT source fingerprint hashes sources (.py/.cpp), never build
+    artifacts: libclipdec.so is gitignored and built lazily on first
+    data-plane use, so including it made the fingerprint depend on whether
+    some prior run had built it — a fresh checkout's rewarm went stale the
+    moment a test build produced the .so (2026-08-21, cost a full chip
+    rewarm). Lock the invariant: dropping a new .so into the package must
+    not move the fingerprint."""
+    import importlib
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        bench = importlib.import_module("bench")
+    finally:
+        sys.path.remove(repo)
+    probe = os.path.join(repo, "litemkd_tpu", "native",
+                         "zz_fingerprint_probe.so")
+    assert not os.path.exists(probe)
+    bench._SOURCE_SHA = None
+    before = bench._source_sha()
+    with open(probe, "wb") as f:
+        f.write(b"\x7fELF not a real library")
+    try:
+        bench._SOURCE_SHA = None
+        assert bench._source_sha() == before
+    finally:
+        os.remove(probe)
+        bench._SOURCE_SHA = None
+
+
 @pytest.mark.slow
 def test_bench_driver_contract(tmp_path):
     """The driver runs ``python bench.py`` at the end of every round and

@@ -70,6 +70,28 @@ def test_cli_debug_disables_checkpointing():
     assert cfg.train.checkpoint_dir is None
 
 
+def test_cli_synthetic_noise_threading():
+    """--synthetic_noise (the synthetic-dataset difficulty knob behind the
+    protocol-scale eval row, BENCH_HISTORY mode=protocol_eval) reaches the
+    sampler; omitting it keeps the preset default."""
+    import argparse
+    from litemkd_tpu.cli.common import (add_common_args, add_train_args,
+                                        build_config, build_sampler)
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_train_args(p)
+    args = p.parse_args(["--dataset", "synthetic",
+                         "--synthetic_noise", "4.0", "--debug"])
+    cfg = build_config(args)
+    assert cfg.data.synthetic_noise == 4.0
+    assert build_sampler(cfg).noise == 4.0
+
+    args = p.parse_args(["--dataset", "synthetic", "--debug"])
+    cfg = build_config(args)
+    assert cfg.data.synthetic_noise == 0.3
+    assert build_sampler(cfg).noise == 0.3
+
+
 def test_prefetcher_orders_and_completes():
     from litemkd_tpu.data import Prefetcher, SyntheticEpisodeSource
     cfg = preset("tiny")
